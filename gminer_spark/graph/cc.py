@@ -1,0 +1,83 @@
+"""Connected components via hash-min label exchange.
+
+The reference implements exactly this as ``subG_hashmin``
+(/root/reference/partition/BPartitioner.tpp:91-165): every vertex
+starts labeled with its own id, broadcasts its label, keeps the min of
+incoming messages, votes to halt when unchanged; the min-combiner
+(/root/reference/partition/BDGPartitioner.tpp:259-263) folds duplicate
+messages pre-shuffle.
+
+Spark mapping: messages = edges ⋈ state, the combiner is partial
+aggregation inside ``groupBy(dst).min(label)``, vote-to-halt is the
+``changed == 0`` driver-side test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gminer_spark.checkpoint import CheckpointStore
+from gminer_spark.graph import tables
+from gminer_spark.graph.superstep import SuperstepResult, run_supersteps
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 200,
+    store: CheckpointStore | None = None,
+    resume: bool = True,
+) -> SuperstepResult:
+    """Hash-min CC over ``edges(src, dst)`` (treated as undirected).
+
+    Returns state ``(id, component)`` where ``component`` is the
+    minimum vertex id in the component — exact parity with the
+    reference semantics and with a union-find oracle.
+    """
+    spark = edges.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym = tables.symmetrize(edges).repartition(n_shuffle, "src").persist()
+    edge_count = sym.count()
+
+    init = tables.vertices(sym).select("id", F.col("id").alias("component"))
+
+    def step(state: DataFrame, k: int):
+        msgs = (
+            sym.join(state, sym.src == state.id)
+            .select("dst", "component")
+            .groupBy("dst")
+            .agg(F.min("component").alias("msg"))
+        )
+        new_state = (
+            state.join(msgs, state.id == msgs.dst, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("msg"), F.col("component"))
+                ).alias("component"),
+                (F.col("msg") < F.col("component")).alias("_changed"),
+            )
+        )
+        changed = (
+            new_state.agg(
+                F.coalesce(F.sum(F.col("_changed").cast("long")), F.lit(0))
+            ).first()[0]
+        )
+        metrics = {
+            "edges_scanned": edge_count,
+            "messages_shuffled": edge_count,
+            "delta": float(changed),
+            "changed": int(changed),
+        }
+        return new_state.drop("_changed"), metrics
+
+    result = run_supersteps(
+        init,
+        step,
+        lambda m: m["changed"] == 0,
+        max_iter=max_iter,
+        store=store,
+        resume=resume,
+    )
+    sym.unpersist()
+    return result

@@ -1,0 +1,88 @@
+"""Synchronous label propagation (LPA) with deterministic tie-break.
+
+The structural ancestor in the reference is the Voronoi color-spread
+superstep (/root/reference/partition/BDGPartitioner.tpp:279-307):
+adopt a neighbor's color, rebroadcast.  Classic sync LPA replaces
+"first message wins" with "most frequent neighbor label"; for exact
+cross-parallelism parity the tie-break is fixed: highest count first,
+then smallest label (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gminer_spark.checkpoint import CheckpointStore
+from gminer_spark.graph import tables
+from gminer_spark.graph.superstep import SuperstepResult, run_supersteps
+
+
+def label_propagation(
+    edges: DataFrame,
+    num_iter: int = 5,
+    until_stable: bool = False,
+    max_iter: int = 50,
+    store: CheckpointStore | None = None,
+    resume: bool = True,
+) -> SuperstepResult:
+    """Sync LPA over ``edges(src, dst)`` (treated as undirected).
+
+    Returns state ``(id, label)``.  Default is a fixed iteration count
+    (sync LPA can oscillate on bipartite structures, so fixed-round is
+    the reproducible contract; ``until_stable`` stops early when no
+    label changes).
+    """
+    spark = edges.sparkSession
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym = tables.symmetrize(edges).repartition(n_shuffle, "src").persist()
+    edge_count = sym.count()
+
+    init = tables.vertices(sym).select("id", F.col("id").alias("label"))
+
+    def step(state: DataFrame, k: int):
+        # groupBy(dst, label).count is the map-side-combined message
+        # histogram; the window picks the deterministic mode.
+        counts = (
+            sym.join(state, sym.src == state.id)
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        w = Window.partitionBy("dst").orderBy(
+            F.col("cnt").desc(), F.col("label").asc()
+        )
+        mode = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("dst", F.col("label").alias("new_label"))
+        )
+        new_state = (
+            state.join(mode, state.id == mode.dst, "left")
+            .select(
+                "id",
+                F.coalesce("new_label", "label").alias("label"),
+                (F.col("new_label") != F.col("label")).alias("_changed"),
+            )
+        )
+        changed = new_state.agg(
+            F.coalesce(F.sum(F.col("_changed").cast("long")), F.lit(0))
+        ).first()[0]
+        metrics = {
+            "edges_scanned": edge_count,
+            "messages_shuffled": edge_count,
+            "delta": float(changed),
+            "changed": int(changed),
+        }
+        return new_state.drop("_changed"), metrics
+
+    if until_stable:
+        converged = lambda m: m["changed"] == 0  # noqa: E731
+    else:
+        converged = lambda m: m["superstep"] >= num_iter  # noqa: E731
+        max_iter = num_iter
+
+    result = run_supersteps(
+        init, step, converged, max_iter=max_iter, store=store, resume=resume
+    )
+    sym.unpersist()
+    return result

@@ -1,0 +1,126 @@
+"""PageRank on the superstep framework.
+
+Not implemented in the reference (its README positions GMiner against
+PageRank-style systems, /root/reference/README.md:5) — semantics are
+fixed by BASELINE.json: damping 0.85, dangling-mass redistribution,
+per-vertex allclose 1e-6 at convergence.
+
+Each superstep is one shuffle-bounded plan:
+
+    contribs  = edges ⋈ state(on src) → groupBy(dst).sum(rank/out_deg)
+    dangling  = Σ rank over out_deg == 0            (driver-side agg)
+    new_rank  = (1-d)/N + d * (contribs + dangling/N)
+
+Spark's partial aggregation is the message combiner
+(/root/reference/util/vecs.tpp:79-107 analog); AQE skew-join plus the
+optional salted two-stage aggregation (gminer_spark.graph.salt)
+handle hub-vertex skew in the contribution shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gminer_spark.checkpoint import CheckpointStore
+from gminer_spark.graph import tables
+from gminer_spark.graph.superstep import SuperstepResult, run_supersteps
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    num_iter: int | None = None,
+    store: CheckpointStore | None = None,
+    resume: bool = True,
+) -> SuperstepResult:
+    """PageRank over a directed ``edges(src, dst)`` DataFrame.
+
+    Returns state ``(id, rank)``.  ``num_iter`` forces an exact
+    iteration count (oracle parity mode); otherwise the loop stops at
+    L1 delta < ``tol``.
+    """
+    spark = edges.sparkSession
+    # Static tables, computed once and reused across all supersteps.
+    # At cluster scale these are hash-co-partitioned with the state on
+    # the join key (src) so each iteration's join shuffles only ranks.
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = edges.repartition(n_shuffle, "src").persist()
+    verts = tables.vertices(edges)
+    out_deg = (
+        verts.join(
+            edges.groupBy(F.col("src").alias("id")).agg(
+                F.count("*").alias("out_deg")
+            ),
+            on="id",
+            how="left",
+        )
+        .select("id", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
+        .repartition(n_shuffle, "id")
+        .persist()
+    )
+    n = out_deg.count()  # also materializes the persists
+    edge_count = edges.count()
+
+    init = out_deg.select("id", F.lit(1.0 / n).alias("rank"), "out_deg")
+
+    teleport = (1.0 - damping) / n
+
+    def step(state: DataFrame, k: int):
+        dangling = (
+            state.where(F.col("out_deg") == 0)
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contribs = (
+            edges.join(state, edges.src == state.id)
+            .select(
+                F.col("dst"),
+                (F.col("rank") / F.col("out_deg")).alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("contrib"))
+        )
+        new_state = (
+            out_deg.join(contribs, out_deg.id == contribs.dst, "left")
+            .select(
+                "id",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+                "out_deg",
+            )
+        )
+        # L1 delta for convergence; evaluated on the committed state's
+        # lineage so it does not re-run the join twice.
+        delta = (
+            new_state.select("id", "rank")
+            .join(state.select("id", F.col("rank").alias("old")), on="id")
+            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
+            .first()[0]
+        )
+        metrics = {
+            "edges_scanned": edge_count,
+            "messages_shuffled": edge_count,
+            "delta": float(delta),
+            "dangling_mass": float(dangling),
+        }
+        return new_state, metrics
+
+    if num_iter is not None:
+        converged = lambda m: m["superstep"] >= num_iter  # noqa: E731
+        max_iter = num_iter
+    else:
+        converged = lambda m: m["delta"] < tol  # noqa: E731
+
+    result = run_supersteps(
+        init, step, converged, max_iter=max_iter, store=store, resume=resume
+    )
+    result.state = result.state.select("id", "rank")
+    edges.unpersist()
+    out_deg.unpersist()
+    return result

@@ -1,0 +1,149 @@
+"""Exact triangle counting with degree-ordered edge orientation.
+
+The reference TC app (/root/reference/apps/trianglecount.cpp) seeds a
+task per vertex with its higher-id neighbors (:135-159), ships only
+the truncated adjacency on pull (:119-133), and merge-intersects
+sorted adjacency lists (:84-111); the global count is a partial+final
+sum aggregator (:45-77).
+
+Spark-first re-expression: orient every undirected edge from the
+lower-ranked endpoint to the higher-ranked one, then
+
+    triangles = |{(u,v), (u,w), (v,w)} ⊆ E_oriented, rank v < rank w|
+
+i.e. a wedge self-join plus one semi-join — all shuffle-bounded,
+no iteration.  Orientation by id matches the reference exactly;
+orientation by (degree, id) is the skew-robust variant (hub fan-out
+bounded by arboricity — SURVEY.md §4 row 3): each vertex's out-degree
+in the oriented graph is O(sqrt(|E|)) for any graph.
+
+Rank keys are packed into one bigint ``(deg << 32) | id`` so the
+orientation and wedge conditions stay single-column comparisons that
+Catalyst pushes into the joins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gminer_spark.graph import tables
+
+
+def oriented_edges(edges: DataFrame, orient: str = "degree") -> DataFrame:
+    """Orient the undirected closure of ``edges`` low-rank → high-rank.
+
+    ``orient="id"``: rank = vertex id (reference semantics,
+    apps/trianglecount.cpp:144-148).  ``orient="degree"``: rank =
+    (undirected degree, id) — the load-balance orientation.
+    Output columns ``(src, dst)`` with rank(src) < rank(dst) plus the
+    packed rank keys ``(src_key, dst_key)``.
+    """
+    sym = tables.symmetrize(edges)
+    if orient == "id":
+        return (
+            sym.where(F.col("src") < F.col("dst"))
+            .select(
+                "src",
+                "dst",
+                F.col("src").alias("src_key"),
+                F.col("dst").alias("dst_key"),
+            )
+        )
+    deg = tables.degrees(sym).select(
+        "id", (F.col("out_deg").cast("long")).alias("deg")
+    )
+    keyed = (
+        sym.join(deg.withColumnRenamed("id", "src"), on="src")
+        .withColumnRenamed("deg", "src_deg")
+        .join(
+            deg.withColumnRenamed("id", "dst").withColumnRenamed("deg", "dst_deg"),
+            on="dst",
+        )
+        .select(
+            "src",
+            "dst",
+            (F.shiftleft(F.col("src_deg"), 32) + F.col("src")).alias("src_key"),
+            (F.shiftleft(F.col("dst_deg"), 32) + F.col("dst")).alias("dst_key"),
+        )
+    )
+    return keyed.where(F.col("src_key") < F.col("dst_key"))
+
+
+def triangle_count(edges: DataFrame, orient: str = "degree") -> int:
+    """Global exact triangle count (wedge join formulation)."""
+    return int(_wedge_closed(edges, orient).agg(F.count("*")).first()[0])
+
+
+def triangles_per_vertex(edges: DataFrame, orient: str = "degree") -> DataFrame:
+    """Per-vertex triangle participation counts ``(id, triangles)``.
+
+    Each closed wedge (u, v, w) contributes to all three corners —
+    the per-task counts the reference folds into its aggregator.
+    """
+    closed = _wedge_closed(edges, orient)
+    corners = (
+        closed.select(F.col("u").alias("id"))
+        .unionAll(closed.select(F.col("v").alias("id")))
+        .unionAll(closed.select(F.col("w").alias("id")))
+    )
+    return corners.groupBy("id").agg(F.count("*").alias("triangles"))
+
+
+def _wedge_closed(edges: DataFrame, orient: str) -> DataFrame:
+    """Closed wedges (u, v, w): u→v, u→w, v→w all oriented edges."""
+    e = oriented_edges(edges, orient=orient)
+    e1 = e.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.col("dst_key").alias("v_key"),
+    )
+    e2 = e.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("w"),
+        F.col("dst_key").alias("w_key"),
+    )
+    wedges = e1.join(e2, on="u").where(F.col("v_key") < F.col("w_key"))
+    closer = e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    return wedges.join(closer, on=["v", "w"]).select("u", "v", "w")
+
+
+def triangle_count_kernel(edges: DataFrame, orient: str = "degree") -> int:
+    """Kernel variant: vectorized sorted-adjacency intersection.
+
+    Mirrors the reference's merge-intersection compute
+    (apps/trianglecount.cpp:84-111): group the oriented graph into
+    per-vertex sorted adjacency arrays, join each oriented edge (u,v)
+    with adj(u) and adj(v), and intersect with ``np.intersect1d``
+    inside an Arrow-batched pandas UDF (both arrays pre-sorted — the
+    invariant the reference maintains at parse time, :176).
+    """
+    e = oriented_edges(edges, orient=orient).select("src", "dst")
+    adj = e.groupBy(F.col("src").alias("id")).agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    )
+
+    @F.pandas_udf("long")
+    def intersect_size(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.empty(len(a), dtype=np.int64)
+        for i in range(len(a)):
+            av, bv = a.iloc[i], b.iloc[i]
+            if av is None or bv is None:
+                out[i] = 0
+            else:
+                out[i] = np.intersect1d(
+                    np.asarray(av, dtype=np.int64),
+                    np.asarray(bv, dtype=np.int64),
+                    assume_unique=True,
+                ).size
+        return pd.Series(out)
+
+    joined = (
+        e.join(adj.withColumnRenamed("id", "src").withColumnRenamed("nbrs", "src_nbrs"), on="src", how="left")
+        .join(adj.withColumnRenamed("id", "dst").withColumnRenamed("nbrs", "dst_nbrs"), on="dst", how="left")
+        .select(intersect_size("src_nbrs", "dst_nbrs").alias("tris"))
+    )
+    res = joined.agg(F.coalesce(F.sum("tris"), F.lit(0))).first()[0]
+    return int(res)

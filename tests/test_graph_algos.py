@@ -1,0 +1,140 @@
+"""Correctness of PageRank / CC / LPA / triangles vs numpy oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.conftest import CYCLE6, K5, PATH5, STAR, TWOCOMP, edges_df, random_graph
+from tests.oracle import graph_oracle as oracle
+
+TOPOLOGIES = {
+    "path5": PATH5,
+    "cycle6": CYCLE6,
+    "star": STAR,
+    "k5": K5,
+    "twocomp": TWOCOMP,
+}
+
+
+@pytest.mark.parametrize("name", list(TOPOLOGIES))
+def test_pagerank_matches_oracle(spark, name):
+    from gminer_spark.graph.pagerank import pagerank
+
+    pairs = TOPOLOGIES[name]
+    res = pagerank(edges_df(spark, pairs), tol=1e-9, max_iter=200)
+    got = {r["id"]: r["rank"] for r in res.state.collect()}
+    want = oracle.pagerank(pairs, tol=1e-9)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-6)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_cycle_uniform(spark):
+    from gminer_spark.graph.pagerank import pagerank
+
+    res = pagerank(edges_df(spark, CYCLE6), tol=1e-10, max_iter=300)
+    for r in res.state.collect():
+        assert r["rank"] == pytest.approx(1 / 6, abs=1e-8)
+
+
+def test_pagerank_random_graph(spark):
+    from gminer_spark.graph.pagerank import pagerank
+
+    pairs = random_graph(n=120, p=0.04)
+    res = pagerank(edges_df(spark, pairs), tol=1e-9, max_iter=300)
+    got = {r["id"]: r["rank"] for r in res.state.collect()}
+    want = oracle.pagerank(pairs, tol=1e-9)
+    assert np.allclose(
+        [got[v] for v in sorted(want)], [want[v] for v in sorted(want)], atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("name", ["path5", "star", "twocomp"])
+def test_cc_matches_oracle(spark, name):
+    from gminer_spark.graph.cc import connected_components
+
+    pairs = TOPOLOGIES[name]
+    res = connected_components(edges_df(spark, pairs))
+    got = {r["id"]: r["component"] for r in res.state.collect()}
+    assert got == oracle.cc(pairs)
+    assert res.converged
+
+
+def test_cc_random(spark):
+    from gminer_spark.graph.cc import connected_components
+
+    pairs = random_graph(n=150, p=0.008, directed=False)
+    res = connected_components(edges_df(spark, pairs))
+    got = {r["id"]: r["component"] for r in res.state.collect()}
+    assert got == oracle.cc(pairs)
+
+
+@pytest.mark.parametrize("name,iters", [("twocomp", 5), ("star", 3), ("k5", 4)])
+def test_lpa_matches_oracle(spark, name, iters):
+    from gminer_spark.graph.lpa import label_propagation
+
+    pairs = TOPOLOGIES[name]
+    res = label_propagation(edges_df(spark, pairs), num_iter=iters)
+    got = {r["id"]: r["label"] for r in res.state.collect()}
+    assert got == oracle.lpa_sync(pairs, num_iter=iters)
+
+
+def test_lpa_random(spark):
+    from gminer_spark.graph.lpa import label_propagation
+
+    pairs = random_graph(n=100, p=0.05, directed=False)
+    res = label_propagation(edges_df(spark, pairs), num_iter=4)
+    got = {r["id"]: r["label"] for r in res.state.collect()}
+    assert got == oracle.lpa_sync(pairs, num_iter=4)
+
+
+@pytest.mark.parametrize("name,expected", [("k5", 10), ("path5", 0), ("twocomp", 1)])
+def test_triangle_count_closed_form(spark, name, expected):
+    from gminer_spark.graph.triangles import triangle_count
+
+    assert triangle_count(edges_df(spark, TOPOLOGIES[name])) == expected
+
+
+@pytest.mark.parametrize("orient", ["id", "degree"])
+def test_triangle_count_random_both_orientations(spark, orient):
+    from gminer_spark.graph.triangles import triangle_count
+
+    pairs = random_graph(n=80, p=0.08, directed=False)
+    assert triangle_count(edges_df(spark, pairs), orient=orient) == oracle.triangles(
+        pairs
+    )
+
+
+def test_triangle_kernel_variant(spark):
+    from gminer_spark.graph.triangles import triangle_count_kernel
+
+    pairs = random_graph(n=60, p=0.1, directed=False)
+    assert triangle_count_kernel(edges_df(spark, pairs)) == oracle.triangles(pairs)
+    assert triangle_count_kernel(edges_df(spark, K5)) == 10
+
+
+def test_triangles_per_vertex(spark):
+    from gminer_spark.graph.triangles import triangles_per_vertex
+
+    pairs = random_graph(n=50, p=0.12, directed=False)
+    got = {
+        r["id"]: r["triangles"]
+        for r in triangles_per_vertex(edges_df(spark, pairs)).collect()
+    }
+    want = {v: c for v, c in oracle.triangles_per_vertex(pairs).items() if c > 0}
+    assert got == want
+
+
+def test_triangle_trace_property(spark):
+    """trace(A^3)/6 cross-check (FIXTURES.md §4 property test)."""
+    from gminer_spark.graph.triangles import triangle_count
+
+    pairs = random_graph(n=40, p=0.15, directed=False)
+    n = max(max(s, d) for s, d in pairs) + 1
+    a = np.zeros((n, n))
+    for s, d in pairs:
+        a[s, d] = a[d, s] = 1
+    want = int(round(np.trace(a @ a @ a) / 6))
+    assert triangle_count(edges_df(spark, pairs)) == want
