@@ -1,0 +1,125 @@
+"""The extraction spine: pages → text (byte-identical) → links → edges → algorithms."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import CYCLE6, K5, PATH5, STAR, TWOCOMP, edges_df
+from tests.oracle import graph_oracle as oracle
+
+
+def test_extract_text_byte_identity(spark):
+    """Engine-extracted text must equal the golden text column byte-for-byte
+    for every url (BASELINE.json per-row invariant)."""
+    from gminer_spark.web.extract import extract_pages
+    from gminer_spark.web.fixtures import pages_df
+
+    pages = pages_df(spark, STAR + PATH5, namespace="bi")
+    ex = extract_pages(pages)
+    bad = ex.where(
+        (F.col("extracted_text") != F.col("text"))
+        | F.col("extracted_text").isNull()
+    ).count()
+    assert bad == 0
+    # and as raw bytes via encode comparison
+    bad2 = ex.where(
+        F.encode("extracted_text", "UTF-8") != F.encode("text", "UTF-8")
+    ).count()
+    assert bad2 == 0
+
+
+def test_normalize_url_rules():
+    from gminer_spark.web.extract import normalize_url
+
+    assert normalize_url("HTTPS://Example.COM/a/#frag") == "https://example.com/a"
+    assert normalize_url("https://example.com/a/b/") == "https://example.com/a/b"
+    assert normalize_url("https://example.com") == "https://example.com/"
+    assert normalize_url("mailto:x@y.z") is None
+    assert normalize_url("javascript:void(0)") is None
+    assert (
+        normalize_url("/rel/p3", "https://site0.example/rel/p0")
+        == "https://site0.example/rel/p3"
+    )
+    assert normalize_url("  ", "https://a.b/") is None
+
+
+@pytest.mark.parametrize(
+    "name,topology",
+    [("path5", PATH5), ("k5", K5), ("twocomp", TWOCOMP), ("star", STAR)],
+)
+def test_pages_roundtrip_topology(spark, name, topology):
+    """pages built from a topology must yield exactly that edge set back
+    (noise — fragments, dups, self-links, mailto — all normalized away)."""
+    from gminer_spark.web.edges import pages_to_edges, url_ids
+    from gminer_spark.web.extract import links_table
+    from gminer_spark.web.fixtures import pages_df, url_for
+
+    pages = pages_df(spark, topology, namespace=name)
+    links = links_table(pages).persist()
+    e = (
+        links.select(
+            F.col("src_url").alias("su"), F.col("dst_url").alias("du")
+        )
+        .where(F.col("su") != F.col("du"))  # self-links drop at edge minting
+        .distinct()
+        .collect()
+    )
+    got = {(r.su, r.du) for r in e}
+    want = {(url_for(s, name), url_for(d, name)) for s, d in set(topology)}
+    assert got == want
+
+    # hashed ids: same graph modulo relabeling
+    edges = pages_to_edges(pages)
+    ids = {r.url: r.id for r in url_ids(links).collect()}
+    got_ids = {(r.src, r.dst) for r in edges.collect()}
+    want_ids = {
+        (ids[url_for(s, name)], ids[url_for(d, name)]) for s, d in set(topology)
+    }
+    assert got_ids == want_ids
+    links.unpersist()
+
+
+def test_full_pipeline_pagerank_on_pages(spark):
+    """End-to-end: pages → edges → PageRank equals oracle on the raw topology."""
+    from gminer_spark.graph.pagerank import pagerank
+    from gminer_spark.web.edges import pages_to_edges, url_ids
+    from gminer_spark.web.extract import links_table
+    from gminer_spark.web.fixtures import pages_df, url_for
+
+    topo = CYCLE6 + [(10, 11), (11, 12), (12, 10), (12, 13)]
+    pages = pages_df(spark, topo, namespace="e2e")
+    edges = pages_to_edges(pages)
+    res = pagerank(edges, tol=1e-9, max_iter=300)
+    ids = {r.url: r.id for r in url_ids(links_table(pages)).collect()}
+    got = {r.id: r["rank"] for r in res.state.collect()}
+    want = oracle.pagerank(topo, tol=1e-9)
+    for v, rank in want.items():
+        assert got[ids[url_for(v, "e2e")]] == pytest.approx(rank, abs=1e-6)
+
+
+def test_full_pipeline_triangles_and_cc(spark):
+    from gminer_spark.graph.cc import connected_components
+    from gminer_spark.graph.triangles import triangle_count
+    from gminer_spark.web.edges import pages_to_edges
+    from gminer_spark.web.fixtures import pages_df
+
+    topo = K5 + [(100, 101)]
+    pages = pages_df(spark, topo, namespace="tri")
+    edges = pages_to_edges(pages)
+    assert triangle_count(edges) == 10
+    res = connected_components(edges)
+    n_comp = res.state.select("component").distinct().count()
+    assert n_comp == 2
+
+
+def test_powerlaw_generator_deterministic():
+    from gminer_spark.web.fixtures import powerlaw_edges
+
+    e1 = powerlaw_edges(500, m=3, seed=42)
+    e2 = powerlaw_edges(500, m=3, seed=42)
+    assert e1 == e2
+    degs: dict[int, int] = {}
+    for s, d in e1:
+        degs[d] = degs.get(d, 0) + 1
+    assert max(degs.values()) > 20  # skewed
