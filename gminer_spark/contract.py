@@ -1,0 +1,888 @@
+"""Driver-harness contract: named queries + DuckDB oracle SQL.
+
+Each query is an operator (or composition) from SURVEY.md §2,
+expressed Spark-first; each oracle is ANSI SQL that DuckDB runs on
+the same parquet tables.  Iterative algorithms get *unrolled* oracle
+SQL (a CTE chain per superstep) or a recursive CTE, so even PageRank
+/ CC / LPA are value-checked, not just row-counted.
+
+Cross-engine determinism rules used throughout:
+* every hash is md5-derived (gminer_spark.functions.h32);
+* every float output is rounded (micro-units for PageRank);
+* every top-k has a total-order tie-break;
+* timestamps are emitted as formatted strings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gminer_spark.functions import h32_sql
+from gminer_spark.graph import tables as gt
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect; ANSI subset)
+# ---------------------------------------------------------------------------
+
+EDGES_CTE = """
+edges AS (
+    SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS src,
+                    CAST(b.l_partkey AS BIGINT) AS dst
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)"""
+
+SYM_CTE = """
+sym AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT dst AS src, src AS dst FROM edges
+)"""
+
+VERTS_CTE = """
+verts AS (
+    SELECT DISTINCT src AS id FROM sym
+)"""
+
+WORDS_CTE = """
+words AS (
+    SELECT doc_id, unnest(l) AS word, unnest(range(1, len(l)+1)) AS pos
+    FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS l
+          FROM documents)
+)"""
+
+SHINGLES_CTE = """
+shingles AS (
+    SELECT DISTINCT doc_id,
+           word || ' ' ||
+           lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' ||
+           lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle
+    FROM words
+    QUALIFY lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+)"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gt.copurchase_edges(spark, sf_dir)
+
+
+def _doc(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# oracle generators for the iterative algorithms
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 15
+LPA_ITERS = 3
+
+
+def _materialize(cte: str) -> str:
+    """``name AS (...)`` → ``name AS MATERIALIZED (...)`` — stops DuckDB
+    from inlining (and re-opening the parquet for) every reference in
+    an unrolled iteration chain."""
+    name, _, body = cte.partition(" AS ")
+    return f"{name} AS MATERIALIZED {body}"
+
+
+def pagerank_oracle_sql(iters: int = PR_ITERS, damping: float = 0.85) -> str:
+    """Unrolled PageRank as a CTE chain (one CTE per superstep)."""
+    ctes = [
+        _materialize(EDGES_CTE.strip()),
+        _materialize(SYM_CTE.strip()),
+        _materialize(VERTS_CTE.strip()),
+        _materialize("""deg AS (
+    SELECT v.id, COALESCE(o.c, 0) AS out_deg
+    FROM verts v LEFT JOIN (
+        SELECT src, COUNT(*) AS c FROM edges GROUP BY src) o
+    ON v.id = o.src
+)"""),
+        _materialize("n AS (SELECT COUNT(*) AS cnt FROM verts)"),
+        _materialize(
+            "r0 AS (SELECT d.id, 1.0/(SELECT cnt FROM n) AS rank, d.out_deg FROM deg d)"
+        ),
+    ]
+    for k in range(1, iters + 1):
+        p = f"r{k - 1}"
+        ctes.append(
+            f"""r{k} AS MATERIALIZED (
+    SELECT d.id,
+           (1.0 - {damping})/(SELECT cnt FROM n)
+           + {damping} * (
+               COALESCE(c.contrib, 0.0)
+               + (SELECT COALESCE(SUM(rank), 0.0) FROM {p} WHERE out_deg = 0)
+                 / (SELECT cnt FROM n)
+           ) AS rank,
+           d.out_deg
+    FROM deg d LEFT JOIN (
+        SELECT e.dst, SUM(r.rank / r.out_deg) AS contrib
+        FROM edges e JOIN {p} r ON e.src = r.id
+        GROUP BY e.dst) c
+    ON d.id = c.dst
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(ROUND(rank * 1e6) AS BIGINT) AS rank_micro FROM r{iters}"
+    )
+
+
+def lpa_oracle_sql(iters: int = LPA_ITERS) -> str:
+    """Unrolled sync LPA: mode-of-neighbor-labels, tie (cnt desc, label asc)."""
+    ctes = [
+        EDGES_CTE.strip(),
+        SYM_CTE.strip(),
+        VERTS_CTE.strip(),
+        "l0 AS (SELECT id, id AS label FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"l{k - 1}"
+        ctes.append(
+            f"""m{k} AS (
+    SELECT s.dst AS id, l.label, COUNT(*) AS cnt
+    FROM sym s JOIN {p} l ON s.src = l.id
+    GROUP BY s.dst, l.label
+)""",
+        )
+        ctes.append(
+            f"""l{k} AS (
+    SELECT v.id, COALESCE(m.label, prev.label) AS label
+    FROM verts v
+    JOIN {p} prev ON v.id = prev.id
+    LEFT JOIN (
+        SELECT id, label FROM (
+            SELECT id, label,
+                   ROW_NUMBER() OVER (PARTITION BY id
+                                      ORDER BY cnt DESC, label ASC) AS rn
+            FROM m{k}) x WHERE rn = 1) m
+    ON v.id = m.id
+)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{iters}"
+
+
+CC_ORACLE_SQL = f"""
+WITH RECURSIVE {EDGES_CTE.strip()},
+{SYM_CTE.strip()},
+{VERTS_CTE.strip()},
+reach(id, label) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.id
+)
+SELECT id, MIN(label) AS component FROM reach GROUP BY id
+"""
+
+
+# ---------------------------------------------------------------------------
+# the query registry
+# ---------------------------------------------------------------------------
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def build_queries() -> dict[str, QueryFn]:
+    q: dict[str, QueryFn] = {}
+
+    # -- 1. scans / edge derivation (SURVEY §2.1) --------------------------
+    q["graph_edges"] = lambda s, d: _edges(s, d)
+    q["graph_degrees"] = lambda s, d: gt.degrees(_edges(s, d))
+
+    # -- 2. triangle counting (SURVEY §2.10 TC) ----------------------------
+    def tc_global(s, d):
+        from gminer_spark.graph.triangles import _wedge_closed
+
+        return _wedge_closed(_edges(s, d), "degree").agg(
+            F.count("*").alias("triangles")
+        )
+
+    q["tc_global"] = tc_global
+
+    def tc_per_vertex(s, d):
+        from gminer_spark.graph.triangles import triangles_per_vertex
+
+        return triangles_per_vertex(_edges(s, d))
+
+    q["tc_per_vertex"] = tc_per_vertex
+
+    # -- 3. iterative algorithms (SURVEY §2.8/§2.10) -----------------------
+    def pagerank_micro(s, d):
+        from gminer_spark.graph.pagerank import pagerank
+
+        res = pagerank(_edges(s, d), num_iter=PR_ITERS)
+        return res.state.select(
+            "id", F.round(F.col("rank") * 1e6, 0).cast("long").alias("rank_micro")
+        )
+
+    q["pagerank_micro"] = pagerank_micro
+
+    def cc_components(s, d):
+        from gminer_spark.graph.cc import connected_components
+
+        return connected_components(_edges(s, d)).state
+
+    q["cc_components"] = cc_components
+
+    def lpa_labels(s, d):
+        from gminer_spark.graph.lpa import label_propagation
+
+        return label_propagation(_edges(s, d), num_iter=LPA_ITERS).state
+
+    q["lpa_labels"] = lpa_labels
+
+    # -- 4. join patterns (SURVEY §2.3) -------------------------------------
+    def vertex_pull(s, d):
+        """The core GMiner 'join': dedup'd frontier pull of the top-5
+        seeds' neighborhoods (core/slave.tpp:307-401 analog)."""
+        edges = _edges(s, d)
+        sym = gt.symmetrize(edges)
+        deg = gt.degrees(sym)
+        seeds = (
+            deg.orderBy(F.col("degree").desc(), F.col("id").asc())
+            .limit(5)
+            .select(F.col("id").alias("seed"))
+        )
+        # request dedup (ref_count map analog) = distinct before join
+        frontier = (
+            F.broadcast(seeds)
+            .join(sym, seeds.seed == sym.src)
+            .select("seed", F.col("dst").alias("pulled"))
+            .distinct()
+        )
+        return frontier
+
+    q["vertex_pull"] = vertex_pull
+
+    def nb_owner_join(s, d):
+        """nb_info_exchange: map each adjacency entry to its owner
+        partition (BDGPartitioner.tpp:352-409 analog)."""
+        edges = _edges(s, d)
+        return edges.select(
+            "src", "dst", F.pmod(F.col("dst"), F.lit(8)).cast("int").alias("dst_owner")
+        )
+
+    q["nb_owner_join"] = nb_owner_join
+
+    def adj_intersect(s, d):
+        """Per-edge common-neighbor counts (merge-intersection analog,
+        apps/trianglecount.cpp:84-111) for a deterministic edge subset."""
+        edges = _edges(s, d)
+        sym = gt.symmetrize(edges)
+        sub = edges.where(F.col("src") <= 50)
+        n1 = sym.select(F.col("src").alias("u"), F.col("dst").alias("c"))
+        n2 = sym.select(F.col("src").alias("v"), F.col("dst").alias("c"))
+        return (
+            sub.join(n1, sub.src == n1.u)
+            .join(n2, (sub.dst == n2.v) & (n1.c == n2.c))
+            .groupBy(F.col("src"), F.col("dst"))
+            .agg(F.count("*").alias("common"))
+        )
+
+    q["adj_intersect"] = adj_intersect
+
+    # -- 5. CSR blocks (SURVEY §1.3) ----------------------------------------
+    def csr_stats(s, d):
+        from gminer_spark.graph.csr import build_csr_blocks, csr_block_stats
+
+        return csr_block_stats(build_csr_blocks(_edges(s, d), n_blocks=8))
+
+    q["csr_stats"] = csr_stats
+
+    # -- 6. aggregations (SURVEY §2.4) ---------------------------------------
+    def agg_partial_final(s, d):
+        li = _doc(s, d, "lineitem")
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").cast("double").alias("sum_qty"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue"),
+                F.count("*").alias("n_rows"),
+            )
+        )
+
+    q["agg_partial_final"] = agg_partial_final
+
+    def agg_max_bound(s, d):
+        """Global max read as pruning bound (maxclique.cpp:13-47 analog)."""
+        return (
+            _doc(s, d, "orders")
+            .groupBy("o_orderstatus")
+            .agg(
+                F.round(F.max("o_totalprice"), 2).alias("max_price"),
+                F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            )
+        )
+
+    q["agg_max_bound"] = agg_max_bound
+
+    def count_by_key(s, d):
+        """Voronoi cell-size histogram analog (BPartitioner.tpp:14-64)."""
+        return _doc(s, d, "orders").groupBy("o_orderpriority").agg(
+            F.count("*").alias("n")
+        )
+
+    q["count_by_key"] = count_by_key
+
+    def set_union_agg(s, d):
+        """Set-union aggregator (community.cpp:99-132 analog)."""
+        c = _doc(s, d, "customer")
+        return c.groupBy("c_nationkey").agg(
+            F.array_join(
+                F.array_sort(F.collect_set("c_mktsegment")), ","
+            ).alias("segments"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+
+    q["set_union_agg"] = set_union_agg
+
+    def combiner_min(s, d):
+        """Pre-shuffle min-combiner (util/vecs.tpp:79-107 analog)."""
+        return _edges(s, d).groupBy("dst").agg(F.min("src").alias("min_msg"))
+
+    q["combiner_min"] = combiner_min
+
+    # -- 7. sorts / top-k (SURVEY §2.5) ---------------------------------------
+    def topk_per_group(s, d):
+        from pyspark.sql import Window
+
+        o = _doc(s, d, "orders")
+        w = Window.partitionBy("o_orderpriority").orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+        )
+        return (
+            o.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select(
+                "o_orderpriority",
+                "o_orderkey",
+                F.round("o_totalprice", 2).alias("price"),
+                F.col("rn").cast("long").alias("rn"),
+            )
+        )
+
+    q["topk_per_group"] = topk_per_group
+
+    def degree_topk(s, d):
+        """Degree-descending candidate ordering (maxclique.cpp:52-83)."""
+        deg = gt.degrees(_edges(s, d))
+        return (
+            deg.orderBy(F.col("degree").desc(), F.col("id").asc())
+            .limit(20)
+            .select("id", "out_deg", "in_deg", "degree")
+        )
+
+    q["degree_topk"] = degree_topk
+
+    # -- 8. labeled pattern match (SURVEY §2.10 GM) ---------------------------
+    def pattern_match(s, d):
+        """Count matches of pattern a–b, a–c, b–c, b–d
+        (apps/graphmatch.cpp) on the sparsely-labeled co-purchase graph."""
+        sym = gt.symmetrize(_edges(s, d))
+        lab = gt.vertices(sym).select(
+            "id",
+            F.when(F.pmod(F.col("id"), F.lit(29)) == 0, "a")
+            .when(F.pmod(F.col("id"), F.lit(29)) == 1, "b")
+            .when(F.pmod(F.col("id"), F.lit(29)) == 2, "c")
+            .when(F.pmod(F.col("id"), F.lit(29)) == 3, "d")
+            .alias("lbl"),
+        ).where(F.col("lbl").isNotNull())
+        la = lab.where(F.col("lbl") == "a").select(F.col("id").alias("va"))
+        lb = lab.where(F.col("lbl") == "b").select(F.col("id").alias("vb"))
+        lc = lab.where(F.col("lbl") == "c").select(F.col("id").alias("vc"))
+        ld = lab.where(F.col("lbl") == "d").select(F.col("id").alias("vd"))
+        e = sym
+        ab = la.join(e, (la.va == e.src)).join(lb, F.col("dst") == lb.vb).select("va", "vb")
+        ac = la.join(e, (la.va == e.src)).join(lc, F.col("dst") == lc.vc).select(F.col("va").alias("va2"), "vc")
+        bc = lb.join(e, (lb.vb == e.src)).join(lc, F.col("dst") == lc.vc).select(F.col("vb").alias("vb2"), F.col("vc").alias("vc2"))
+        bd = lb.join(e, (lb.vb == e.src)).join(ld, F.col("dst") == ld.vd).select(F.col("vb").alias("vb3"), "vd")
+        matches = (
+            ab.join(ac, ab.va == ac.va2)
+            .join(bc, (F.col("vb") == F.col("vb2")) & (F.col("vc") == F.col("vc2")))
+            .join(bd, F.col("vb") == F.col("vb3"))
+            .where(F.col("vd") != F.col("va"))
+            .where(F.col("vd") != F.col("vc"))
+            .select("va", "vb", "vc", "vd")
+            .distinct()
+        )
+        return matches.agg(F.count("*").alias("n_matches"))
+
+    q["pattern_match"] = pattern_match
+
+    # -- 9. text analysis ------------------------------------------------------
+    def text_tokens(s, d):
+        from gminer_spark.textops.analysis import token_stats
+
+        return token_stats(_doc(s, d, "documents"))
+
+    q["text_tokens"] = text_tokens
+
+    def text_quality(s, d):
+        from gminer_spark.textops.analysis import quality_scores
+
+        return quality_scores(_doc(s, d, "documents"))
+
+    q["text_quality"] = text_quality
+
+    def text_lang(s, d):
+        from gminer_spark.textops.analysis import lang_id
+
+        return lang_id(_doc(s, d, "documents"))
+
+    q["text_lang"] = text_lang
+
+    def text_fingerprint(s, d):
+        from gminer_spark.textops.analysis import fingerprints
+
+        return fingerprints(_doc(s, d, "documents"))
+
+    q["text_fingerprint"] = text_fingerprint
+
+    # -- 10. dedup ---------------------------------------------------------------
+    def dedup_exact(s, d):
+        from gminer_spark.textops.dedup import exact_dup_groups
+
+        return exact_dup_groups(_doc(s, d, "documents"))
+
+    q["dedup_exact"] = dedup_exact
+
+    def dedup_jaccard(s, d):
+        from gminer_spark.textops.dedup import ngram_jaccard_pairs
+
+        return ngram_jaccard_pairs(_doc(s, d, "documents"), n=3, threshold=0.8)
+
+    q["dedup_jaccard"] = dedup_jaccard
+
+    def dedup_minhash_lsh(s, d):
+        from gminer_spark.textops.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(_doc(s, d, "documents"), num_hashes=16, bands=4)
+
+    q["dedup_minhash_lsh"] = dedup_minhash_lsh
+
+    def dedup_simhash(s, d):
+        from gminer_spark.textops.dedup import simhash_near_pairs
+
+        return simhash_near_pairs(_doc(s, d, "documents"), bits=16, max_hamming=3)
+
+    q["dedup_simhash"] = dedup_simhash
+
+    # -- 11. similarity search ------------------------------------------------
+    def ann_cosine(s, d):
+        from gminer_spark.sim.ann import cosine_topk
+
+        return cosine_topk(_doc(s, d, "embeddings"), list(range(10)), k=5)
+
+    q["ann_cosine"] = ann_cosine
+
+    def ann_lsh(s, d):
+        from gminer_spark.sim.ann import ann_lsh_topk
+
+        return ann_lsh_topk(_doc(s, d, "embeddings"), list(range(10)), k=5)
+
+    q["ann_lsh"] = ann_lsh  # rows-only: recall < 1 by construction
+
+    # -- 12. multimodal plumbing ------------------------------------------------
+    def multimodal_meta(s, d):
+        from gminer_spark.multimodal.binary import attach_payload
+
+        wp = attach_payload(_doc(s, d, "documents"))
+        return wp.select(
+            "doc_id",
+            F.col("meta.mime").alias("mime"),
+            F.col("meta.n_bytes").alias("n_bytes"),
+            F.col("meta.checksum").alias("checksum"),
+        )
+
+    q["multimodal_meta"] = multimodal_meta
+
+    def multimodal_features(s, d):
+        from gminer_spark.multimodal.binary import attach_payload, decode_features
+
+        feats = decode_features(attach_payload(_doc(s, d, "documents")))
+        return feats.select(
+            "doc_id",
+            "n_bytes",
+            F.round(F.element_at("feat", 2), 6).alias("byte_mean"),
+            F.round(F.element_at("feat", 7), 6).alias("space_density"),
+        )
+
+    q["multimodal_features"] = multimodal_features
+
+    # -- 13. events (streaming analogs) -----------------------------------------
+    def events_window(s, d):
+        from gminer_spark.streaming.events import windowed_counts
+
+        wc = windowed_counts(_doc(s, d, "events"), minutes=60)
+        return wc.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "event_type",
+            "n",
+            F.round("total_value", 4).alias("total_value"),
+        )
+
+    q["events_window"] = events_window
+
+    def events_sessions(s, d):
+        from gminer_spark.streaming.events import sessionize
+
+        se = sessionize(_doc(s, d, "events"), gap_minutes=30)
+        return se.select(
+            "user_id",
+            "session_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("ss"),
+            "n_events",
+        )
+
+    q["events_sessions"] = events_sessions
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL registry
+# ---------------------------------------------------------------------------
+
+
+def build_oracles() -> dict[str, str]:
+    o: dict[str, str] = {}
+
+    o["graph_edges"] = f"WITH {EDGES_CTE.strip()} SELECT src, dst FROM edges"
+
+    o["graph_degrees"] = f"""
+WITH {EDGES_CTE.strip()},
+outd AS (SELECT src AS id, COUNT(*) AS out_deg FROM edges GROUP BY src),
+ind  AS (SELECT dst AS id, COUNT(*) AS in_deg  FROM edges GROUP BY dst)
+SELECT COALESCE(outd.id, ind.id) AS id,
+       CAST(COALESCE(out_deg, 0) AS BIGINT) AS out_deg,
+       CAST(COALESCE(in_deg, 0) AS BIGINT) AS in_deg,
+       CAST(COALESCE(out_deg, 0) + COALESCE(in_deg, 0) AS BIGINT) AS degree
+FROM outd FULL OUTER JOIN ind ON outd.id = ind.id
+"""
+
+    o["tc_global"] = f"""
+WITH {EDGES_CTE.strip()}
+SELECT COUNT(*) AS triangles
+FROM edges e1
+JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+"""
+
+    o["tc_per_vertex"] = f"""
+WITH {EDGES_CTE.strip()},
+tri AS (
+    SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+    FROM edges e1
+    JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+    JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+),
+corners AS (
+    SELECT u AS id FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri
+)
+SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id
+"""
+
+    o["pagerank_micro"] = pagerank_oracle_sql()
+    o["cc_components"] = CC_ORACLE_SQL
+    o["lpa_labels"] = lpa_oracle_sql()
+
+    o["vertex_pull"] = f"""
+WITH {EDGES_CTE.strip()}, {SYM_CTE.strip()},
+deg AS (SELECT src AS id, COUNT(*) AS degree FROM sym GROUP BY src),
+seeds AS (SELECT id AS seed FROM deg ORDER BY degree DESC, id ASC LIMIT 5)
+SELECT DISTINCT s.seed, e.dst AS pulled
+FROM seeds s JOIN sym e ON e.src = s.seed
+"""
+
+    o["nb_owner_join"] = f"""
+WITH {EDGES_CTE.strip()}
+SELECT src, dst, CAST(dst % 8 AS INTEGER) AS dst_owner FROM edges
+"""
+
+    o["adj_intersect"] = f"""
+WITH {EDGES_CTE.strip()}, {SYM_CTE.strip()}
+SELECT e.src, e.dst, COUNT(*) AS common
+FROM edges e
+JOIN sym n1 ON n1.src = e.src
+JOIN sym n2 ON n2.src = e.dst AND n2.dst = n1.dst
+WHERE e.src <= 50
+GROUP BY e.src, e.dst
+"""
+
+    o["csr_stats"] = f"""
+WITH {EDGES_CTE.strip()}, {SYM_CTE.strip()}, {VERTS_CTE.strip()}
+SELECT CAST(v.block_id AS INTEGER) AS block_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       CAST(COALESCE(MAX(ec.n), 0) AS BIGINT) AS n_edges
+FROM (SELECT id, id % 8 AS block_id FROM verts) v
+LEFT JOIN (SELECT src % 8 AS block_id, COUNT(*) AS n
+           FROM edges GROUP BY 1) ec
+ON v.block_id = ec.block_id
+GROUP BY v.block_id
+"""
+
+    o["agg_partial_final"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+    o["agg_max_bound"] = """
+SELECT o_orderstatus,
+       ROUND(MAX(o_totalprice), 2) AS max_price,
+       ROUND(MIN(o_totalprice), 2) AS min_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+    o["count_by_key"] = (
+        "SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority"
+    )
+
+    o["set_union_agg"] = """
+SELECT c_nationkey,
+       array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+FROM customer GROUP BY c_nationkey
+"""
+
+    o["combiner_min"] = f"""
+WITH {EDGES_CTE.strip()}
+SELECT dst, MIN(src) AS min_msg FROM edges GROUP BY dst
+"""
+
+    o["topk_per_group"] = """
+SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 2) AS price,
+       CAST(rn AS BIGINT) AS rn
+FROM (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+    FROM orders) x
+WHERE rn <= 3
+"""
+
+    o["degree_topk"] = f"""
+WITH {EDGES_CTE.strip()},
+outd AS (SELECT src AS id, COUNT(*) AS out_deg FROM edges GROUP BY src),
+ind  AS (SELECT dst AS id, COUNT(*) AS in_deg  FROM edges GROUP BY dst),
+deg AS (
+    SELECT COALESCE(outd.id, ind.id) AS id,
+           CAST(COALESCE(out_deg, 0) AS BIGINT) AS out_deg,
+           CAST(COALESCE(in_deg, 0) AS BIGINT) AS in_deg,
+           CAST(COALESCE(out_deg, 0) + COALESCE(in_deg, 0) AS BIGINT) AS degree
+    FROM outd FULL OUTER JOIN ind ON outd.id = ind.id)
+SELECT id, out_deg, in_deg, degree FROM deg
+ORDER BY degree DESC, id ASC LIMIT 20
+"""
+
+    o["pattern_match"] = f"""
+WITH {EDGES_CTE.strip()}, {SYM_CTE.strip()}, {VERTS_CTE.strip()},
+lab AS (
+    SELECT id, CASE id % 29 WHEN 0 THEN 'a' WHEN 1 THEN 'b'
+                            WHEN 2 THEN 'c' WHEN 3 THEN 'd' END AS lbl
+    FROM verts WHERE id % 29 IN (0, 1, 2, 3)
+)
+SELECT COUNT(*) AS n_matches FROM (
+    SELECT DISTINCT a.id AS va, b.id AS vb, c.id AS vc, d.id AS vd
+    FROM lab a
+    JOIN sym eab ON eab.src = a.id JOIN lab b ON b.id = eab.dst AND b.lbl = 'b'
+    JOIN sym eac ON eac.src = a.id JOIN lab c ON c.id = eac.dst AND c.lbl = 'c'
+    JOIN sym ebc ON ebc.src = b.id AND ebc.dst = c.id
+    JOIN sym ebd ON ebd.src = b.id JOIN lab d ON d.id = ebd.dst AND d.lbl = 'd'
+    WHERE a.lbl = 'a' AND d.id != a.id AND d.id != c.id
+) m
+"""
+
+    bpe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    o["text_tokens"] = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+           AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{bpe}')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+    o["text_quality"] = """
+WITH base AS (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+           len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+           len(regexp_extract_all(lower(text), '\\b(the|and|is|of|to|in)\\b'))
+               AS n_stop
+    FROM documents)
+SELECT doc_id, n_chars,
+       ROUND(n_punct * 1.0 / GREATEST(n_chars, 1), 6) AS punct_ratio,
+       ROUND(n_stop * 1.0 / GREATEST(n_tokens, 1), 6) AS stopword_ratio,
+       ROUND((1.0 - ROUND(n_punct * 1.0 / GREATEST(n_chars, 1), 6))
+             * LEAST(1.0, n_tokens / 50.0), 6) AS quality
+FROM base
+"""
+
+    o["text_lang"] = """
+WITH base AS (
+    SELECT doc_id, lang,
+           len(regexp_extract_all(lower(text), '\\b(the|and|is|of|to|in)\\b')) AS en,
+           len(regexp_extract_all(lower(text),
+               '\\b(der|die|das|und|ist|nicht)\\b')) AS de
+    FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN en > de THEN 'en' WHEN de > en THEN 'de' ELSE 'unk' END
+           AS predicted_lang
+FROM base
+"""
+
+    o["text_fingerprint"] = f"""
+WITH {WORDS_CTE.strip()},
+{SHINGLES_CTE.strip()},
+fp AS (
+    SELECT doc_id, MIN({h32_sql("shingle")}) AS fingerprint
+    FROM shingles GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(fp.fingerprint, {h32_sql("d.text")}) AS fingerprint
+FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+"""
+
+    o["dedup_exact"] = """
+SELECT MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_dups,
+       md5(text) AS text_md5
+FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+"""
+
+    o["dedup_jaccard"] = f"""
+WITH {WORDS_CTE.strip()},
+{SHINGLES_CTE.strip()},
+szs AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+    FROM shingles a JOIN shingles b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       ROUND(i * 1.0 / (x.sz + y.sz - i), 6) AS jaccard
+FROM inter
+JOIN szs x ON doc_a = x.doc_id
+JOIN szs y ON doc_b = y.doc_id
+WHERE ROUND(i * 1.0 / (x.sz + y.sz - i), 6) >= 0.8
+"""
+
+    # MinHash LSH: signatures are md5-derived → bit-identical across engines
+    mh_mins = ",\n           ".join(
+        "MIN({h}) AS mh_{i}".format(h=h32_sql(f"'{i}:' || shingle"), i=i)
+        for i in range(16)
+    )
+    band_exprs = []
+    for b in range(4):
+        cols = " || '_' || ".join(
+            f"CAST(mh_{b * 4 + r} AS VARCHAR)" for r in range(4)
+        )
+        band_exprs.append(f"SELECT doc_id, {b} AS band, {cols} AS bsig FROM sig")
+    bands_union = "\n    UNION ALL\n    ".join(band_exprs)
+    o["dedup_minhash_lsh"] = f"""
+WITH {WORDS_CTE.strip()},
+{SHINGLES_CTE.strip()},
+sig AS (
+    SELECT doc_id,
+           {mh_mins}
+    FROM shingles GROUP BY doc_id),
+buckets AS (
+    {bands_union}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+"""
+
+    # SimHash: 16-bit md5 bit votes; all-pairs oracle (the slice-bucket
+    # LSH in the engine is exact for hamming<=3 by pigeonhole).
+    votes = ",\n           ".join(
+        f"SUM((({h32_sql('word')} >> {i}) & 1) * 2 - 1) AS v_{i}"
+        for i in range(16)
+    )
+    sig_sum = " + ".join(
+        f"(CASE WHEN v_{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+    )
+    o["dedup_simhash"] = f"""
+WITH w AS (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+    FROM documents),
+w2 AS (SELECT doc_id, word FROM w WHERE word != ''),
+votes AS (
+    SELECT doc_id,
+           {votes}
+    FROM w2 GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({sig_sum} AS BIGINT) AS simhash FROM votes)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+    o["ann_cosine"] = """
+WITH q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+    FROM embeddings WHERE vec_id < 10),
+pairs AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROUND(list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))), 6)
+               AS cos
+    FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id)
+SELECT query_id, neighbor_id, cos FROM (
+    SELECT query_id, neighbor_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id ASC) AS rn
+    FROM pairs) x
+WHERE rn <= 5
+"""
+
+    o["multimodal_meta"] = """
+SELECT doc_id, 'text/plain' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS checksum
+FROM documents
+"""
+
+    o["events_window"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+       event_type, COUNT(*) AS n,
+       ROUND(ROUND(SUM(value), 6), 4) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+    o["events_sessions"] = """
+WITH marked AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+    SELECT user_id, ts,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+    FROM marked)
+SELECT user_id, session_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS ss,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+"""
+
+    return o

@@ -1,0 +1,141 @@
+"""Similarity search over an embedding column (array<float>).
+
+* :func:`cosine_topk` — exact brute-force baseline: broadcast the
+  query set, JVM-side ``zip_with``/``aggregate`` dot products (no
+  Python), window top-k.  Right answer at any scale where
+  |queries| × |corpus| pairs are joinable.
+* :func:`ann_lsh_topk` — the scale path: random-hyperplane LSH.
+  Deterministic pseudo-planes derived from md5 (reproducible across
+  runs/engines), signature = sign-bit string, candidates restricted
+  to equal-bucket collisions (multi-probe via multiple tables), then
+  exact re-rank.  Recall < 1 by construction; tested for recall ≥
+  threshold vs the brute-force baseline, not for equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cos(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 5
+) -> DataFrame:
+    """(query_id, neighbor_id, cos) — exact top-k by cosine.
+
+    Tie-break: higher cosine first, then smaller neighbor_id
+    (deterministic across parallelism).  Self-matches excluded.
+    """
+    q = embeddings.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    joined = (
+        F.broadcast(q)
+        .crossJoin(
+            embeddings.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("nv"),
+            )
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cos(F.col("qv"), F.col("nv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos")
+    )
+
+
+def _lsh_signature(vec_col, dim: int, n_planes: int, table: int):
+    """Sign-bit signature against md5-derived ±1 hyperplanes.
+
+    plane[p][d] = +1 if bit0(h32(f"{table}:{p}:{d}")) else -1 —
+    pure-function planes, no stored model.
+    """
+    import hashlib
+
+    bits = []
+    for p in range(n_planes):
+        terms = None
+        for d in range(dim):
+            sign = (
+                1
+                if int(
+                    hashlib.md5(f"{table}:{p}:{d}".encode()).hexdigest()[:8], 16
+                )
+                & 1
+                else -1
+            )
+            t = F.element_at(vec_col, d + 1).cast("double") * F.lit(float(sign))
+            terms = t if terms is None else terms + t
+        bits.append(F.when(terms > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: bucket-join on LSH signatures, exact re-rank."""
+    dim = len(embeddings.select("embedding").first()[0])
+    tables = None
+    for t in range(n_tables):
+        sig = embeddings.select(
+            "vec_id",
+            "embedding",
+            F.lit(t).alias("table"),
+            _lsh_signature(F.col("embedding"), dim, n_planes, t).alias("sig"),
+        )
+        tables = sig if tables is None else tables.unionByName(sig)
+    tables = tables.persist()
+    q = tables.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        "table",
+        "sig",
+    )
+    cand = (
+        q.join(tables, on=["table", "sig"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_cos(F.col("qv"), F.col("embedding")), 6).alias("cos"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    out = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos")
+    )
+    return out

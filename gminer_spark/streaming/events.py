@@ -1,0 +1,76 @@
+"""Event-stream operators.
+
+The reference has no stream processing — its time axis is supersteps
+(SURVEY.md §2.8).  These operators extend the engine to the streaming
+side of a training-data pipeline: windowed aggregation with
+watermarks, and gap-based sessionization (batch via window functions;
+streaming via session_window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def windowed_counts(events: DataFrame, minutes: int = 60) -> DataFrame:
+    """Tumbling-window event counts per type (batch form).
+
+    (window_start, event_type, n, total_value) — expressed with
+    timestamp truncation so a SQL oracle reproduces it exactly; the
+    streaming form is :func:`windowed_counts_stream`.
+    """
+    bucket = F.date_trunc("hour", F.col("ts")) if minutes == 60 else F.from_unixtime(
+        (F.unix_timestamp("ts") / (minutes * 60)).cast("long") * (minutes * 60)
+    ).cast("timestamp")
+    return (
+        events.groupBy(
+            bucket.alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+def windowed_counts_stream(events_stream: DataFrame, minutes: int = 60) -> DataFrame:
+    """Streaming form: watermark + window() — late rows beyond 2h drop."""
+    return (
+        events_stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", f"{minutes} minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessions per user (batch): lag + cumulative session id.
+
+    (user_id, session_id, session_start, n_events) — session breaks
+    when the gap to the previous event exceeds ``gap_minutes``.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.count("*").alias("n_events"),
+    )

@@ -1,0 +1,218 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale notes (the point of each design):
+
+* exact     — one hash-groupBy; partial agg is the map-side combine.
+* jaccard   — shingle inverted index + self-join on shingle: only
+              docs sharing a shingle ever meet, so cost is bounded by
+              posting-list sizes, not n².  Hot shingles (stopword
+              runs) are the skew risk — cap posting lists upstream at
+              100-TB scale (df-style frequency cut).
+* minhash   — k independent md5-derived hash mins per doc (one
+              explode + one groupBy), banded into b bands; candidate
+              pairs only within equal (band, band-signature) buckets.
+              This is the reference's own signing trick — GMiner
+              minhash-signs task request-sets for locality
+              (/root/reference/util/minhash.cpp:30-45,
+              core/task_sorter.tpp:16-39) — repurposed for content.
+* simhash   — per-word md5 bit votes → 16-bit signature; near-dups =
+              hamming distance ≤ r via xor+bit_count join.
+
+Every hash is md5-derived (gminer_spark.functions.h32) so the DuckDB
+oracle reproduces signatures bit-for-bit — the LSH checks are exact,
+not probabilistic, under test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gminer_spark.functions import h32
+
+
+def exact_dup_groups(documents: DataFrame) -> DataFrame:
+    """(canonical_doc_id, n_dups, text_md5) for texts appearing >1 time."""
+    return (
+        documents.groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_dups"),
+        )
+        .where(F.col("n_dups") > 1)
+        .select("canonical_doc_id", "n_dups", "text_md5")
+    )
+
+
+def _word_shingles(documents: DataFrame, n: int) -> DataFrame:
+    """Distinct (doc_id, shingle) of n-word shingles (lowercased)."""
+    from pyspark.sql import Window
+
+    words = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), "\\s+")).alias("pos", "word"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("word") if i == 0 else F.lead("word", i).over(w) for i in range(n)]
+    return (
+        words.select(
+            "doc_id",
+            F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias("shingle"),
+        )
+        .where(F.col("shingle").isNotNull())
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with shingle-Jaccard ≥ threshold."""
+    sh = _word_shingles(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), on="doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame, num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """(doc_id, mh_0 … mh_{k-1}) — k md5-derived min-hashes per doc.
+
+    hash_i(s) = h32(i || ':' || s); one shingle explode, k mins in a
+    single partial-aggregated groupBy.
+    """
+    sh = _word_shingles(documents, shingle_n)
+    aggs = [
+        F.min(h32(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (doc_a, doc_b) from banded MinHash.
+
+    rows-per-band = num_hashes/bands; two docs collide if any band's
+    signature slice matches exactly.  The band bucket join is the
+    LSH: shuffle key = (band_id, band_signature).
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(documents, num_hashes, shingle_n)
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[c.cast("string") for c in cols]).alias("bsig"),
+            )
+        )
+    buckets = band_rows[0]
+    for br in band_rows[1:]:
+        buckets = buckets.unionByName(br)
+    a = buckets.alias("a")
+    b2 = buckets.alias("b")
+    return (
+        a.join(b2, on=["band", "bsig"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash_signatures(documents: DataFrame, bits: int = 16) -> DataFrame:
+    """(doc_id, simhash) — per-word md5 bit votes, sign-aggregated."""
+    words = documents.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("word")
+    ).where(F.col("word") != "")
+    h = h32(F.col("word"))
+    votes = [
+        F.sum(
+            (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"v_{i}")
+        for i in range(bits)
+    ]
+    agg = words.groupBy("doc_id").agg(*votes)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v_{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return agg.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(
+    documents: DataFrame, bits: int = 16, max_hamming: int = 3
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) with hamming(simhash) ≤ max_hamming.
+
+    Small-n: all-pairs join.  At scale, pre-bucket on bit-slices
+    (pigeonhole: split signature into max_hamming+1 slices; a near
+    pair matches exactly on ≥1 slice) — same trick as the MinHash
+    bands; implemented here via the slice-bucket join.
+    """
+    sig = simhash_signatures(documents, bits)
+    slices = max_hamming + 1
+    per = bits // slices
+    buckets = None
+    for s in range(slices):
+        mask = ((1 << per) - 1) << (s * per)
+        br = sig.select(
+            "doc_id",
+            F.col("simhash"),
+            F.lit(s).alias("slice"),
+            F.col("simhash").bitwiseAND(F.lit(mask)).alias("skey"),
+        )
+        buckets = br if buckets is None else buckets.unionByName(br)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(b, on=["slice", "skey"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(
+                F.col("sa").bitwiseXOR(F.col("sb"))
+            ).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
