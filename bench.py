@@ -1,0 +1,100 @@
+"""Benchmark harness — prints ONE JSON line with per-query seconds.
+
+Headline (BASELINE.json metric): PageRank supersteps/hour and
+edges/sec on the co-purchase edge table at $SPARK_GRAFT_SF_DIR
+(default sf0.1: ~20k vertices / ~1.2M edges), plus triangle count,
+CC, LPA, MinHash-LSH dedup and cosine top-k.
+
+Scaling evidence (two-cluster-size criterion, sandbox proxy) lives in
+tools/scaling_bench.py → BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PR_ITERS = 10
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from gminer_spark.checkpoint import CheckpointStore
+    from gminer_spark.graph.cc import connected_components
+    from gminer_spark.graph.lpa import label_propagation
+    from gminer_spark.graph.pagerank import pagerank
+    from gminer_spark.graph.tables import copurchase_edges
+    from gminer_spark.graph.triangles import triangle_count
+    from gminer_spark.session import get_spark
+    from gminer_spark.sim.ann import cosine_topk
+    from gminer_spark.textops.dedup import minhash_lsh_pairs
+
+    spark = get_spark(
+        app_name="gminer_bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 16),
+    )
+    queries: dict[str, float] = {}
+
+    edges = copurchase_edges(spark, SF_DIR).persist()
+    n_edges = edges.count()
+
+    t0 = time.time()
+    pagerank(edges, num_iter=PR_ITERS)
+    queries["pagerank10"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    store = CheckpointStore(spark, tempfile.mkdtemp(prefix="bench_ck_"))
+    pagerank(edges, num_iter=5, store=store)
+    queries["pagerank5_ckpt"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    n_tri = triangle_count(edges)
+    queries["triangles"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    connected_components(edges)
+    queries["cc"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    label_propagation(edges, num_iter=3)
+    queries["lpa3"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    minhash_lsh_pairs(docs, num_hashes=16, bands=4).count()
+    queries["minhash_lsh"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cosine_topk(emb, list(range(10)), k=5).count()
+    queries["ann_cosine"] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    pr_sec = queries["pagerank10"]
+    out = {
+        "metric": "bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "n_edges": n_edges,
+        "n_triangles": n_tri,
+        "pagerank_edges_per_sec": round(n_edges * PR_ITERS / pr_sec, 1),
+        "pagerank_supersteps_per_hour": round(PR_ITERS / pr_sec * 3600, 1),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

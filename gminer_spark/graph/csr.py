@@ -127,7 +127,7 @@ def pagerank_blocked(
     state_schema = "block_id int, vids array<long>, ranks array<double>"
 
     for k in range(1, (num_iter or max_iter) + 1):
-        joined = state.join(blocks, on=["block_id", "vids"])
+        joined = state.join(blocks.drop("vids"), on="block_id")
 
         def scatter(pdf: pd.DataFrame) -> pd.DataFrame:
             outs: list[pd.DataFrame] = []
@@ -174,9 +174,8 @@ def pagerank_blocked(
             )
         )
 
-        def gather(key, pdfs) -> pd.DataFrame:
+        def gather(key, state_pdf, contrib_pdf) -> pd.DataFrame:
             (block_id,) = key
-            state_pdf, contrib_pdf = pdfs
             vids = np.asarray(state_pdf["vids"].iloc[0], dtype=np.int64)
             ranks = np.full(len(vids), base)
             if len(contrib_pdf):
@@ -197,8 +196,8 @@ def pagerank_blocked(
 
         if num_iter is None:
             delta = (
-                state.select("block_id", "vids", F.col("ranks").alias("old"))
-                .join(new_state, on=["block_id", "vids"])
+                state.select("block_id", F.col("ranks").alias("old"))
+                .join(new_state, on="block_id")
                 .select(
                     F.aggregate(
                         F.zip_with("ranks", "old", lambda a, b: F.abs(a - b)),

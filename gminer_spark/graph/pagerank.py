@@ -69,10 +69,11 @@ def pagerank(
     teleport = (1.0 - damping) / n
 
     def step(state: DataFrame, k: int):
-        dangling = (
-            state.where(F.col("out_deg") == 0)
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+        # Dangling mass enters the plan as a broadcast 1-row aggregate —
+        # the whole superstep is ONE Spark job (the checkpoint
+        # materialization), no separate driver-side collect barrier.
+        dangling = state.where(F.col("out_deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling")
         )
         contribs = (
             edges.join(state, edges.src == state.id)
@@ -85,30 +86,35 @@ def pagerank(
         )
         new_state = (
             out_deg.join(contribs, out_deg.id == contribs.dst, "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "id",
                 (
                     F.lit(teleport)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("_dangling") / F.lit(float(n))
+                    )
                 ).alias("rank"),
                 "out_deg",
             )
         )
-        # L1 delta for convergence; evaluated on the committed state's
-        # lineage so it does not re-run the join twice.
-        delta = (
-            new_state.select("id", "rank")
-            .join(state.select("id", F.col("rank").alias("old")), on="id")
-            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
-            .first()[0]
-        )
         metrics = {
             "edges_scanned": edge_count,
             "messages_shuffled": edge_count,
-            "delta": float(delta),
-            "dangling_mass": float(dangling),
         }
+        if num_iter is None:
+            # materialize once so the delta agg and the framework's
+            # commit both read the result instead of re-running the join
+            new_state = new_state.localCheckpoint()
+            delta = (
+                new_state.select("id", "rank")
+                .join(state.select("id", F.col("rank").alias("old")), on="id")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
+                .first()[0]
+            )
+            metrics["delta"] = float(delta)
         return new_state, metrics
 
     if num_iter is not None:

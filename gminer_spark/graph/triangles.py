@@ -93,8 +93,14 @@ def triangles_per_vertex(edges: DataFrame, orient: str = "degree") -> DataFrame:
 
 
 def _wedge_closed(edges: DataFrame, orient: str) -> DataFrame:
-    """Closed wedges (u, v, w): u→v, u→w, v→w all oriented edges."""
-    e = oriented_edges(edges, orient=orient)
+    """Closed wedges (u, v, w): u→v, u→w, v→w all oriented edges.
+
+    The oriented table is materialized once (localCheckpoint) — it is
+    referenced three times in the wedge join and would otherwise be
+    recomputed (symmetrize + degree join) per reference, turning one
+    wide CPU-bound stage into a deep serial chain.
+    """
+    e = oriented_edges(edges, orient=orient).localCheckpoint()
     e1 = e.select(
         F.col("src").alias("u"),
         F.col("dst").alias("v"),
@@ -107,6 +113,13 @@ def _wedge_closed(edges: DataFrame, orient: str) -> DataFrame:
     )
     wedges = e1.join(e2, on="u").where(F.col("v_key") < F.col("w_key"))
     closer = e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    # The wedge set is O(Σ outdeg²) ≫ |E| — never shuffle it.  When the
+    # oriented edge table fits an executor (common: orientation bounds
+    # it to |E| rows of two longs), broadcast the closing side so the
+    # wedge join is a map-side hash probe; beyond that fall back to a
+    # shuffle join, where wedges re-use the e1/e2 partitioning on u.
+    if e.count() <= 20_000_000:
+        closer = F.broadcast(closer)
     return wedges.join(closer, on=["v", "w"]).select("u", "v", "w")
 
 

@@ -93,19 +93,25 @@ def extract_links(html: bytes, base_url: str) -> list[str]:
     return out
 
 
-_EXTRACT_SCHEMA = T.StructType(
-    [
-        T.StructField("text", T.StringType()),
-        T.StructField("links", T.ArrayType(T.StringType())),
-    ]
-)
+# Single-purpose UDFs, each marked non-deterministic: Catalyst's
+# projection collapse otherwise CLONES a python UDF per field access
+# (a struct-returning UDF selected twice showed up as 4 ArrowEvalPython
+# nodes = 4x the regex work).  They ARE deterministic functions; the
+# flag only blocks expression duplication/reordering.
 
 
-@F.pandas_udf(_EXTRACT_SCHEMA)
-def _extract_udf(html: pd.Series, url: pd.Series) -> pd.DataFrame:
-    texts = [extract_text(h) for h in html]
-    links = [extract_links(h, u) for h, u in zip(html, url)]
-    return pd.DataFrame({"text": texts, "links": links})
+@F.pandas_udf(T.StringType())
+def _text_udf(html: pd.Series) -> pd.Series:
+    return pd.Series([extract_text(h) for h in html])
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _links_udf(html: pd.Series, url: pd.Series) -> pd.Series:
+    return pd.Series([extract_links(h, u) for h, u in zip(html, url)])
+
+
+_text_udf = _text_udf.asNondeterministic()
+_links_udf = _links_udf.asNondeterministic()
 
 
 def extract_pages(pages: DataFrame) -> DataFrame:
@@ -114,29 +120,34 @@ def extract_pages(pages: DataFrame) -> DataFrame:
     Arrow-batched; the scan reads only (url, html) plus passthroughs —
     column pruning reaches the parquet/Iceberg scan.
     """
-    ex = pages.withColumn("_ex", _extract_udf(F.col("html"), F.col("url")))
-    return ex.select(
+    return pages.select(
         "url",
         "warc_ts",
         "lang",
         "text",
-        F.col("_ex.text").alias("extracted_text"),
-        F.col("_ex.links").alias("links"),
+        _text_udf(F.col("html")).alias("extracted_text"),
+        _links_udf(F.col("html"), F.col("url")).alias("links"),
     )
 
 
 def links_table(pages: DataFrame) -> DataFrame:
-    """(src_url, dst_url) pairs — one row per normalized href."""
-    ex = extract_pages(pages)
-    return ex.select(
+    """(src_url, dst_url) pairs — one row per normalized href.
+
+    Reads only (url, html); the text extraction never runs here.
+    """
+    ex = pages.select(
         normalize_url_col(F.col("url")).alias("src_url"),
-        F.explode("links").alias("dst_url"),
+        _links_udf(F.col("html"), F.col("url")).alias("links"),
     )
+    return ex.select("src_url", F.explode("links").alias("dst_url"))
 
 
 @F.pandas_udf(T.StringType())
 def _norm_url_udf(url: pd.Series) -> pd.Series:
     return url.map(lambda u: normalize_url(u) if u is not None else None)
+
+
+_norm_url_udf = _norm_url_udf.asNondeterministic()
 
 
 def normalize_url_col(col):

@@ -106,6 +106,79 @@ def pages_df(
     )
 
 
+def pages_df_distributed(
+    spark: SparkSession,
+    edges: "DataFrame",
+    namespace: str = "bench",
+    seed: int = 42,
+) -> DataFrame:
+    """Distributed pages generation from an ``edges(src, dst)`` DataFrame.
+
+    For bench-scale fixtures (FIXTURES.md `bench_1m`): adjacency is
+    grouped per vertex and each partition's pages are rendered inside
+    an Arrow-batched kernel.  Noise is seeded per-vertex (md5 of
+    ``(seed, vid, j)``) so output is deterministic under any
+    partitioning / parallelism — unlike :func:`page_rows`, which uses
+    one sequential RNG stream.
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for vid, nbrs in zip(pdf["id"], pdf["nbrs"]):
+            vid = int(vid)
+            h = int(
+                hashlib.md5(f"{seed}:{vid}".encode()).hexdigest()[:8], 16
+            )
+            title = f"p{vid}"
+            filler = " ".join(
+                _WORDS[(h >> (i * 2)) % len(_WORDS)] for i in range(10)
+            )
+            anchors = []
+            for j, nbr in enumerate(sorted(int(x) for x in nbrs)):
+                target = url_for(nbr, namespace)
+                style = int(
+                    hashlib.md5(f"{seed}:{vid}:{j}".encode()).hexdigest()[:2], 16
+                ) % 4
+                if style == 1:
+                    target += "#frag"
+                elif style == 2:
+                    target += "/"
+                anchors.append(f'<a href="{target}">to {nbr}</a>')
+            html = (
+                f"<html><head><title>{title}</title></head><body>"
+                f"<p>{filler}</p>{''.join(anchors)}</body></html>"
+            ).encode("utf-8")
+            rows.append(
+                (
+                    url_for(vid, namespace),
+                    _EPOCH + dt.timedelta(seconds=vid % 86400),
+                    html,
+                    f"{title}\n{filler}",
+                    "de" if vid % 13 == 0 else "en",
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["url", "warc_ts", "html", "text", "lang"]
+        )
+
+    verts = (
+        edges.select(F.col("src").alias("id"), F.col("dst"))
+        .unionByName(
+            edges.select(F.col("dst").alias("id"), F.lit(None).cast("long").alias("dst"))
+        )
+        .groupBy("id")
+        .agg(F.collect_list("dst").alias("nbrs"))
+    )
+    return verts.mapInPandas(
+        lambda it: (render(pdf) for pdf in it),
+        PAGES_SCHEMA,
+    )
+
+
 def powerlaw_edges(
     n: int, m: int = 5, seed: int = 42
 ) -> list[tuple[int, int]]:
