@@ -101,8 +101,10 @@ class CheckpointStore:
     def _append_metrics(self, superstep: int, metrics: dict[str, Any]) -> None:
         import pandas as pd
 
-        row = {"superstep": superstep}
+        row = {"superstep": int(superstep)}
         for k, v in metrics.items():
+            if k == "superstep":
+                continue  # the int column above, never float-coerced
             row[k] = float(v) if isinstance(v, (int, float)) else str(v)
         pdf = pd.DataFrame([row])
         out = os.path.join(self.base, "metrics")

@@ -416,6 +416,48 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["pattern_match"] = pattern_match
 
+    # -- 8b. mining kernels (SURVEY §2.10 MCF / CD) ----------------------------
+    def max_clique_q(s, d):
+        """Exact maximum clique via two-pass bounded B&B kernels."""
+        from gminer_spark.graph.mining import max_clique
+
+        size, members = max_clique(_edges(s, d))
+        return s.createDataFrame(
+            [(size, ",".join(str(m) for m in members))],
+            "clique_size int, members string",
+        )
+
+    q["max_clique"] = max_clique_q  # rows-only: B&B not SQL-expressible
+
+    def communities_q(s, d):
+        """Attributed communities: cliques sharing a part brand (CD app)."""
+        from gminer_spark.graph.mining import attributed_communities
+
+        part = _doc(s, d, "part").select(
+            F.col("p_partkey").cast("long").alias("id"),
+            F.col("p_brand").alias("attr"),
+        )
+        res = attributed_communities(_edges(s, d), part, k=4)
+        return res.select(
+            F.array_join("community", ",").alias("community"),
+            "shared_attr",
+            F.size("community").alias("size"),
+        )
+
+    q["communities"] = communities_q  # rows-only
+
+    def pagerank_blocked_micro(s, d):
+        """CSR gather-scatter PageRank — same fixpoint as pagerank_micro,
+        so it shares the unrolled-SQL oracle (validates the CSR path)."""
+        from gminer_spark.graph.csr import pagerank_blocked
+
+        res = pagerank_blocked(_edges(s, d), n_blocks=16, num_iter=PR_ITERS)
+        return res.select(
+            "id", F.round(F.col("rank") * 1e6, 0).cast("long").alias("rank_micro")
+        )
+
+    q["pagerank_blocked_micro"] = pagerank_blocked_micro
+
     # -- 9. text analysis ------------------------------------------------------
     def text_tokens(s, d):
         from gminer_spark.textops.analysis import token_stats
@@ -590,6 +632,7 @@ SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id
 """
 
     o["pagerank_micro"] = pagerank_oracle_sql()
+    o["pagerank_blocked_micro"] = pagerank_oracle_sql()
     o["cc_components"] = CC_ORACLE_SQL
     o["lpa_labels"] = lpa_oracle_sql()
 

@@ -1,0 +1,388 @@
+"""Task-parallel mining kernels — the reference's app layer re-expressed.
+
+GMiner's apps are per-seed subgraph tasks: seed a task at a vertex,
+pull its neighborhood, run an in-memory kernel (branch & bound /
+backtracking), fold results through a global aggregator
+(/root/reference/apps/maxclique.cpp, community.cpp, focusCO.cpp).
+
+Spark-first re-expression (SURVEY.md §2.10): the "pull" is a join
+that builds each seed's ego-net edge list (exactly the closed wedges
+of the oriented graph), `applyInPandas` batches the per-seed kernels
+(Arrow in, one python call per partition of seeds), and the global
+bound / result merge is a driver-side aggregate — including the
+reference's mid-job trick of broadcasting the running best bound
+back into workers (maxclique.cpp:185,240-241), which here is a
+cheap-first-pass → broadcast → exact-second-pass schedule.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gminer_spark.graph import tables
+from gminer_spark.graph.triangles import oriented_edges
+
+
+
+def _aslist(x) -> list:
+    """Arrow hands array columns to pandas as numpy arrays, whose truth
+    value is ambiguous — normalize to a plain list."""
+    if x is None:
+        return []
+    return list(x)
+
+# ---------------------------------------------------------------------------
+# per-seed ego-nets over the oriented graph
+# ---------------------------------------------------------------------------
+
+
+def _seed_egonets(edges: DataFrame) -> DataFrame:
+    """(u, cands:array<long>, eg_src:array<long>, eg_dst:array<long>).
+
+    cands = N⁺(u) in degree order; (eg_src, eg_dst) = edges among
+    cands (the closed wedges at u).  Every maximal clique is
+    enumerated exactly once, at its minimum-rank member — the
+    reference's id-ordered seeding (maxclique.cpp:230-254) with the
+    degree-ordered skew fix.
+    """
+    e = oriented_edges(edges, orient="degree").localCheckpoint()
+    base = e.select("src", "dst")
+    cands = base.groupBy(F.col("src").alias("u")).agg(
+        F.collect_list("dst").alias("cands")
+    )
+    # wedge ordering MUST use the rank keys, not ids: the closing edge
+    # (v, w) exists in the oriented table only as rank(v) < rank(w)
+    e1 = base.select(F.col("src").alias("u"), F.col("dst").alias("v")).join(
+        F.broadcast(
+            e.select(F.col("dst").alias("v"), F.col("dst_key").alias("v_key"))
+        ).dropDuplicates(["v"]),
+        on="v",
+    )
+    e2 = base.select(F.col("src").alias("u"), F.col("dst").alias("w")).join(
+        F.broadcast(
+            e.select(F.col("dst").alias("w"), F.col("dst_key").alias("w_key"))
+        ).dropDuplicates(["w"]),
+        on="w",
+    )
+    wedges = (
+        e1.join(e2, on="u")
+        .where(F.col("v_key") < F.col("w_key"))
+        .join(
+            F.broadcast(base.select(F.col("src").alias("v"), F.col("dst").alias("w"))),
+            on=["v", "w"],
+        )
+    )
+    ego_edges = wedges.groupBy("u").agg(
+        F.collect_list("v").alias("eg_src"), F.collect_list("w").alias("eg_dst")
+    )
+    return cands.join(ego_edges, on="u", how="left")
+
+
+def _kernel_max_clique(cands, eg_src, eg_dst, lower_bound: int) -> list[int]:
+    """Tomita-style B&B with greedy-coloring bound on one ego-net.
+
+    Returns the best clique *within the candidate set* (seed
+    excluded) larger than ``lower_bound - 1``, else [].  Bitset rows
+    (numpy packed bools) keep the intersection loop vectorized — the
+    analog of the reference's std::set_intersection candidate pruning
+    (maxclique.cpp:149-161).
+    """
+    ids = sorted(cands)
+    n = len(ids)
+    if n == 0 or n < lower_bound - 1:
+        return []
+    idx = {v: i for i, v in enumerate(ids)}
+    adj = np.zeros((n, n), dtype=bool)
+    if eg_src is not None:
+        for a, b in zip(eg_src, eg_dst):
+            ia, ib = idx.get(a), idx.get(b)
+            if ia is not None and ib is not None:
+                adj[ia, ib] = adj[ib, ia] = True
+
+    # degree-descending candidate order (maxclique.cpp:52-83)
+    order = np.argsort(-adj.sum(1), kind="stable")
+    best: list[int] = []
+    best_size = max(0, lower_bound - 1)
+
+    def coloring_bound(cand_mask: np.ndarray) -> int:
+        # greedy coloring class count = clique upper bound (:91-129)
+        remaining = cand_mask.copy()
+        colors = 0
+        while remaining.any():
+            colors += 1
+            avail = remaining.copy()
+            while avail.any():
+                v = int(np.argmax(avail))
+                avail &= ~adj[v]
+                avail[v] = False
+                remaining[v] = False
+        return colors
+
+    def expand(current: list[int], cand_mask: np.ndarray) -> None:
+        nonlocal best, best_size
+        if not cand_mask.any():
+            if len(current) > best_size:
+                best_size = len(current)
+                best = current[:]
+            return
+        if len(current) + int(cand_mask.sum()) <= best_size:
+            return
+        if len(current) + coloring_bound(cand_mask) <= best_size:
+            return
+        for v in order:
+            if not cand_mask[v]:
+                continue
+            cand_mask[v] = False
+            expand(current + [int(v)], cand_mask & adj[v])
+
+    expand([], np.ones(n, dtype=bool))
+    return [ids[i] for i in best]
+
+
+_CLIQUE_SCHEMA = "u long, size int, members array<long>"
+
+
+def _clique_pass(egonets: DataFrame, lower_bound: int, exact: bool) -> DataFrame:
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in pdf.iterrows():
+            cands = _aslist(r["cands"])
+            if exact:
+                inner = _kernel_max_clique(
+                    cands, r["eg_src"], r["eg_dst"], lower_bound
+                )
+            else:  # greedy: cheap lower bound (first pass)
+                ids = sorted(cands)
+                idx = {v: i for i, v in enumerate(ids)}
+                n = len(ids)
+                adj = np.zeros((n, n), dtype=bool)
+                if r["eg_src"] is not None:
+                    for a, b in zip(r["eg_src"], r["eg_dst"]):
+                        adj[idx[a], idx[b]] = adj[idx[b], idx[a]] = True
+                inner = []
+                mask = np.ones(n, dtype=bool)
+                for v in np.argsort(-adj.sum(1), kind="stable"):
+                    if mask[v]:
+                        inner.append(ids[v])
+                        mask &= adj[v]
+            members = sorted([int(r["u"])] + [int(x) for x in inner])
+            rows.append((int(r["u"]), len(members), members))
+        return pd.DataFrame(rows, columns=["u", "size", "members"])
+
+    return egonets.mapInPandas(
+        lambda it: (run(pdf) for pdf in it), _CLIQUE_SCHEMA
+    )
+
+
+def max_clique(edges: DataFrame) -> tuple[int, list[int]]:
+    """Exact maximum clique (size, lexicographically-smallest members).
+
+    Two-pass schedule mirroring the reference's shared bound
+    (maxclique.cpp:13-47,185): pass 1 runs the cheap greedy kernel on
+    every seed; its global max becomes the broadcast lower bound for
+    pass 2's exact B&B, which prunes most seeds outright
+    (``|cands|+1 <= bound``).
+    """
+    egonets = _seed_egonets(edges).persist()
+    greedy = _clique_pass(egonets, 0, exact=False).persist()
+    bound = greedy.agg(F.max("size")).first()[0] or 1
+
+    # kernel bound is on the INNER clique (seed excluded): inner >= bound-1
+    exact = _clique_pass(
+        egonets.where(F.size("cands") + 1 >= F.lit(bound)), bound - 1, exact=True
+    )
+    rows = (
+        exact.unionByName(greedy)  # greedy baseline guards the ties
+        .where(F.col("size") >= bound)
+        .orderBy(F.col("size").desc(), F.col("members").asc())
+        .limit(1)
+        .collect()
+    )
+    egonets.unpersist()
+    greedy.unpersist()
+    return (rows[0]["size"], list(rows[0]["members"]))
+
+
+# ---------------------------------------------------------------------------
+# attributed community detection (the reference's CD app)
+# ---------------------------------------------------------------------------
+
+
+def attributed_communities(
+    edges: DataFrame, attrs: DataFrame, k: int = 3
+) -> DataFrame:
+    """Communities = cliques of size >= k whose members share >= 1
+    attribute (community.cpp semantics: max clique + attribute-set
+    intersection, :99-132,170-177).
+
+    ``attrs``: (id, attr) one row per attribute value.  Returns
+    (community:array<long>, shared_attr) rows, deduplicated, each
+    community reported at its minimum-rank seed.  Maximality is per
+    seed ego-net (the reference's task granularity).
+    """
+    spark = edges.sparkSession
+    egonets = _seed_egonets(edges)
+    attr_map = attrs.groupBy("id").agg(F.collect_set("attr").alias("attr_set"))
+    with_attrs = egonets.join(
+        attr_map.withColumnRenamed("id", "u"), on="u", how="left"
+    )
+    # ship each candidate's attr set as a map column
+    cand_attrs = (
+        egonets.select("u", F.explode("cands").alias("cand"))
+        .join(attr_map.withColumnRenamed("id", "cand"), on="cand", how="left")
+        .groupBy("u")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("cand", "attr_set"))
+            ).alias("cand_attrs")
+        )
+    )
+    full = with_attrs.join(cand_attrs, on="u", how="left")
+
+    schema = "community array<long>, shared_attr string"
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, r in pdf.iterrows():
+            seed_attrs = set(_aslist(r["attr_set"]))
+            if not seed_attrs:
+                continue
+            cmap = r["cand_attrs"] or {}
+            cands = [
+                c
+                for c in _aslist(r["cands"])
+                if seed_attrs & set(_aslist(cmap.get(c)))
+            ]
+            if len(cands) + 1 < k:
+                continue
+            ids = sorted(cands)
+            idx = {v: i for i, v in enumerate(ids)}
+            n = len(ids)
+            adj = np.zeros((n, n), dtype=bool)
+            if r["eg_src"] is not None:
+                for a, b in zip(r["eg_src"], r["eg_dst"]):
+                    ia, ib = idx.get(a), idx.get(b)
+                    if ia is not None and ib is not None:
+                        adj[ia, ib] = adj[ib, ia] = True
+            # greedy attributed clique: extend while an attr stays shared
+            members = [int(r["u"])]
+            shared = set(seed_attrs)
+            mask = np.ones(n, dtype=bool)
+            for v in np.argsort(-adj.sum(1), kind="stable"):
+                if not mask[v]:
+                    continue
+                nxt = shared & set(_aslist(cmap.get(ids[v])))
+                if not nxt:
+                    continue
+                members.append(int(ids[v]))
+                shared = nxt
+                mask &= adj[v]
+            if len(members) >= k:
+                out.append(
+                    (sorted(members), sorted(shared)[0] if shared else None)
+                )
+        return pd.DataFrame(out, columns=["community", "shared_attr"])
+
+    res = full.mapInPandas(lambda it: (run(pdf) for pdf in it), schema)
+    return res.dropDuplicates(["community"])
+
+
+# ---------------------------------------------------------------------------
+# focused clustering (the reference's GC / FocusCO app, simplified core)
+# ---------------------------------------------------------------------------
+
+
+def focused_cluster(
+    wedges: DataFrame,
+    seeds: list[int],
+    max_rounds: int = 10,
+    cand_per_round: int = 20,
+) -> dict:
+    """Seeded weighted-conductance expansion (focusCO.cpp:229-380 core).
+
+    ``wedges``: (src, dst, weight) undirected weighted edges.  Grows
+    the cluster from ``seeds``: each round pulls the frontier's
+    out-edges (one join), keeps the top ``cand_per_round`` candidates
+    by attachment weight (the CAND_MAX_TIME truncation,
+    focusCO.cpp:247-257), admits those that lower weighted
+    conductance φ = wCut / wVol (:382-411), stops when no candidate
+    improves φ.  Returns {"cluster": [...], "phi": float, "rounds": n}.
+
+    Driver-side loop + joins: the per-round frontier is tiny (one
+    task's state in the reference), so candidate scoring happens in
+    one aggregated DataFrame per round.
+    """
+    spark = wedges.sparkSession
+    sym = (
+        wedges.select("src", "dst", "weight")
+        .unionByName(
+            wedges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+            )
+        )
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+    total_vol = sym.agg(F.sum("weight")).first()[0]
+
+    cluster = set(int(s) for s in seeds)
+    phi = None
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        cl_df = spark.createDataFrame([(v,) for v in cluster], "id long")
+        touching = sym.join(F.broadcast(cl_df), sym.src == cl_df.id).select(
+            "src", "dst", "weight"
+        )
+        stats = touching.withColumn(
+            "internal", F.col("dst").isin([int(v) for v in cluster])
+        )
+        w_int = (
+            stats.where("internal").agg(F.coalesce(F.sum("weight"), F.lit(0.0))).first()[0]
+        )
+        w_cut = (
+            stats.where(~F.col("internal"))
+            .agg(F.coalesce(F.sum("weight"), F.lit(0.0)))
+            .first()[0]
+        )
+        vol = w_int + w_cut
+        phi = w_cut / vol if vol > 0 else 1.0
+
+        cand = (
+            stats.where(~F.col("internal"))
+            .groupBy("dst")
+            .agg(F.sum("weight").alias("attach"))
+            .orderBy(F.col("attach").desc(), F.col("dst").asc())
+            .limit(cand_per_round)
+            .collect()
+        )
+        # admit candidates that improve phi (greedy, deterministic order)
+        attach_out = {
+            r["dst"]: r["tot"]
+            for r in sym.join(
+                F.broadcast(
+                    spark.createDataFrame([(c["dst"],) for c in cand], "id long")
+                ),
+                sym.src == F.col("id"),
+            )
+            .groupBy(F.col("src").alias("dst"))
+            .agg(F.sum("weight").alias("tot"))
+            .collect()
+        }
+        admitted = False
+        for c in cand:
+            v, att = c["dst"], c["attach"]
+            tot = attach_out.get(v, att)
+            new_cut = w_cut - att + (tot - att)
+            new_vol = vol + tot
+            if new_vol > 0 and new_cut / new_vol < phi:
+                cluster.add(int(v))
+                admitted = True
+                break  # recompute stats next round
+        if not admitted:
+            break
+    sym.unpersist()
+    return {"cluster": sorted(cluster), "phi": float(phi), "rounds": rounds}

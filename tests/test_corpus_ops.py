@@ -1,0 +1,172 @@
+"""Text analysis, dedup, similarity search, multimodal plumbing, salting."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def docs_df(spark, texts, langs=None):
+    rows = [
+        (i, t, (langs or {}).get(i, "en"), f"src{i % 3}", len(t))
+        for i, t in enumerate(texts)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_token_stats(spark):
+    from gminer_spark.textops.analysis import token_stats
+
+    d = docs_df(spark, ["one two  three", "", "a b c d e!"])
+    got = {r["doc_id"]: r for r in token_stats(d).collect()}
+    assert got[0]["n_ws_tokens"] == 3
+    assert got[1]["n_ws_tokens"] == 0
+    assert got[2]["n_ws_tokens"] == 5
+    assert got[2]["n_bpe_tokens"] == 6  # a b c d e !
+
+
+def test_lang_id(spark):
+    from gminer_spark.textops.analysis import lang_id
+
+    d = docs_df(
+        spark,
+        ["the cat and the dog is here", "der hund und die katze ist nicht da", "xyz"],
+    )
+    got = {r["doc_id"]: r["predicted_lang"] for r in lang_id(d).collect()}
+    assert got[0] == "en" and got[1] == "de" and got[2] == "unk"
+
+
+def test_exact_dedup(spark):
+    from gminer_spark.textops.dedup import exact_dup_groups
+
+    d = docs_df(spark, ["same text", "same text", "unique", "same text"])
+    rows = exact_dup_groups(d).collect()
+    assert len(rows) == 1
+    assert rows[0]["canonical_doc_id"] == 0 and rows[0]["n_dups"] == 3
+
+
+def test_jaccard_and_minhash_agree_on_clear_dups(spark):
+    from gminer_spark.textops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words in this document about spark engines"
+    d = docs_df(spark, [base, near, far, base])
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(d, n=3, threshold=0.5).collect()
+    }
+    assert (0, 3) in jac and (0, 1) in jac and (0, 2) not in jac
+    mh = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(d, num_hashes=16, bands=8).collect()
+    }
+    assert (0, 3) in mh  # exact dup always collides in every band
+
+
+def test_simhash_identical_and_near(spark):
+    from gminer_spark.textops.dedup import simhash_near_pairs, simhash_signatures
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d = docs_df(spark, [base, base, base + " extraword", "totally other content"])
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(d).collect()}
+    assert sigs[0] == sigs[1]
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(d, max_hamming=3).collect()
+    }
+    assert pairs[(0, 1)] == 0
+
+
+def test_cosine_topk_vs_numpy(spark):
+    from gminer_spark.sim.ann import cosine_topk
+
+    rng = np.random.default_rng(42)
+    vecs = rng.normal(size=(50, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], i % 3) for i in range(50)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {}
+    for r in cosine_topk(emb, [0, 1], k=3).collect():
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    v = vecs.astype(np.float64)
+    norm = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for q in (0, 1):
+        order = [
+            int(i)
+            for i in sorted(range(50), key=lambda i: (-round(sims[q, i], 6), i))
+            if i != q
+        ][:3]
+        assert got[q] == order
+
+
+def test_ann_lsh_recall(spark):
+    from gminer_spark.sim.ann import ann_lsh_topk, cosine_topk
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(5, 16)) * 4
+    vecs = np.vstack([c + rng.normal(size=(20, 16)) * 0.3 for c in centers])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], 0) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>, label int",
+    )
+    exact = {}
+    for r in cosine_topk(emb, [0, 20, 40], k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in ann_lsh_topk(emb, [0, 20, 40], k=5, n_planes=6, n_tables=6).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / 5 for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6  # clustered data, generous margin
+
+
+def test_multimodal_plumbing(spark):
+    from gminer_spark.multimodal.binary import attach_payload, decode_features
+
+    d = docs_df(spark, ["hello world", "", "binary payload test"])
+    wp = attach_payload(d)
+    metas = {r["doc_id"]: r["meta"] for r in wp.collect()}
+    assert metas[0]["n_bytes"] == len(b"hello world")
+    assert metas[0]["mime"] == "text/plain"
+    feats = {r["doc_id"]: r for r in decode_features(wp).collect()}
+    assert feats[0]["feat"][0] == float(len(b"hello world"))
+    assert feats[1]["feat"] == [0.0] * 8  # empty payload
+    assert feats[2]["n_bytes"] == len(b"binary payload test")
+    # real decode path is stubbed
+    with pytest.raises(Exception, match="NotImplementedError|real decode"):
+        decode_features(wp, stub=False).collect()
+
+
+def test_salted_agg_matches_plain(spark):
+    from gminer_spark.graph.salt import salted_agg, split_hubs
+    from tests.conftest import STAR, edges_df
+
+    edges = edges_df(spark, STAR)
+    plain = {
+        r["dst"]: r["n"]
+        for r in edges.groupBy("dst").agg(F.count("*").alias("n")).collect()
+    }
+    salted = {
+        r["dst"]: r["count_src"]
+        for r in salted_agg(edges, "dst", "src", agg="count", n_salts=4).collect()
+    }
+    assert salted == plain
+
+    hubs = split_hubs(edges, degree_threshold=10, n_splits=4)
+    hub_salts = (
+        hubs.where(F.col("src") == 0).select("src_salt").distinct().count()
+    )
+    assert hub_salts > 1  # hub vertex 0 (degree 20) spread over salts
+    normal_salts = (
+        hubs.where(F.col("src") != 0).select("src_salt").distinct().collect()
+    )
+    assert [r["src_salt"] for r in normal_salts] == [0]

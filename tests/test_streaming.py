@@ -1,0 +1,93 @@
+"""Structured Streaming over events (memory sink) + batch equivalence."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def events_rows():
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = []
+    for i in range(120):
+        rows.append(
+            (
+                i,
+                t0 + dt.timedelta(minutes=i),
+                i % 5,
+                ["view", "click", "buy"][i % 3],
+                float(i),
+                "{}",
+            )
+        )
+    return rows
+
+
+def test_windowed_counts_batch(spark):
+    from gminer_spark.streaming.events import windowed_counts
+
+    df = spark.createDataFrame(events_rows(), SCHEMA)
+    got = {
+        (r["window_start"].hour, r["event_type"]): r["n"]
+        for r in windowed_counts(df, minutes=60).collect()
+    }
+    # 120 events over 2 hours, 3 types uniformly
+    assert got[(10, "view")] == 20 and got[(11, "click")] == 20
+
+
+def test_windowed_counts_streaming_matches_batch(spark, tmp_path):
+    """readStream over parquet -> windowed agg -> memory sink must equal
+    the batch computation (same input, complete mode)."""
+    from gminer_spark.streaming.events import windowed_counts, windowed_counts_stream
+
+    src = str(tmp_path / "events_src")
+    df = spark.createDataFrame(events_rows(), SCHEMA)
+    df.write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    agg = windowed_counts_stream(stream, minutes=60)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+            for r in spark.sql("SELECT * FROM win_out").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in windowed_counts(df, minutes=60).collect()
+    }
+    assert got == want
+
+
+def test_sessionize(spark):
+    from gminer_spark.streaming.events import sessionize
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        # user 1: two sessions split by a 2h gap
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=5), 1, "view", 1.0, "{}"),
+        (3, t0 + dt.timedelta(hours=3), 1, "buy", 1.0, "{}"),
+        # user 2: one session
+        (4, t0, 2, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        (r["user_id"], r["session_id"]): r["n_events"]
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    assert got == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
