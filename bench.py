@@ -37,12 +37,31 @@ def main() -> None:
     from gminer_spark.sim.ann import cosine_topk
     from gminer_spark.textops.dedup import minhash_lsh_pairs
 
+    from gminer_spark.web.edges import pages_to_edges
+    from gminer_spark.web.fixtures import pages_df_distributed, powerlaw_edges
+
     spark = get_spark(
         app_name="gminer_bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=max(CPUS, 16),
     )
     queries: dict[str, float] = {}
+
+    # extraction spine: deterministic 100k-page powerlaw web, rendered
+    # distributed, then pages → links → edges (the north-star stage 1)
+    pages_path = "/tmp/bench_pages_100k.parquet"
+    if not os.path.exists(pages_path):
+        topo = spark.createDataFrame(
+            powerlaw_edges(100_000, m=5, seed=42), "src long, dst long"
+        )
+        pages_df_distributed(spark, topo, namespace="bench").write.mode(
+            "overwrite"
+        ).parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+    pages_to_edges(pages).count()  # warm python workers
+    t0 = time.time()
+    n_links = pages_to_edges(pages).count()
+    queries["extract_100k_pages"] = round(time.time() - t0, 3)
 
     edges = copurchase_edges(spark, SF_DIR).persist()
     n_edges = edges.count()
@@ -88,6 +107,7 @@ def main() -> None:
         "sf": SF_DIR,
         "cpus": CPUS,
         "n_edges": n_edges,
+        "n_links_extracted": n_links,
         "n_triangles": n_tri,
         "pagerank_edges_per_sec": round(n_edges * PR_ITERS / pr_sec, 1),
         "pagerank_supersteps_per_hour": round(PR_ITERS / pr_sec * 3600, 1),
