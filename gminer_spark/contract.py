@@ -502,6 +502,18 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["dedup_jaccard"] = dedup_jaccard
 
+    def minhash_sigs(s, d):
+        """MinHash signatures themselves (the reference signs task
+        request-sets the same way, util/minhash.cpp:30-45) — ordered by
+        the first hash, the reference's locality sort
+        (core/task_sorter.tpp:16-39)."""
+        from gminer_spark.textops.dedup import minhash_signatures
+
+        sig = minhash_signatures(_doc(s, d, "documents"), num_hashes=4)
+        return sig.select("doc_id", "mh_0", "mh_1", "mh_2", "mh_3")
+
+    q["minhash_signatures"] = minhash_sigs
+
     def dedup_minhash_lsh(s, d):
         from gminer_spark.textops.dedup import minhash_lsh_pairs
 
@@ -819,6 +831,18 @@ FROM inter
 JOIN szs x ON doc_a = x.doc_id
 JOIN szs y ON doc_b = y.doc_id
 WHERE ROUND(i * 1.0 / (x.sz + y.sz - i), 6) >= 0.8
+"""
+
+    sig4 = ",\n           ".join(
+        "MIN({h}) AS mh_{i}".format(h=h32_sql(f"'{i}:' || shingle"), i=i)
+        for i in range(4)
+    )
+    o["minhash_signatures"] = f"""
+WITH {WORDS_CTE.strip()},
+{SHINGLES_CTE.strip()}
+SELECT doc_id,
+       {sig4}
+FROM shingles GROUP BY doc_id
 """
 
     # MinHash LSH: signatures are md5-derived → bit-identical across engines

@@ -39,11 +39,19 @@ def connected_components(
     sym = tables.symmetrize(edges).repartition(n_shuffle, "src").persist()
     edge_count = sym.count()
 
-    init = tables.vertices(sym).select("id", F.col("id").alias("component"))
+    # state carries an `active` flag — the vote-to-halt mechanism
+    # (/root/reference/partition/BVertex.tpp:56-66): only vertices whose
+    # label changed last round broadcast this round, so message volume
+    # tracks the shrinking frontier instead of |E| every superstep.
+    # Correct for hash-min because label propagation is monotone.
+    init = tables.vertices(sym).select(
+        "id", F.col("id").alias("component"), F.lit(True).alias("active")
+    )
 
     def step(state: DataFrame, k: int):
+        frontier = state.where(F.col("active"))
         msgs = (
-            sym.join(state, sym.src == state.id)
+            sym.join(frontier, sym.src == frontier.id)
             .select("dst", "component")
             .groupBy("dst")
             .agg(F.min("component").alias("msg"))
@@ -55,12 +63,15 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("msg"), F.col("component"))
                 ).alias("component"),
-                (F.col("msg") < F.col("component")).alias("_changed"),
+                F.coalesce(F.col("msg") < F.col("component"), F.lit(False)).alias(
+                    "active"
+                ),
             )
         )
+        new_state = new_state.localCheckpoint()
         changed = (
             new_state.agg(
-                F.coalesce(F.sum(F.col("_changed").cast("long")), F.lit(0))
+                F.coalesce(F.sum(F.col("active").cast("long")), F.lit(0))
             ).first()[0]
         )
         metrics = {
@@ -69,7 +80,7 @@ def connected_components(
             "delta": float(changed),
             "changed": int(changed),
         }
-        return new_state.drop("_changed"), metrics
+        return new_state, metrics
 
     result = run_supersteps(
         init,
@@ -79,5 +90,6 @@ def connected_components(
         store=store,
         resume=resume,
     )
+    result.state = result.state.select("id", "component")
     sym.unpersist()
     return result
