@@ -458,6 +458,39 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["pagerank_blocked_micro"] = pagerank_blocked_micro
 
+    # -- 8c. partitioning quality (SURVEY §3.2) --------------------------------
+    def partition_hash_quality(s, d):
+        """Cross-edge ratio under hash ownership (the partitioner's
+        printed stat, BPartitioner.tpp:454-486)."""
+        from gminer_spark.graph.partitioning import (
+            cross_edge_ratio,
+            hash_partitioning,
+        )
+
+        edges = _edges(s, d)
+        ratio = cross_edge_ratio(edges, hash_partitioning(edges, 8))
+        return s.createDataFrame(
+            [(int(round(ratio * 1e6)),)], "cross_ratio_micro bigint"
+        )
+
+    q["partition_hash_quality"] = partition_hash_quality
+
+    def partition_bdg_quality(s, d):
+        """Cross-edge ratio after the BDG locality pass (Voronoi blocks
+        + greedy co-location assignment)."""
+        from gminer_spark.graph.partitioning import (
+            cross_edge_ratio,
+            partition_graph,
+        )
+
+        edges = _edges(s, d)
+        ratio = cross_edge_ratio(edges, partition_graph(edges, 8))
+        return s.createDataFrame(
+            [(int(round(ratio * 1e6)),)], "cross_ratio_micro bigint"
+        )
+
+    q["partition_bdg_quality"] = partition_bdg_quality  # rows-only
+
     # -- 9. text analysis ------------------------------------------------------
     def text_tokens(s, d):
         from gminer_spark.textops.analysis import token_stats
@@ -755,6 +788,13 @@ SELECT COUNT(*) AS n_matches FROM (
     JOIN sym ebd ON ebd.src = b.id JOIN lab d ON d.id = ebd.dst AND d.lbl = 'd'
     WHERE a.lbl = 'a' AND d.id != a.id AND d.id != c.id
 ) m
+"""
+
+    o["partition_hash_quality"] = f"""
+WITH {EDGES_CTE.strip()}
+SELECT CAST(ROUND(SUM(CASE WHEN src % 8 != dst % 8 THEN 1 ELSE 0 END)
+            * 1e6 / COUNT(*)) AS BIGINT) AS cross_ratio_micro
+FROM edges
 """
 
     bpe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"

@@ -1,0 +1,63 @@
+"""BDG-style partitioning: completeness, determinism, locality win."""
+
+from __future__ import annotations
+
+from tests.conftest import edges_df
+
+
+def caveman(n_cliques=8, size=8):
+    """Ring of cliques — strong community structure."""
+    pairs = []
+    for c in range(n_cliques):
+        base = c * size
+        pairs += [
+            (base + i, base + j) for i in range(size) for j in range(size) if i < j
+        ]
+        pairs.append((base, ((c + 1) % n_cliques) * size))  # ring bridge
+    return pairs
+
+
+def test_partition_complete_and_balanced(spark):
+    from gminer_spark.graph.partitioning import partition_graph
+
+    edges = edges_df(spark, caveman())
+    asg = partition_graph(edges, n_workers=4, max_vc_size=20)
+    rows = asg.collect()
+    assert len(rows) == 64  # every vertex assigned exactly once
+    assert len({r["id"] for r in rows}) == 64
+    per_w = {}
+    for r in rows:
+        per_w[r["wid"]] = per_w.get(r["wid"], 0) + 1
+    # capacity bound: (1+0.1)*64/4 ≈ 17.6 → no worker above 24 in practice
+    assert max(per_w.values()) <= 24
+
+
+def test_bdg_beats_hash_on_community_graph(spark):
+    from gminer_spark.graph.partitioning import (
+        cross_edge_ratio,
+        hash_partitioning,
+        partition_graph,
+    )
+
+    edges = edges_df(spark, caveman())
+    hash_ratio = cross_edge_ratio(edges, hash_partitioning(edges, 4))
+    bdg_ratio = cross_edge_ratio(
+        edges, partition_graph(edges, 4, max_vc_size=20)
+    )
+    # hash scatters cliques (~75% cross); locality blocks keep them together
+    assert bdg_ratio < hash_ratio
+    assert bdg_ratio < 0.3
+
+
+def test_partitioning_deterministic(spark):
+    from gminer_spark.graph.partitioning import partition_graph
+
+    edges = edges_df(spark, caveman())
+    a = {r["id"]: r["wid"] for r in partition_graph(edges, 4, max_vc_size=20).collect()}
+    b = {
+        r["id"]: r["wid"]
+        for r in partition_graph(
+            edges.repartition(7), 4, max_vc_size=20
+        ).collect()
+    }
+    assert a == b
