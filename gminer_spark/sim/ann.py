@@ -69,30 +69,44 @@ def cosine_topk(
     )
 
 
-def _lsh_signature(vec_col, dim: int, n_planes: int, table: int):
-    """Sign-bit signature against md5-derived ±1 hyperplanes.
-
-    plane[p][d] = +1 if bit0(h32(f"{table}:{p}:{d}")) else -1 —
-    pure-function planes, no stored model.
-    """
+def _plane_matrix(dim: int, n_planes: int, table: int):
+    """md5-derived ±1 hyperplanes — pure-function planes, no stored
+    model, identical on every executor/run."""
     import hashlib
 
-    bits = []
+    import numpy as np
+
+    m = np.empty((dim, n_planes))
     for p in range(n_planes):
-        terms = None
         for d in range(dim):
-            sign = (
-                1
-                if int(
-                    hashlib.md5(f"{table}:{p}:{d}".encode()).hexdigest()[:8], 16
-                )
-                & 1
-                else -1
-            )
-            t = F.element_at(vec_col, d + 1).cast("double") * F.lit(float(sign))
-            terms = t if terms is None else terms + t
-        bits.append(F.when(terms > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+            h = int(hashlib.md5(f"{table}:{p}:{d}".encode()).hexdigest()[:8], 16)
+            m[d, p] = 1.0 if h & 1 else -1.0
+    return m
+
+
+def _lsh_signature_udf(dim: int, n_planes: int, table: int):
+    """Vectorized sign-bit signature: one Arrow batch → one matmul.
+
+    (An expression-tree formulation — dim × planes × tables nested
+    column arithmetic — ships MB-scale task binaries; the closure
+    captures only the small plane matrix.)
+    """
+    import numpy as np
+    import pandas as pd
+
+    planes = _plane_matrix(dim, n_planes, table)
+
+    def _sig(emb):
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in emb])
+        bits = (mat @ planes) > 0
+        return pd.Series(
+            ["".join("1" if b else "0" for b in row) for row in bits]
+        )
+
+    # real annotation objects: the module's postponed annotations would
+    # leave pyspark's hint parser with unresolvable strings here
+    _sig.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    return F.pandas_udf("string")(_sig).asNondeterministic()
 
 
 def ann_lsh_topk(
@@ -106,11 +120,12 @@ def ann_lsh_topk(
     dim = len(embeddings.select("embedding").first()[0])
     tables = None
     for t in range(n_tables):
+        sig_udf = _lsh_signature_udf(dim, n_planes, t)
         sig = embeddings.select(
             "vec_id",
             "embedding",
             F.lit(t).alias("table"),
-            _lsh_signature(F.col("embedding"), dim, n_planes, t).alias("sig"),
+            sig_udf(F.col("embedding")).alias("sig"),
         )
         tables = sig if tables is None else tables.unionByName(sig)
     tables = tables.persist()
