@@ -576,6 +576,13 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["ann_lsh"] = ann_lsh  # rows-only: recall < 1 by construction
 
+    def dedup_embedding(s, d):
+        from gminer_spark.sim.ann import embedding_near_dups
+
+        return embedding_near_dups(_doc(s, d, "embeddings"), threshold=0.35)
+
+    q["dedup_embedding"] = dedup_embedding
+
     # -- 12. multimodal plumbing ------------------------------------------------
     def multimodal_meta(s, d):
         from gminer_spark.multimodal.binary import attach_payload
@@ -955,6 +962,17 @@ SELECT query_id, neighbor_id, cos FROM (
                               ORDER BY cos DESC, neighbor_id ASC) AS rn
     FROM pairs) x
 WHERE rn <= 5
+"""
+
+    o["dedup_embedding"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.35
 """
 
     o["multimodal_meta"] = """

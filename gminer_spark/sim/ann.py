@@ -109,6 +109,34 @@ def _lsh_signature_udf(dim: int, n_planes: int, table: int):
     return F.pandas_udf("string")(_sig).asNondeterministic()
 
 
+def embedding_near_dups(
+    embeddings: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """(vec_a, vec_b, cos) pairs with cosine >= threshold — the
+    embedding-space near-duplicate detector of the dedup family.
+
+    All-pairs at small n; at scale the same re-rank runs after the
+    LSH bucket join (ann_lsh_topk's candidate generation).  Cosine is
+    computed JVM-side (zip_with fold in double) and rounded before
+    thresholding for cross-engine determinism.
+    """
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb")
+    )
+    return (
+        a.join(b, a.vec_a < b.vec_b)
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(_cos(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     query_ids: list[int],
