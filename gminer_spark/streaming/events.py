@@ -52,6 +52,62 @@ def windowed_counts_stream(events_stream: DataFrame, minutes: int = 60) -> DataF
     )
 
 
+def sessionize_stream(
+    events_stream: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Streaming gap-based sessionization — a CUSTOM STATEFUL operator
+    via ``applyInPandasWithState``: per-user state carries (last event
+    ts, running session id); sessions close when the gap exceeds
+    ``gap_minutes`` or the group times out.
+
+    Emits one row per (user, session) per trigger with running counts
+    (output mode "update").  The batch-equivalence contract is tested
+    against :func:`sessionize` in tests/test_streaming.py.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap = gap_minutes * 60
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            last_ts, session_id, n_events, session_start = state.get
+        else:
+            last_ts, session_id, n_events, session_start = None, 0, 0, None
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts in pdf["ts"]:
+                epoch = ts.timestamp()
+                if last_ts is None or epoch - last_ts > gap:
+                    if session_id > 0:
+                        out.append(
+                            (user_id, session_id, session_start, n_events)
+                        )
+                    session_id += 1
+                    n_events = 0
+                    session_start = epoch
+                n_events += 1
+                last_ts = epoch
+        if session_id > 0:
+            out.append((user_id, session_id, session_start, n_events))
+        state.update((last_ts, session_id, n_events, session_start))
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_id", "session_start", "n_events"]
+        )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, session_id long, "
+        "session_start double, n_events long",
+        stateStructType="last_ts double, session_id long, "
+        "n_events long, session_start double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessions per user (batch): lag + cumulative session id.
 

@@ -73,6 +73,40 @@ def test_windowed_counts_streaming_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_sessionize_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization equals batch sessionize."""
+    from gminer_spark.streaming.events import sessionize, sessionize_stream
+
+    src = str(tmp_path / "sess_src")
+    df = spark.createDataFrame(events_rows(), SCHEMA)
+    df.write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sess_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT user_id, session_id, n_events FROM sess_out"
+        ).collect()
+        # update mode can re-emit a session; keep the latest per key
+        got = {}
+        for r in rows:
+            got[(r["user_id"], r["session_id"])] = r["n_events"]
+    finally:
+        q.stop()
+    want = {
+        (r["user_id"], r["session_id"]): r["n_events"]
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    assert got == want
+
+
 def test_sessionize(spark):
     from gminer_spark.streaming.events import sessionize
 
