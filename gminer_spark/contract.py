@@ -614,6 +614,8 @@ def build_queries() -> dict[str, QueryFn]:
     def events_window(s, d):
         from gminer_spark.streaming.events import windowed_counts
 
+        s.conf.set("spark.sql.session.timeZone", "UTC")  # oracle parity
+
         wc = windowed_counts(_doc(s, d, "events"), minutes=60)
         return wc.select(
             F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
@@ -626,6 +628,8 @@ def build_queries() -> dict[str, QueryFn]:
 
     def events_sessions(s, d):
         from gminer_spark.streaming.events import sessionize
+
+        s.conf.set("spark.sql.session.timeZone", "UTC")  # oracle parity
 
         se = sessionize(_doc(s, d, "events"), gap_minutes=30)
         return se.select(

@@ -35,7 +35,7 @@ def connected_components(
     reference semantics and with a union-find oracle.
     """
     spark = edges.sparkSession
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_shuffle = tables.sized_partitions(spark, edges.count())
     sym = tables.symmetrize(edges).repartition(n_shuffle, "src").persist()
     edge_count = sym.count()
 

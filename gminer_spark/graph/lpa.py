@@ -34,7 +34,7 @@ def label_propagation(
     label changes).
     """
     spark = edges.sparkSession
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_shuffle = tables.sized_partitions(spark, edges.count())
     sym = tables.symmetrize(edges).repartition(n_shuffle, "src").persist()
     edge_count = sym.count()
 

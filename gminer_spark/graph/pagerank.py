@@ -46,7 +46,7 @@ def pagerank(
     # Static tables, computed once and reused across all supersteps.
     # At cluster scale these are hash-co-partitioned with the state on
     # the join key (src) so each iteration's join shuffles only ranks.
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_shuffle = tables.sized_partitions(spark, edges.count())
     edges = edges.repartition(n_shuffle, "src").persist()
     verts = tables.vertices(edges)
     out_deg = (

@@ -130,3 +130,20 @@ def degrees(edges: DataFrame) -> DataFrame:
         )
         .withColumn("degree", F.col("out_deg") + F.col("in_deg"))
     )
+
+def shuffle_partitions(spark: SparkSession, default: int = 32) -> int:
+    """Session shuffle-partition count, robust to non-numeric conf
+    values (e.g. a harness session with AQE-managed settings)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return default
+
+
+def sized_partitions(spark: SparkSession, n_rows: int, rows_per_partition: int = 200_000) -> int:
+    """Shuffle-partition count sized to the data: the session conf is a
+    CEILING, not a floor — a vanilla 200-partition session must not run
+    200 near-empty tasks per superstep on a 100k-edge graph, and a
+    tuned session keeps its setting for big inputs."""
+    want = max(8, -(-n_rows // rows_per_partition))
+    return min(shuffle_partitions(spark), want)
