@@ -458,6 +458,41 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["pagerank_blocked_micro"] = pagerank_blocked_micro
 
+    def focusco_q(s, d):
+        """Focused clustering (GC/FocusCO app): seeded weighted-
+        conductance expansion on the supplier co-occurrence graph,
+        weights = number of shared orders, seeds = two lowest-id
+        suppliers of the heaviest edge (deterministic)."""
+        from gminer_spark.graph.mining import focused_cluster
+        from gminer_spark.graph.tables import load_table
+
+        li = load_table(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+        a = li.alias("a")
+        b = li.alias("b")
+        w = (
+            a.join(b, on="l_orderkey")
+            .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+            .groupBy(
+                F.col("a.l_suppkey").cast("long").alias("src"),
+                F.col("b.l_suppkey").cast("long").alias("dst"),
+            )
+            .agg(F.count("*").cast("double").alias("weight"))
+        )
+        top = w.orderBy(F.col("weight").desc(), "src", "dst").first()
+        res = focused_cluster(w, seeds=[top["src"], top["dst"]], max_rounds=6)
+        return s.createDataFrame(
+            [
+                (
+                    ",".join(str(v) for v in res["cluster"]),
+                    int(round(res["phi"] * 1e6)),
+                    res["rounds"],
+                )
+            ],
+            "cluster string, phi_micro bigint, rounds int",
+        )
+
+    q["focusco"] = focusco_q  # rows-only: iterative greedy, not SQL
+
     # -- 8c. partitioning quality (SURVEY §3.2) --------------------------------
     def partition_hash_quality(s, d):
         """Cross-edge ratio under hash ownership (the partitioner's
