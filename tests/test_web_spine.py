@@ -5,7 +5,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from tests.conftest import CYCLE6, K5, PATH5, STAR, TWOCOMP, edges_df
+from tests.conftest import CYCLE6, K5, PATH5, STAR, TWOCOMP
 from tests.oracle import graph_oracle as oracle
 
 
