@@ -63,6 +63,9 @@ def pagerank(
     )
     n = out_deg.count()  # also materializes the persists
     edge_count = edges.count()
+    if n == 0:
+        empty = spark.createDataFrame([], "id long, rank double")
+        return SuperstepResult(empty, 0, 0, True, [])
 
     init = out_deg.select("id", F.lit(1.0 / n).alias("rank"), "out_deg")
 

@@ -138,3 +138,16 @@ def test_triangle_trace_property(spark):
         a[s, d] = a[d, s] = 1
     want = int(round(np.trace(a @ a @ a) / 6))
     assert triangle_count(edges_df(spark, pairs)) == want
+
+
+def test_empty_graph_all_algorithms(spark):
+    """Empty edge tables degrade gracefully (no division by zero)."""
+    from gminer_spark.graph.cc import connected_components
+    from gminer_spark.graph.lpa import label_propagation
+    from gminer_spark.graph.pagerank import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    r = pagerank(empty)
+    assert r.converged and r.state.count() == 0
+    assert connected_components(empty).state.count() == 0
+    assert label_propagation(empty, num_iter=2).state.count() == 0
