@@ -76,11 +76,17 @@ class CheckpointStore:
             shutil.rmtree(path)
         state.write.mode("overwrite").parquet(path)
         manifest = self._read_manifest()
+        # Committing step k invalidates any LATER steps from a previous
+        # run over the same store (re-run with resume=False, or a
+        # shorter run): drop them so latest()/resume never continues
+        # from stale state, and clear a stale final marker.
         manifest["steps"] = [
-            s for s in manifest["steps"] if s["superstep"] != superstep
+            s for s in manifest["steps"] if s["superstep"] < superstep
         ]
         manifest["steps"].append({"superstep": superstep, "metrics": metrics})
         manifest["steps"].sort(key=lambda s: s["superstep"])
+        if manifest.get("final_superstep", -1) > superstep:
+            manifest.pop("final_superstep", None)
         self._write_manifest(manifest)
         self._append_metrics(superstep, metrics)
         return self.spark.read.parquet(path)

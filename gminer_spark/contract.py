@@ -564,9 +564,14 @@ def build_queries() -> dict[str, QueryFn]:
     q["dedup_exact"] = dedup_exact
 
     def dedup_jaccard(s, d):
+        """n-gram Jaccard near-dups with the document-frequency cut
+        exercised (max_df=100): hot shingles leave the inverted index
+        before the self-join; the oracle applies the identical cut."""
         from gminer_spark.textops.dedup import ngram_jaccard_pairs
 
-        return ngram_jaccard_pairs(_doc(s, d, "documents"), n=3, threshold=0.8)
+        return ngram_jaccard_pairs(
+            _doc(s, d, "documents"), n=3, threshold=0.8, max_df=100
+        )
 
     q["dedup_jaccard"] = dedup_jaccard
 
@@ -905,10 +910,14 @@ FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
     o["dedup_jaccard"] = f"""
 WITH {WORDS_CTE.strip()},
 {SHINGLES_CTE.strip()},
-szs AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+rare AS (
+    SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) <= 100),
+sh AS (
+    SELECT s.doc_id, s.shingle FROM shingles s JOIN rare USING (shingle)),
+szs AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-    FROM shingles a JOIN shingles b
+    FROM sh a JOIN sh b
       ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id)
 SELECT doc_a, doc_b,

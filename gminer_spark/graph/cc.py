@@ -35,9 +35,14 @@ def connected_components(
     reference semantics and with a union-find oracle.
     """
     spark = edges.sparkSession
-    n_shuffle = tables.sized_partitions(spark, edges.count())
+    # sizing count on a persisted input: expensive upstream lineage
+    # materializes once, and symmetrize below reads the cached rows
+    edges, n_in, we_persisted = tables.ensure_materialized(edges)
+    n_shuffle = tables.sized_partitions(spark, n_in)
     sym = tables.symmetrize(edges).repartition(n_shuffle, "src").persist()
     edge_count = sym.count()
+    if we_persisted:
+        edges.unpersist()
 
     # state carries an `active` flag — the vote-to-halt mechanism
     # (/root/reference/partition/BVertex.tpp:56-66): only vertices whose

@@ -161,9 +161,17 @@ def pagerank_blocked(
         contribs = partials.groupBy("dst").agg(
             F.sum("partial").alias("contrib")
         )
-        dangling_row = contribs.where(F.col("dst") == -1).collect()
-        dangling = dangling_row[0]["contrib"] if dangling_row else 0.0
-        base = teleport + damping * dangling / n
+        # Dangling mass enters the plan as a broadcast 1-row aggregate
+        # crossed onto the state side of the cogroup — the whole
+        # superstep stays ONE Spark job (the checkpoint
+        # materialization), same pattern as pagerank.py's step.  A
+        # driver-side collect here would add one extra job per
+        # superstep — pure latency at 100 iterations.
+        dang = contribs.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("dst") == -1, F.col("contrib"))), F.lit(0.0)
+            ).alias("_dmass")
+        )
 
         gathered = (
             contribs.where(F.col("dst") >= 0)
@@ -177,6 +185,8 @@ def pagerank_blocked(
         def gather(key, state_pdf, contrib_pdf) -> pd.DataFrame:
             (block_id,) = key
             vids = np.asarray(state_pdf["vids"].iloc[0], dtype=np.int64)
+            dmass = float(state_pdf["_dmass"].iloc[0])
+            base = teleport + damping * dmass / n
             ranks = np.full(len(vids), base)
             if len(contrib_pdf):
                 pos = np.searchsorted(vids, contrib_pdf["dst"].to_numpy(np.int64))
@@ -189,9 +199,12 @@ def pagerank_blocked(
                 }
             )
 
-        new_state = state.groupBy("block_id").cogroup(
-            gathered.groupBy("block_id")
-        ).applyInPandas(gather, state_schema)
+        new_state = (
+            state.crossJoin(F.broadcast(dang))
+            .groupBy("block_id")
+            .cogroup(gathered.groupBy("block_id"))
+            .applyInPandas(gather, state_schema)
+        )
         new_state = new_state.localCheckpoint()
 
         if num_iter is None:

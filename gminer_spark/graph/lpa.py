@@ -34,9 +34,14 @@ def label_propagation(
     label changes).
     """
     spark = edges.sparkSession
-    n_shuffle = tables.sized_partitions(spark, edges.count())
+    # sizing count on a persisted input: expensive upstream lineage
+    # materializes once, and symmetrize below reads the cached rows
+    edges, n_in, we_persisted = tables.ensure_materialized(edges)
+    n_shuffle = tables.sized_partitions(spark, n_in)
     sym = tables.symmetrize(edges).repartition(n_shuffle, "src").persist()
     edge_count = sym.count()
+    if we_persisted:
+        edges.unpersist()
 
     init = tables.vertices(sym).select("id", F.col("id").alias("label"))
 
@@ -63,6 +68,10 @@ def label_propagation(
                 F.coalesce("new_label", "label").alias("label"),
                 (F.col("new_label") != F.col("label")).alias("_changed"),
             )
+            # materialize ONCE: the changed-agg below and the
+            # framework's commit both read the result; without this the
+            # join+window superstep runs twice (cc.py:71 pattern)
+            .localCheckpoint()
         )
         changed = new_state.agg(
             F.coalesce(F.sum(F.col("_changed").cast("long")), F.lit(0))

@@ -22,7 +22,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gminer_spark.graph.triangles import oriented_edges
+from gminer_spark.graph.triangles import (
+    BROADCAST_ROW_LIMIT,
+    gated_broadcast,
+    oriented_edges,
+)
 
 
 
@@ -38,7 +42,9 @@ def _aslist(x) -> list:
 # ---------------------------------------------------------------------------
 
 
-def _seed_egonets(edges: DataFrame) -> DataFrame:
+def _seed_egonets(
+    edges: DataFrame, broadcast_limit: int = BROADCAST_ROW_LIMIT
+) -> DataFrame:
     """(u, cands:array<long>, eg_src:array<long>, eg_dst:array<long>).
 
     cands = N⁺(u) in degree order; (eg_src, eg_dst) = edges among
@@ -46,33 +52,35 @@ def _seed_egonets(edges: DataFrame) -> DataFrame:
     enumerated exactly once, at its minimum-rank member — the
     reference's id-ordered seeding (maxclique.cpp:230-254) with the
     degree-ordered skew fix.
+
+    Every lookup-table broadcast here is SIZE-GATED on the oriented
+    edge count (same policy as triangles._wedge_closed): above the
+    gate the key and wedge-closer joins fall back to shuffle joins,
+    matching the reference's shuffled pull (core/slave.tpp:307-401).
     """
     e = oriented_edges(edges, orient="degree").localCheckpoint()
+    n_e = e.count()
     base = e.select("src", "dst")
     cands = base.groupBy(F.col("src").alias("u")).agg(
         F.collect_list("dst").alias("cands")
     )
     # wedge ordering MUST use the rank keys, not ids: the closing edge
     # (v, w) exists in the oriented table only as rank(v) < rank(w)
+    vkeys = e.select(
+        F.col("dst").alias("v"), F.col("dst_key").alias("v_key")
+    ).dropDuplicates(["v"])
+    wkeys = vkeys.select(F.col("v").alias("w"), F.col("v_key").alias("w_key"))
     e1 = base.select(F.col("src").alias("u"), F.col("dst").alias("v")).join(
-        F.broadcast(
-            e.select(F.col("dst").alias("v"), F.col("dst_key").alias("v_key"))
-        ).dropDuplicates(["v"]),
-        on="v",
+        gated_broadcast(vkeys, n_e, broadcast_limit), on="v"
     )
     e2 = base.select(F.col("src").alias("u"), F.col("dst").alias("w")).join(
-        F.broadcast(
-            e.select(F.col("dst").alias("w"), F.col("dst_key").alias("w_key"))
-        ).dropDuplicates(["w"]),
-        on="w",
+        gated_broadcast(wkeys, n_e, broadcast_limit), on="w"
     )
+    closer = base.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     wedges = (
         e1.join(e2, on="u")
         .where(F.col("v_key") < F.col("w_key"))
-        .join(
-            F.broadcast(base.select(F.col("src").alias("v"), F.col("dst").alias("w"))),
-            on=["v", "w"],
-        )
+        .join(gated_broadcast(closer, n_e, broadcast_limit), on=["v", "w"])
     )
     ego_edges = wedges.groupBy("u").agg(
         F.collect_list("v").alias("eg_src"), F.collect_list("w").alias("eg_dst")

@@ -46,8 +46,11 @@ def pagerank(
     # Static tables, computed once and reused across all supersteps.
     # At cluster scale these are hash-co-partitioned with the state on
     # the join key (src) so each iteration's join shuffles only ranks.
-    n_shuffle = tables.sized_partitions(spark, edges.count())
-    edges = edges.repartition(n_shuffle, "src").persist()
+    # The sizing count runs on a PERSISTED input so expensive upstream
+    # lineage (e.g. the co-purchase self-join) materializes exactly once.
+    edges_in, n_in, we_persisted = tables.ensure_materialized(edges)
+    n_shuffle = tables.sized_partitions(spark, n_in)
+    edges = edges_in.repartition(n_shuffle, "src").persist()
     verts = tables.vertices(edges)
     out_deg = (
         verts.join(
@@ -63,6 +66,8 @@ def pagerank(
     )
     n = out_deg.count()  # also materializes the persists
     edge_count = edges.count()
+    if we_persisted:
+        edges_in.unpersist()  # repartitioned copy is materialized now
     if n == 0:
         empty = spark.createDataFrame([], "id long, rank double")
         return SuperstepResult(empty, 0, 0, True, [])

@@ -36,8 +36,15 @@ def salted_agg(
     out_col = out_col or f"{agg}_{value_col}"
     fns = {"sum": F.sum, "min": F.min, "max": F.max, "count": F.count}
     fn = fns[agg]
+    # Salt = pure function of row CONTENT, never of physical position:
+    # a position-derived salt (monotonically_increasing_id) changes when
+    # a lost map output is recomputed on task retry, migrating rows
+    # between (key, salt) groups mid-shuffle — double-counted or
+    # dropped partials.  Content hashing is retry-stable; identical
+    # rows landing on one reducer is a correct partial for every
+    # algebraic agg here.
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(value_col), F.monotonically_increasing_id()), F.lit(n_salts))
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     )
     partial = salted.groupBy(key, "_salt").agg(fn(value_col).alias("_partial"))
     final_fn = F.sum if agg in ("sum", "count") else fn

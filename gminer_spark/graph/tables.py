@@ -131,6 +131,25 @@ def degrees(edges: DataFrame) -> DataFrame:
         .withColumn("degree", F.col("out_deg") + F.col("in_deg"))
     )
 
+def ensure_materialized(df: DataFrame) -> tuple[DataFrame, int, bool]:
+    """Persist ``df`` (if the caller hasn't) and force one materialization.
+
+    Returns ``(df, n_rows, we_persisted)``.  Callers that need a row
+    count to SIZE their shuffle (sized_partitions) must count the
+    persisted table, not raw lineage — otherwise an expensive upstream
+    plan (e.g. the co-purchase self-join) runs once for the count and
+    again for the real work.  ``we_persisted`` tells the caller whether
+    unpersisting at the end is its responsibility (never unpersist a
+    caller-owned persist).
+    """
+    from pyspark import StorageLevel
+
+    we_persisted = df.storageLevel == StorageLevel.NONE
+    if we_persisted:
+        df = df.persist()
+    return df, df.count(), we_persisted
+
+
 def shuffle_partitions(spark: SparkSession, default: int = 32) -> int:
     """Session shuffle-partition count, robust to non-numeric conf
     values (e.g. a harness session with AQE-managed settings)."""

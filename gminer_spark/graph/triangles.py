@@ -31,6 +31,21 @@ from pyspark.sql import functions as F
 
 from gminer_spark.graph import tables
 
+# Broadcast ceiling for edge-derived lookup tables (~rows of two longs
+# ≈ 500 MB at the limit).  Aggressive for a laptop, conservative for
+# the 100-TB target's executor memory; revisit per cluster config.
+BROADCAST_ROW_LIMIT = 20_000_000
+
+
+def gated_broadcast(df: DataFrame, n_rows: int, limit: int = BROADCAST_ROW_LIMIT):
+    """Broadcast ``df`` only when ``n_rows`` is under the gate; above it
+    return ``df`` unchanged so the join falls back to a shuffle.  An
+    UNgated broadcast of an O(|E|)/O(|V|) table is a guaranteed
+    driver/executor OOM at web scale — the reference's pull is likewise
+    a shuffled lookup, never a replication
+    (/root/reference/core/slave.tpp:307-401)."""
+    return F.broadcast(df) if n_rows <= limit else df
+
 
 def oriented_edges(edges: DataFrame, orient: str = "degree") -> DataFrame:
     """Orient the undirected closure of ``edges`` low-rank → high-rank.
@@ -118,8 +133,7 @@ def _wedge_closed(edges: DataFrame, orient: str) -> DataFrame:
     # it to |E| rows of two longs), broadcast the closing side so the
     # wedge join is a map-side hash probe; beyond that fall back to a
     # shuffle join, where wedges re-use the e1/e2 partitioning on u.
-    if e.count() <= 20_000_000:
-        closer = F.broadcast(closer)
+    closer = gated_broadcast(closer, e.count())
     return wedges.join(closer, on=["v", "w"]).select("u", "v", "w")
 
 

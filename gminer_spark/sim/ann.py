@@ -110,24 +110,80 @@ def _lsh_signature_udf(dim: int, n_planes: int, table: int):
 
 
 def embedding_near_dups(
-    embeddings: DataFrame, threshold: float = 0.95
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    all_pairs_limit: int = 200_000,
+    n_planes: int = 8,
+    n_tables: int = 6,
 ) -> DataFrame:
     """(vec_a, vec_b, cos) pairs with cosine >= threshold — the
     embedding-space near-duplicate detector of the dedup family.
 
-    All-pairs at small n; at scale the same re-rank runs after the
-    LSH bucket join (ann_lsh_topk's candidate generation).  Cosine is
-    computed JVM-side (zip_with fold in double) and rounded before
-    thresholding for cross-engine determinism.
+    Two plans behind one row-count gate:
+
+    * n <= ``all_pairs_limit``: exact all-pairs theta join — the only
+      recall-1 plan, affordable when n² pairs are joinable.
+    * above the gate: random-hyperplane LSH bucket join (the scale
+      path) — signature tables from :func:`_lsh_signature_udf`,
+      candidates are equal-(table, sig) collisions only, then the
+      exact cosine re-rank.  NEVER a cartesian product: the join key
+      is the signature, so cost is bounded by bucket sizes.  Recall
+      < 1 by construction (tested for recall ≥ bound in pytest, like
+      ann_lsh_topk); raise ``n_tables`` to trade compute for recall.
+
+    Cosine is computed JVM-side (zip_with fold in double) and rounded
+    before thresholding for cross-engine determinism.
     """
-    a = embeddings.select(
+    if embeddings.count() <= all_pairs_limit:
+        a = embeddings.select(
+            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va")
+        )
+        b = embeddings.select(
+            F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb")
+        )
+        return (
+            a.join(b, a.vec_a < b.vec_b)
+            .select(
+                "vec_a",
+                "vec_b",
+                F.round(_cos(F.col("va"), F.col("vb")), 6).alias("cos"),
+            )
+            .where(F.col("cos") >= threshold)
+        )
+    return _near_dups_lsh(embeddings, threshold, n_planes, n_tables)
+
+
+def _near_dups_lsh(
+    embeddings: DataFrame, threshold: float, n_planes: int, n_tables: int
+) -> DataFrame:
+    """LSH candidate generation + exact re-rank for near-dup pairs."""
+    dim = len(embeddings.select("embedding").first()[0])
+    sigs = None
+    for t in range(n_tables):
+        sig_udf = _lsh_signature_udf(dim, n_planes, t)
+        s = embeddings.select(
+            "vec_id",
+            F.lit(t).alias("table"),
+            sig_udf(F.col("embedding")).alias("sig"),
+        )
+        sigs = s if sigs is None else sigs.unionByName(s)
+    a = sigs.select(F.col("vec_id").alias("vec_a"), "table", "sig")
+    b = sigs.select(F.col("vec_id").alias("vec_b"), "table", "sig")
+    cand_ids = (
+        a.join(b, on=["table", "sig"])  # bucket join — shuffle key = sig
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    ea = embeddings.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va")
     )
-    b = embeddings.select(
+    eb = embeddings.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb")
     )
     return (
-        a.join(b, a.vec_a < b.vec_b)
+        cand_ids.join(ea, on="vec_a")
+        .join(eb, on="vec_b")
         .select(
             "vec_a",
             "vec_b",

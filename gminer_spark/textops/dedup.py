@@ -65,10 +65,32 @@ def _word_shingles(documents: DataFrame, n: int) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = 3, threshold: float = 0.8
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
-    """(doc_a, doc_b, jaccard) for pairs with shingle-Jaccard ≥ threshold."""
+    """(doc_a, doc_b, jaccard) for pairs with shingle-Jaccard ≥ threshold.
+
+    ``max_df`` is the document-frequency cut that makes the inverted
+    index scale: a shingle appearing in more than ``max_df`` documents
+    (a stopword run shared corpus-wide) is dropped BEFORE the self-join
+    — one such shingle in 1M docs would otherwise create a 10¹²-row
+    join partition.  The cut is applied symmetrically to the per-doc
+    sizes too, so the reported jaccard is the exact Jaccard over the
+    RARE-shingle sets (a deterministic, SQL-expressible semantics the
+    oracle reproduces; near-dup pairs share rare shingles, so at a
+    sane cut recall is unaffected).  ``max_df=None`` disables the cut.
+    """
     sh = _word_shingles(documents, n)
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = (
+            sh.join(
+                df_counts.where(F.col("df") <= max_df).select("shingle"),
+                on="shingle",
+            )
+        )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

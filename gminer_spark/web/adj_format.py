@@ -7,8 +7,12 @@ e.g. apps/trianglecount.cpp:161-179):
 
     normal:      vid \\t num_nbrs nb1 nb2 ...
     label:       vid lbl \\t nb1 lbl1 nb2 lbl2 ...
-    attr:        vid \\t a1,a2,... \\t num_nbrs nb1 nb2 ...
-    multi-attr:  vid \\t a1,... \\t num nb1 w1 nb2 w2 ...   (edge weights)
+    attr:        vid \\t a1 a2 ... \\t num_nbrs nb1 nb2 ...
+    multi-attr:  vid \\t a1 ... \\t num nb1 w1 nb2 w2 ...   (edge weights)
+
+Attribute lists are SPACE-separated (sample-datasets/attr_sample.adj:
+``1\\tA1 B2 C9\\t3 2 4 5``; the reference parsers strtok on ' ' and
+'; '), so the readers split the attribute field on ``[;\\s]+``.
 
 and, post-partitioning, an owner-annotated variant
 (``vid wid \\t nb1 wid1 nb2 wid2 ...`` —
@@ -67,7 +71,7 @@ def read_attr(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     cols = _lines(spark, path).select(F.split("value", "\t").alias("c"))
     vertices = cols.select(
         F.trim(F.element_at("c", 1)).cast("long").alias("id"),
-        F.split(F.trim(F.element_at("c", 2)), ",").alias("attrs"),
+        F.split(F.trim(F.element_at("c", 2)), "[;\\s]+").alias("attrs"),
     )
     nbrs = cols.select(
         F.trim(F.element_at("c", 1)).cast("long").alias("src"),
@@ -86,7 +90,7 @@ def read_multi_attr(
     cols = _lines(spark, path).select(F.split("value", "\t").alias("c"))
     vertices = cols.select(
         F.trim(F.element_at("c", 1)).cast("long").alias("id"),
-        F.split(F.trim(F.element_at("c", 2)), ",").alias("attrs"),
+        F.split(F.trim(F.element_at("c", 2)), "[;\\s]+").alias("attrs"),
     )
     toks = cols.select(
         F.trim(F.element_at("c", 1)).cast("long").alias("src"),

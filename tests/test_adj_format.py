@@ -21,7 +21,7 @@ LABEL = """\
 """
 
 ATTR = """\
-1\tred,big\t2 2 3
+1\tred big\t2 2 3
 2\tblue\t1 1
 3\tred\t1 1
 """
@@ -76,6 +76,29 @@ def test_read_multi_attr(spark, tmp_path):
     v, e = read_multi_attr(spark, _write(tmp_path, "m.adj", MULTI))
     got = {(r.src, r.dst): r.weight for r in e.collect()}
     assert got == {(1, 2): 0.5, (1, 3): 1.5, (2, 1): 0.5, (3, 1): 1.5}
+
+
+def test_read_attr_reference_samples(spark):
+    """Parse the ACTUAL reference sample files: attribute lists are
+    space-separated (sample-datasets/attr_sample.adj line 1 is
+    ``1\\tA1 B2 C9\\t3 2 4 5``), not comma-separated."""
+    from gminer_spark.web.adj_format import read_attr, read_multi_attr
+
+    v, e = read_attr(spark, "/root/reference/sample-datasets/attr_sample.adj")
+    attrs = {r.id: list(r.attrs) for r in v.collect()}
+    assert attrs[1] == ["A1", "B2", "C9"]
+    assert attrs[5] == ["A1", "B2", "C3"]
+    assert {(r.src, r.dst) for r in e.where("src = 1").collect()} == {
+        (1, 2), (1, 4), (1, 5)
+    }
+
+    v2, e2 = read_multi_attr(
+        spark, "/root/reference/sample-datasets/multi_attr_sample.adj"
+    )
+    attrs2 = {r.id: list(r.attrs) for r in v2.collect()}
+    assert attrs2[3] == ["A6", "B7", "C3"]
+    w = {(r.src, r.dst): r.weight for r in e2.where("src = 1").collect()}
+    assert w == {(1, 2): 0.90, (1, 4): 0.30, (1, 5): 0.90}
 
 
 def test_partitioned_roundtrip(spark, tmp_path):

@@ -86,3 +86,27 @@ def test_metrics_lineage_table(spark, tmp_path):
     assert {0, 1, 2, 3, 4} <= rows
     cols = set(m.columns)
     assert {"superstep", "edges_scanned", "messages_shuffled"} <= cols
+
+
+def test_recommit_truncates_stale_later_steps(spark, tmp_path):
+    """Re-running a store from scratch (resume=False / shorter run) must
+    invalidate a previous run's LATER supersteps: committing step k
+    drops every manifest entry > k and any stale final marker, so a
+    subsequent latest()/resume cannot continue from dead state."""
+    from gminer_spark.checkpoint import CheckpointStore
+    from gminer_spark.graph.superstep import _mark_final
+
+    store = CheckpointStore(spark, str(tmp_path / "s"))
+    df = spark.createDataFrame([(1, 1.0)], "id long, rank double")
+    for k in range(4):
+        store.commit(k, df, {"k": k})
+    _mark_final(store, 3)
+
+    # fresh run over the same store commits step 0 then step 1
+    store.commit(0, df, {"k": 0})
+    assert store.committed_steps() == [0]
+    assert store._read_manifest().get("final_superstep") is None
+    store.commit(1, df, {"k": 1})
+    assert store.committed_steps() == [0, 1]
+    k, _, m = store.latest()
+    assert k == 1 and m["k"] == 1

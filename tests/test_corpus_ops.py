@@ -168,3 +168,80 @@ def test_salted_agg_matches_plain(spark):
         hubs.where(F.col("src") != 0).select("src_salt").distinct().collect()
     )
     assert [r["src_salt"] for r in normal_salts] == [0]
+
+
+def test_jaccard_df_cut_kills_hot_shingle_pairs(spark):
+    """One stopword-run shingle shared by EVERY doc must not create the
+    all-pairs join: with the df-cut the hot shingle leaves the index,
+    docs sharing only it produce no pair, and true near-dups (sharing
+    rare shingles) survive with exact rare-set jaccard."""
+    from gminer_spark.textops.dedup import ngram_jaccard_pairs
+
+    hot = "the quick brown"  # 3-gram present in every doc
+    docs = [(0, f"{hot} alpha beta gamma delta"),
+            (1, f"{hot} alpha beta gamma delta"),  # true dup of 0
+            (2, f"{hot} zig zag zoom whirl"),
+            (3, f"{hot} completely different text here")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    uncut = ngram_jaccard_pairs(df, n=3, threshold=0.05, max_df=None)
+    cut = ngram_jaccard_pairs(df, n=3, threshold=0.05, max_df=3)
+    uncut_pairs = {(r.doc_a, r.doc_b) for r in uncut.collect()}
+    cut_pairs = {(r.doc_a, r.doc_b): r.jaccard for r in cut.collect()}
+    # without the cut every doc pairs with every other through `hot`
+    assert len(uncut_pairs) == 6
+    # with the cut, only the true dup pair survives — at jaccard 1.0
+    # over the rare-shingle sets
+    assert set(cut_pairs) == {(0, 1)}
+    assert cut_pairs[(0, 1)] == 1.0
+
+
+def test_jaccard_hot_shingle_skew_completes(spark):
+    """Skew smoke: 2000 docs all sharing one hot shingle; the df-cut
+    keeps the self-join off the 2000²-row partition and the query
+    completes quickly with only the planted near-dup pair."""
+    from gminer_spark.textops.dedup import ngram_jaccard_pairs
+
+    hot = "lorem ipsum dolor"
+    docs = [(i, f"{hot} unique{i} token{i} word{i} tail{i}")
+            for i in range(2000)]
+    docs.append((2000, "lorem ipsum dolor unique7 token7 word7 tail7"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(df, n=3, threshold=0.5, max_df=50).collect()
+    }
+    assert pairs == {(7, 2000)}
+
+
+def test_embedding_near_dups_lsh_path(spark):
+    """Above the all-pairs gate the LSH bucket join takes over: the
+    plan contains no cartesian/nested-loop join and recall vs the
+    exact path stays high at a tight threshold."""
+    from gminer_spark.sim.ann import embedding_near_dups
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(120, 16))
+    rows = []
+    for i in range(120):
+        rows.append((2 * i, [float(x) for x in base[i]], 0))
+        near = base[i] + rng.normal(size=16) * 0.02  # planted near-dup
+        rows.append((2 * i + 1, [float(x) for x in near], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+    exact = embedding_near_dups(emb, threshold=0.95, all_pairs_limit=10**9)
+    lsh = embedding_near_dups(
+        emb, threshold=0.95, all_pairs_limit=0, n_planes=8, n_tables=8
+    )
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    exact_pairs = {(r.vec_a, r.vec_b) for r in exact.collect()}
+    lsh_pairs = {(r.vec_a, r.vec_b) for r in lsh.collect()}
+    assert lsh_pairs <= exact_pairs  # re-rank is exact: no false positives
+    assert len(exact_pairs) >= 100  # the planted dups are found by exact
+    recall = len(lsh_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.8

@@ -96,3 +96,31 @@ def test_focused_cluster(spark):
     res = focused_cluster(w, seeds=[1, 2])
     assert set(res["cluster"]) == {1, 2, 3, 4}
     assert res["phi"] < 0.01
+
+
+def test_seed_egonets_shuffle_path_above_gate(spark):
+    """Above the broadcast gate the egonet builder must NOT broadcast
+    the O(|E|) key/closer tables (driver OOM at web scale): with the
+    gate forced to 0 the initial physical plan has no BroadcastExchange
+    and kernel results are identical to the broadcast path."""
+    from gminer_spark.graph.mining import _seed_egonets
+
+    edges = edges_df(spark, random_graph(120, 0.08, seed=3))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuffled = _seed_egonets(edges, broadcast_limit=0)
+        plan = shuffled._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan
+        broadcasted = _seed_egonets(edges, broadcast_limit=10**9)
+        norm = lambda rows: {
+            (
+                r["u"],
+                tuple(sorted(r["cands"] or [])),
+                tuple(sorted(zip(r["eg_src"] or [], r["eg_dst"] or []))),
+            )
+            for r in rows
+        }
+        assert norm(shuffled.collect()) == norm(broadcasted.collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
