@@ -117,4 +117,9 @@ class CheckpointStore:
         self.spark.createDataFrame(pdf).write.mode("append").parquet(out)
 
     def metrics(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.base, "metrics"))
+        # metric keys differ across phases (init vs iterate), so each
+        # append may carry a different schema; without mergeSchema the
+        # read's schema depends on WHICH footer Spark samples — flaky.
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(self.base, "metrics")
+        )

@@ -459,11 +459,11 @@ def build_queries() -> dict[str, QueryFn]:
     q["pagerank_blocked_micro"] = pagerank_blocked_micro
 
     def focusco_q(s, d):
-        """Focused clustering (GC/FocusCO app): seeded weighted-
-        conductance expansion on the supplier co-occurrence graph,
-        weights = number of shared orders, seeds = two lowest-id
-        suppliers of the heaviest edge (deterministic)."""
-        from gminer_spark.graph.mining import focused_cluster
+        """Focused clustering (GC/FocusCO app at full parity:
+        expand/contract/dual-phi/outliers, focusCO.cpp:162-343) on the
+        supplier co-occurrence graph, weights = number of shared
+        orders; ALL qualifying seeds run as one task-parallel batch."""
+        from gminer_spark.graph.focusco import FocusCOParams, focused_clusters
         from gminer_spark.graph.tables import load_table
 
         li = load_table(s, d, "lineitem").select("l_orderkey", "l_suppkey")
@@ -478,20 +478,16 @@ def build_queries() -> dict[str, QueryFn]:
             )
             .agg(F.count("*").cast("double").alias("weight"))
         )
-        top = w.orderBy(F.col("weight").desc(), "src", "dst").first()
-        res = focused_cluster(w, seeds=[top["src"], top["dst"]], max_rounds=6)
-        return s.createDataFrame(
-            [
-                (
-                    ",".join(str(v) for v in res["cluster"]),
-                    int(round(res["phi"] * 1e6)),
-                    res["rounds"],
-                )
-            ],
-            "cluster string, phi_micro bigint, rounds int",
-        )
+        p = FocusCOParams(min_weight=3.0, min_core_size=8, min_result_size=3)
+        res = focused_clusters(w, p)
+        return res.select(
+            F.array_join("cluster", ",").alias("cluster"),
+            F.array_join("outlier", ",").alias("outlier"),
+            F.round(F.col("phi") * 1e6, 0).cast("long").alias("phi_micro"),
+            F.size("cluster").alias("size"),
+        ).orderBy("cluster")
 
-    q["focusco"] = focusco_q  # rows-only: iterative greedy, not SQL
+    q["focusco"] = focusco_q  # rows-only: iterative expand/contract, not SQL
 
     # -- 8c. partitioning quality (SURVEY §3.2) --------------------------------
     def partition_hash_quality(s, d):

@@ -1,0 +1,427 @@
+"""Focused community search — the reference's GC/FocusCO app at parity.
+
+Reference: /root/reference/apps/focusCO.cpp.  One task per seed vertex
+(create_task, :497-524): the seed plus its edges of weight >=
+MIN_WEIGHT form the initial core (gated at MIN_CORE_SIZE).  Each
+compute round then either
+
+* **expands** — score every candidate by the weighted-conductance
+  delta AND the structural-conductance delta of adding it
+  (expand_once, :421-452); admit the best weight-improver, and mark
+  the best struct-improver an *outlier* (structurally attached but
+  weight-dissimilar, :214-215); insignificant improvement
+  (is_sim_weight, :24-27) admits nothing — or
+* **contracts** — repeatedly evict any member whose removal does not
+  raise weighted conductance (contract, :454-489), dropping evicted
+  members from the outlier set (BSN <- BSN \\ Cluster, :300-302),
+
+looping macro-iterations while the round-over-round phi improvement
+stays significant and iter_round < ITER_ROUND_MAX (:318-325).  The
+final cluster is kept when it reaches MIN_RESULT_SIZE (:326-342) and
+results are deduplicated by cluster, CountAgg-style (:125-155).
+
+Spark-first task parallelism: ALL seed tasks advance together.  Task
+state is a small DataFrame (one row per live task); every Spark round
+pulls the adjacency lists of each task's (subgraph ∪ candidates) with
+ONE shuffle join against the id-partitioned adjacency table — the
+re-expression of GMiner's batched task->pull()
+(/root/reference/core/slave.tpp:307-401) — and an Arrow-batched
+``mapInPandas`` kernel executes one in-memory compute round per task.
+Finished tasks leave the loop, so the join shrinks as tasks converge.
+Conductance arithmetic inside a round is incremental (O(deg) per
+candidate, not O(vol(subG)) — the reference recomputes get_phi from
+scratch per candidate, :430-431, which the incremental form equals
+exactly).
+
+Determinism (the reference is hash-iteration-order dependent; we
+pin every order so results are identical under any partitioning):
+
+* candidate ranking for the top-K cut uses (max positive edge weight
+  into the subgraph, then ascending id) — the reference ranks by the
+  first-encountered edge's weight in hash order (:226-246);
+* expand_once scans candidates in ascending id with strict-< updates
+  (first/lowest id wins ties, :427-451 scans hash order);
+* contraction scans members in ascending id per pass (:457-461 scans
+  a hash_set snapshot);
+* duplicate weighted edges collapse to their max weight.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gminer_spark.graph.tables import shuffle_partitions
+
+
+@dataclass(frozen=True)
+class FocusCOParams:
+    """The reference's six tunables, same names and defaults
+    (focusCO.cpp:16-21, argv overrides :601-616)."""
+
+    min_weight: float = 1.0
+    min_core_size: int = 10
+    min_result_size: int = 0
+    diff_ratio: float = 0.01
+    iter_round_max: int = 10
+    cand_max_time: float = 20.0
+
+
+# ---------------------------------------------------------------------------
+# in-memory round arithmetic (exact incremental forms of get_phi deltas)
+# ---------------------------------------------------------------------------
+
+
+def _is_sim_weight(pos_l_a: float, pos_g_b: float, diff_ratio: float) -> bool:
+    """focusCO.cpp:24-27.  C++ divides by zero into inf/nan, both of
+    which compare false against (ratio+1); replicate that branch."""
+    if pos_l_a == 0:
+        return False
+    return (pos_g_b / pos_l_a) <= (diff_ratio + 1.0)
+
+
+def _cut_vol(subg: set, adj: dict, use_weight: bool) -> tuple[float, float]:
+    """(wCut, wVol) of get_phi (focusCO.cpp:382-411): cut counts every
+    subG->outside adjacency entry once, volume counts internal edges
+    once (id< order); negative weights are illegal and skipped."""
+    wcut = 0.0
+    wvol = 0.0
+    for u in subg:
+        for nb, w in adj.get(u, ()):
+            if w < 0:
+                continue
+            x = w if use_weight else 1.0
+            if nb not in subg:
+                wcut += x
+            elif u < nb:
+                wvol += x
+    return wcut, wvol
+
+
+def _top_candidates(subg: set, adj: dict, limit: float) -> list[int]:
+    """Rebuild the candidate map: neighbors of subG outside subG with a
+    positive-weight edge, truncated to the top ``limit`` by weight
+    (focusCO.cpp:224-257 / 277-314 / 347-376).  Deterministic ranking:
+    max positive edge weight into subG desc, then id asc."""
+    best: dict[int, float] = {}
+    for u in subg:
+        for nb, w in adj.get(u, ()):
+            if nb not in subg and w > 0 and w > best.get(nb, float("-inf")):
+                best[nb] = w
+    ranked = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))
+    k = int(limit)
+    if len(ranked) > k:
+        ranked = ranked[:k]
+    return [c for c, _ in ranked]
+
+
+def _attach(vertex: int, subg: set, adj: dict) -> tuple[float, float, int, int]:
+    """(weight-into-subG, weight-outside, count-into, count-outside)
+    of one vertex's legal (w>=0) adjacency, vertex itself excluded."""
+    aw = bw = 0.0
+    ac = bc = 0
+    for nb, w in adj.get(vertex, ()):
+        if w < 0 or nb == vertex:
+            continue
+        if nb in subg:
+            aw += w
+            ac += 1
+        else:
+            bw += w
+            bc += 1
+    return aw, bw, ac, bc
+
+
+def _expand_once(
+    subg: set,
+    cand: Iterable[int],
+    adj: dict,
+    cur_w: float,
+    cur_s: float,
+    wcut_w: float,
+    wvol_w: float,
+    wcut_s: float,
+    wvol_s: float,
+) -> tuple[int, int, float]:
+    """focusCO.cpp:421-452 via exact deltas: adding c moves its
+    into-subG attachment a from cut to volume and adds its outside
+    attachment b to the cut, for both the weighted and struct phis."""
+    best_w_node = best_s_node = -1
+    best_w_diff = 0.0
+    best_s_diff = 0.0
+    for c in sorted(cand):
+        aw, bw, ac, bc = _attach(c, subg, adj)
+        den_w = wvol_w + aw
+        den_s = wvol_s + ac
+        new_w = (wcut_w - aw + bw) / den_w if den_w != 0 else -1.0
+        new_s = (wcut_s - ac + bc) / den_s if den_s != 0 else -1.0
+        if new_w < 0 or new_s < 0:
+            continue
+        dw = new_w - cur_w
+        ds = new_s - cur_s
+        if dw < best_w_diff:
+            best_w_diff = dw
+            best_w_node = c
+        if ds < best_s_diff:
+            best_s_diff = ds
+            best_s_node = c
+    return best_w_node, best_s_node, best_w_diff
+
+
+def _contract(
+    subg: set, cur_w: float, wcut: float, wvol: float, adj: dict
+) -> tuple[list[int], float, float, float]:
+    """focusCO.cpp:454-489: evict members whose removal does not raise
+    weighted phi, repeating passes until one removes nothing.  Removing
+    x turns its internal attachment a into cut and drops its outside
+    attachment b from the cut."""
+    deleted: list[int] = []
+    while True:
+        removed = False
+        for x in sorted(subg):
+            aw, bw, _, _ = _attach(x, subg, adj)
+            new_wvol = wvol - aw
+            if new_wvol == 0:  # phi would be -1: illegal, keep x (:467-471)
+                continue
+            new_wcut = wcut - bw + aw
+            new_phi = new_wcut / new_wvol
+            if new_phi - cur_w <= 0:
+                subg.discard(x)
+                deleted.append(x)
+                cur_w, wcut, wvol = new_phi, new_wcut, new_wvol
+                removed = True
+        if not removed:
+            return deleted, cur_w, wcut, wvol
+
+
+def _compute_round(task: dict, adj: dict, p: FocusCOParams) -> dict:
+    """Exactly one FocusTask::compute call (focusCO.cpp:162-343).
+    ``task`` carries the FocusContext; returns it advanced, with
+    ``done``/``cluster``/``phi`` set when compute returns false."""
+    task["comp_round"] += 1
+    subg = set(task["subg"])
+
+    def finish(cluster: list[int], outlier: list[int], phi: float) -> dict:
+        task.update(done=True, cluster=cluster, outlier=outlier, phi=phi)
+        task["subg"] = sorted(subg)
+        return task
+
+    if task["comp_round"] == 1:  # init_real_comp (:347-380)
+        task["cand"] = _top_candidates(subg, adj, p.cand_max_time * len(subg))
+        return task
+
+    outlier = set(task["outlier"])
+    wcut_w, wvol_w = _cut_vol(subg, adj, True)
+    if wvol_w == 0:  # phi < 0: task dies empty (:188-195)
+        return finish([], [], -1.0)
+    cur_w = wcut_w / wvol_w
+    if task["comp_round"] == 2:
+        task["init_weight_phi"] = cur_w
+
+    wcut_s, wvol_s = _cut_vol(subg, adj, False)
+    cur_s = wcut_s / wvol_s if wvol_s != 0 else -1.0
+
+    # ---- expansion (:203-263) ----
+    best_w_node, best_s_node, best_w_diff = _expand_once(
+        subg, task["cand"], adj, cur_w, cur_s, wcut_w, wvol_w, wcut_s, wvol_s
+    )
+    if _is_sim_weight(cur_w + best_w_diff, cur_w, p.diff_ratio):
+        best_w_node = best_s_node = -1
+    if best_s_node != -1:
+        outlier.add(best_s_node)
+    if best_w_node != -1:
+        subg.add(best_w_node)
+        task["subg"] = sorted(subg)
+        task["cand"] = _top_candidates(subg, adj, p.cand_max_time * len(subg))
+        task["outlier"] = sorted(outlier)
+        return task
+
+    # ---- contraction (:265-316) ----
+    deleted, cur_w, wcut_w, wvol_w = _contract(subg, cur_w, wcut_w, wvol_w, adj)
+    if deleted:
+        task["cand"] = _top_candidates(subg, adj, p.cand_max_time * len(subg))
+        outlier -= subg  # BSN <- BSN \ Cluster (:300-302)
+    task["subg"] = sorted(subg)
+    task["outlier"] = sorted(outlier)
+
+    if (
+        not _is_sim_weight(cur_w, task["init_weight_phi"], p.diff_ratio)
+        and task["iter_round"] < p.iter_round_max
+    ):  # another macro-iteration (:318-325)
+        task["init_weight_phi"] = cur_w
+        task["iter_round"] += 1
+        return task
+    if len(subg) >= p.min_result_size:  # (:326-342)
+        return finish(sorted(subg), sorted(outlier), cur_w)
+    return finish([], [], cur_w)
+
+
+# ---------------------------------------------------------------------------
+# distributed driver
+# ---------------------------------------------------------------------------
+
+_STATE_SCHEMA = (
+    "task_id long, subg array<long>, cand array<long>, outlier array<long>, "
+    "comp_round int, iter_round int, init_weight_phi double, "
+    "done boolean, cluster array<long>, phi double"
+)
+
+_STATE_COLS = [f.split(" ")[0] for f in _STATE_SCHEMA.split(", ")]
+
+
+def weighted_adjacency(wedges: DataFrame) -> DataFrame:
+    """(id, adj: array<struct<nb:long, w:double>>) — the undirected
+    weighted adjacency table, duplicate edges collapsed to max weight,
+    self-loops dropped, hash-partitioned by id so the per-round pull
+    join shuffles only the (small) request side."""
+    spark = wedges.sparkSession
+    base = wedges.select(
+        F.col("src").cast("long"),
+        F.col("dst").cast("long"),
+        F.col("weight").cast("double"),
+    )
+    sym = (
+        base.unionByName(
+            base.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+            )
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.max("weight").alias("w"))
+    )
+    return (
+        sym.groupBy(F.col("src").alias("id"))
+        .agg(
+            F.collect_list(
+                F.struct(F.col("dst").alias("nb"), F.col("w"))
+            ).alias("adj")
+        )
+        .repartition(shuffle_partitions(spark), "id")
+    )
+
+
+def _kernel(p: FocusCOParams):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                # Arrow hands array columns to pandas as numpy arrays,
+                # whose truth value is ambiguous — None-check explicitly
+                nbhd = r["nbhd"] if r["nbhd"] is not None else ()
+                adj = {
+                    int(v["vid"]): [
+                        (int(e["nb"]), float(e["w"]))
+                        for e in (v["adj"] if v["adj"] is not None else ())
+                    ]
+                    for v in nbhd
+                }
+                task = {
+                    "task_id": int(r["task_id"]),
+                    "subg": [int(x) for x in r["subg"]],
+                    "cand": [int(x) for x in r["cand"]],
+                    "outlier": [int(x) for x in r["outlier"]],
+                    "comp_round": int(r["comp_round"]),
+                    "iter_round": int(r["iter_round"]),
+                    "init_weight_phi": float(r["init_weight_phi"]),
+                    "done": False,
+                    "cluster": [],
+                    "phi": 0.0,
+                }
+                out.append(_compute_round(task, adj, p))
+            yield pd.DataFrame(out, columns=_STATE_COLS)
+
+    return run
+
+
+def focused_clusters(
+    wedges: DataFrame,
+    params: FocusCOParams | None = None,
+    seeds: list[int] | None = None,
+    max_spark_rounds: int = 200,
+) -> DataFrame:
+    """All-seeds focused clustering -> (cluster, outlier, phi) rows.
+
+    ``wedges``: (src, dst, weight) undirected weighted edges.  One task
+    per vertex passing the create_task gate (focusCO.cpp:497-524), or
+    per explicit seed; every Spark round advances every live task one
+    compute round.  Results carry the reference CountAgg semantics:
+    empty clusters dropped (:132-137), deduplicated by cluster
+    (co_map key, :97); the outlier set and phi of duplicate clusters
+    tie-break to the minimum for determinism.  Tasks still live after
+    ``max_spark_rounds`` are dropped (the reference has no such cap;
+    the default is far above any observed convergence)."""
+    p = params or FocusCOParams()
+    adj = weighted_adjacency(wedges).persist()
+
+    heavy = F.filter("adj", lambda x: x["w"] >= F.lit(float(p.min_weight)))
+    state = (
+        adj.select(
+            F.col("id").alias("task_id"),
+            F.sort_array(
+                F.array_union(
+                    F.array(F.col("id")),
+                    F.transform(heavy, lambda x: x["nb"]),
+                )
+            ).alias("subg"),
+        )
+        .where(F.size("subg") >= int(p.min_core_size))
+        .select(
+            "task_id",
+            "subg",
+            F.array().cast("array<long>").alias("cand"),
+            F.array().cast("array<long>").alias("outlier"),
+            F.lit(0).alias("comp_round"),
+            F.lit(0).alias("iter_round"),
+            F.lit(0.0).alias("init_weight_phi"),
+            F.lit(False).alias("done"),
+            F.array().cast("array<long>").alias("cluster"),
+            F.lit(0.0).alias("phi"),
+        )
+    )
+    if seeds is not None:
+        state = state.where(F.col("task_id").isin([int(s) for s in seeds]))
+    state = state.localCheckpoint()
+
+    result_schema = "cluster array<long>, outlier array<long>, phi double"
+    done_parts: list[DataFrame] = []
+    for _ in range(max_spark_rounds):
+        if state.isEmpty():
+            break
+        needed = state.select(
+            "task_id", F.explode(F.array_union("subg", "cand")).alias("id")
+        )
+        pulled = (
+            needed.join(adj, on="id")
+            .groupBy("task_id")
+            .agg(
+                F.collect_list(
+                    F.struct(F.col("id").alias("vid"), F.col("adj"))
+                ).alias("nbhd")
+            )
+        )
+        new_state = (
+            state.drop("done", "cluster", "phi")
+            .join(pulled, on="task_id")
+            .mapInPandas(_kernel(p), _STATE_SCHEMA)
+            .localCheckpoint()
+        )
+        done_parts.append(new_state.where(F.col("done")))
+        state = new_state.where(~F.col("done"))
+
+    adj.unpersist()
+    spark = wedges.sparkSession
+    if not done_parts:
+        return spark.createDataFrame([], result_schema)
+    allres = done_parts[0]
+    for part in done_parts[1:]:
+        allres = allres.unionByName(part)
+    return (
+        allres.where(F.size("cluster") > 0)
+        .groupBy("cluster")
+        .agg(F.min("outlier").alias("outlier"), F.min("phi").alias("phi"))
+    )

@@ -298,98 +298,7 @@ def attributed_communities(
 
 
 # ---------------------------------------------------------------------------
-# focused clustering (the reference's GC / FocusCO app, simplified core)
+# focused clustering (the reference's GC / FocusCO app) lives in
+# gminer_spark.graph.focusco — full expand/contract/outlier parity,
+# task-parallel across all seeds.
 # ---------------------------------------------------------------------------
-
-
-def focused_cluster(
-    wedges: DataFrame,
-    seeds: list[int],
-    max_rounds: int = 10,
-    cand_per_round: int = 20,
-) -> dict:
-    """Seeded weighted-conductance expansion (focusCO.cpp:229-380 core).
-
-    ``wedges``: (src, dst, weight) undirected weighted edges.  Grows
-    the cluster from ``seeds``: each round pulls the frontier's
-    out-edges (one join), keeps the top ``cand_per_round`` candidates
-    by attachment weight (the CAND_MAX_TIME truncation,
-    focusCO.cpp:247-257), admits those that lower weighted
-    conductance φ = wCut / wVol (:382-411), stops when no candidate
-    improves φ.  Returns {"cluster": [...], "phi": float, "rounds": n}.
-
-    Driver-side loop + joins: the per-round frontier is tiny (one
-    task's state in the reference), so candidate scoring happens in
-    one aggregated DataFrame per round.
-    """
-    spark = wedges.sparkSession
-    sym = (
-        wedges.select("src", "dst", "weight")
-        .unionByName(
-            wedges.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
-            )
-        )
-        .where(F.col("src") != F.col("dst"))
-        .dropDuplicates(["src", "dst"])
-        .persist()
-    )
-    total_vol = sym.agg(F.sum("weight")).first()[0]
-
-    cluster = set(int(s) for s in seeds)
-    phi = None
-    rounds = 0
-    for rounds in range(1, max_rounds + 1):
-        cl_df = spark.createDataFrame([(v,) for v in cluster], "id long")
-        touching = sym.join(F.broadcast(cl_df), sym.src == cl_df.id).select(
-            "src", "dst", "weight"
-        )
-        stats = touching.withColumn(
-            "internal", F.col("dst").isin([int(v) for v in cluster])
-        )
-        w_int = (
-            stats.where("internal").agg(F.coalesce(F.sum("weight"), F.lit(0.0))).first()[0]
-        )
-        w_cut = (
-            stats.where(~F.col("internal"))
-            .agg(F.coalesce(F.sum("weight"), F.lit(0.0)))
-            .first()[0]
-        )
-        vol = w_int + w_cut
-        phi = w_cut / vol if vol > 0 else 1.0
-
-        cand = (
-            stats.where(~F.col("internal"))
-            .groupBy("dst")
-            .agg(F.sum("weight").alias("attach"))
-            .orderBy(F.col("attach").desc(), F.col("dst").asc())
-            .limit(cand_per_round)
-            .collect()
-        )
-        # admit candidates that improve phi (greedy, deterministic order)
-        attach_out = {
-            r["dst"]: r["tot"]
-            for r in sym.join(
-                F.broadcast(
-                    spark.createDataFrame([(c["dst"],) for c in cand], "id long")
-                ),
-                sym.src == F.col("id"),
-            )
-            .groupBy(F.col("src").alias("dst"))
-            .agg(F.sum("weight").alias("tot"))
-            .collect()
-        }
-        admitted = False
-        for c in cand:
-            v, att = c["dst"], c["attach"]
-            tot = attach_out.get(v, att)
-            new_cut = w_cut - att + (tot - att)
-            new_vol = vol + tot
-            if new_vol > 0 and new_cut / new_vol < phi:
-                cluster.add(int(v))
-                admitted = True
-                break  # recompute stats next round
-        if not admitted:
-            break
-    sym.unpersist()
-    return {"cluster": sorted(cluster), "phi": float(phi), "rounds": rounds}

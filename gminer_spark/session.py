@@ -63,4 +63,40 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to the python workers (--py-files semantics).
+
+    Arrow-kernel closures (mapInPandas/applyInPandas) are pickled BY
+    REFERENCE to their defining module, so every worker must be able
+    to ``import gminer_spark`` — true on a cluster only because
+    spark-submit ships a zip.  Local sessions get the same guarantee
+    here: zip the live package source once per process and addPyFile
+    it, so a driver running from any cwd (or a notebook) works.
+    """
+    if getattr(spark, "_gminer_pyfiles_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"gminer_spark_pyfiles_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for fn in sorted(files):
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        arc = os.path.join(
+                            "gminer_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, arc)
+    spark.sparkContext.addPyFile(zip_path)
+    spark._gminer_pyfiles_shipped = True

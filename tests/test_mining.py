@@ -85,19 +85,6 @@ def test_attributed_communities(spark):
     assert all(len(c) >= 3 for c in rows)
 
 
-def test_focused_cluster(spark):
-    from gminer_spark.graph.mining import focused_cluster
-
-    # two heavy cliques joined by one light bridge; seed in clique A
-    a = [(i, j, 5.0) for i in range(1, 5) for j in range(1, 5) if i < j]
-    b = [(i, j, 5.0) for i in range(10, 14) for j in range(10, 14) if i < j]
-    bridge = [(4, 10, 0.1)]
-    w = spark.createDataFrame(a + b + bridge, "src long, dst long, weight double")
-    res = focused_cluster(w, seeds=[1, 2])
-    assert set(res["cluster"]) == {1, 2, 3, 4}
-    assert res["phi"] < 0.01
-
-
 def test_seed_egonets_shuffle_path_above_gate(spark):
     """Above the broadcast gate the egonet builder must NOT broadcast
     the O(|E|) key/closer tables (driver OOM at web scale): with the
