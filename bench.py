@@ -97,6 +97,17 @@ def main() -> None:
     cosine_topk(emb, list(range(10)), k=5).count()
     queries["ann_cosine"] = round(time.time() - t0, 3)
 
+    # task-kernel path (mining): time the exact contract queries so
+    # round-over-round regressions in the egonet builder / B&B kernels
+    # are visible (VERDICT r1 #9)
+    from gminer_spark.contract import build_queries
+
+    cq = build_queries()
+    for name in ("max_clique", "communities", "pattern_match", "focusco"):
+        t0 = time.time()
+        cq[name](spark, SF_DIR).count()
+        queries[name] = round(time.time() - t0, 3)
+
     total = round(sum(queries.values()), 3)
     pr_sec = queries["pagerank10"]
     out = {

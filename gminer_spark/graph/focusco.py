@@ -332,7 +332,19 @@ def _kernel(p: FocusCOParams):
                     "cluster": [],
                     "phi": 0.0,
                 }
-                out.append(_compute_round(task, adj, p))
+                task = _compute_round(task, adj, p)
+                # pull elision: a pull fetches FULL adjacency rows, so
+                # while the next round's needed set is already covered
+                # we can keep computing in-memory — same rounds, same
+                # data, minus the Spark round trip (typical win:
+                # contraction + termination rounds collapse into the
+                # last expansion's round)
+                while (
+                    not task["done"]
+                    and set(task["subg"]).union(task["cand"]) <= adj.keys()
+                ):
+                    task = _compute_round(task, adj, p)
+                out.append(task)
             yield pd.DataFrame(out, columns=_STATE_COLS)
 
     return run
@@ -343,6 +355,7 @@ def focused_clusters(
     params: FocusCOParams | None = None,
     seeds: list[int] | None = None,
     max_spark_rounds: int = 200,
+    hot_k: int = 1024,
 ) -> DataFrame:
     """All-seeds focused clustering -> (cluster, outlier, phi) rows.
 
@@ -357,6 +370,11 @@ def focused_clusters(
     the default is far above any observed convergence)."""
     p = params or FocusCOParams()
     adj = weighted_adjacency(wedges).persist()
+    # hub adjacency rows serve from a broadcast cache (the RefCache
+    # analog, core/ref_cache.hpp:17-60): split once, reuse every round
+    from gminer_spark.graph.refcache import cached_pull, split_adjacency
+
+    hot, cold, hot_ids = split_adjacency(adj, hot_k=hot_k)
 
     heavy = F.filter("adj", lambda x: x["w"] >= F.lit(float(p.min_weight)))
     state = (
@@ -396,7 +414,7 @@ def focused_clusters(
             "task_id", F.explode(F.array_union("subg", "cand")).alias("id")
         )
         pulled = (
-            needed.join(adj, on="id")
+            cached_pull(needed, hot, cold, hot_ids)
             .groupBy("task_id")
             .agg(
                 F.collect_list(

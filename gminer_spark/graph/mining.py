@@ -218,19 +218,89 @@ def max_clique(edges: DataFrame) -> tuple[int, list[int]]:
 # ---------------------------------------------------------------------------
 
 
+def _kernel_attr_clique(
+    seed_attrs: set, cands: list, eg_src, eg_dst, cand_attrs: dict, k: int
+) -> tuple[list[int], set]:
+    """Exact max attributed clique within one seed's candidate set.
+
+    The reference's CommunityTask::community B&B (community.cpp:249-313)
+    with the attribute narrowing done CORRECTLY per branch: adding a
+    member intersects the running common-attribute set with its
+    attributes and the branch dies when the intersection empties
+    (has_common_attr, :154-182 — note the C++ mutates com_attr_set
+    without restoring on backtrack, a hash-order-dependent quirk; we
+    keep it branch-local, which is the declared intent of the check).
+    Degree-descending expansion order is the reference's get_listR
+    (:188-204); the size bound prunes like its max_size check (:256).
+
+    Returns (members-of-best-inner-clique, final common attrs); []
+    when no clique of total size >= k exists.  Deterministic: fixed
+    expansion order, strict improvement keeps the first-found best.
+    """
+    ids = sorted(cands)
+    n = len(ids)
+    if n == 0 or n + 1 < k:
+        return [], set()
+    idx = {v: i for i, v in enumerate(ids)}
+    attrs = [frozenset(_aslist(cand_attrs.get(v))) & seed_attrs for v in ids]
+    adj = np.zeros((n, n), dtype=bool)
+    if eg_src is not None:
+        for a, b in zip(eg_src, eg_dst):
+            ia, ib = idx.get(a), idx.get(b)
+            if ia is not None and ib is not None:
+                adj[ia, ib] = adj[ib, ia] = True
+
+    order = np.argsort(-adj.sum(1), kind="stable")
+    compat0 = np.array([bool(a) for a in attrs])
+    best: list[int] = []
+    best_attrs: set = set()
+    best_size = max(0, k - 2)  # inner clique must reach k-1 members
+
+    def expand(current: list[int], common: frozenset, mask: np.ndarray) -> None:
+        nonlocal best, best_attrs, best_size
+        if not mask.any():
+            if len(current) > best_size:
+                best_size = len(current)
+                best = current[:]
+                best_attrs = set(common)
+            return
+        if len(current) + int(mask.sum()) <= best_size:
+            return
+        for v in order:
+            if not mask[v]:
+                continue
+            mask[v] = False
+            new_common = common & attrs[v]
+            if not new_common:
+                continue
+            nxt = mask & adj[v]
+            if new_common != common and nxt.any():
+                keep = np.array(
+                    [bool(attrs[i] & new_common) for i in range(n)]
+                )
+                nxt = nxt & keep
+            expand(current + [int(v)], new_common, nxt)
+
+    expand([], frozenset(seed_attrs), compat0.copy())
+    return [ids[i] for i in best], best_attrs
+
+
 def attributed_communities(
     edges: DataFrame, attrs: DataFrame, k: int = 3
 ) -> DataFrame:
-    """Communities = cliques of size >= k whose members share >= 1
-    attribute (community.cpp semantics: max clique + attribute-set
-    intersection, :99-132,170-177).
+    """Communities = max cliques of size >= k whose members share >= 1
+    attribute — the reference's CD app (community.cpp): per-seed exact
+    B&B over the id-oriented candidate ego-net with an attribute-set
+    intersection constraint (:249-313), seed gate = enough candidates
+    and a non-empty attribute vector (:373-401), results deduplicated
+    CountAgg-style (:106-112).
 
     ``attrs``: (id, attr) one row per attribute value.  Returns
-    (community:array<long>, shared_attr) rows, deduplicated, each
-    community reported at its minimum-rank seed.  Maximality is per
-    seed ego-net (the reference's task granularity).
+    (community:array<long>, shared_attr) rows, each community the
+    EXACT maximum attributed clique of some seed's ego-net, reported
+    at its minimum-rank member and deduplicated.  ``shared_attr`` is
+    the smallest of the final common attributes (deterministic).
     """
-    spark = edges.sparkSession
     egonets = _seed_egonets(edges)
     attr_map = attrs.groupBy("id").agg(F.collect_set("attr").alias("attr_set"))
     with_attrs = egonets.join(
@@ -255,42 +325,20 @@ def attributed_communities(
         out = []
         for _, r in pdf.iterrows():
             seed_attrs = set(_aslist(r["attr_set"]))
-            if not seed_attrs:
+            if not seed_attrs:  # create_task gate (community.cpp:386-387)
                 continue
-            cmap = r["cand_attrs"] or {}
+            cmap = r["cand_attrs"] if r["cand_attrs"] is not None else {}
             cands = [
                 c
                 for c in _aslist(r["cands"])
                 if seed_attrs & set(_aslist(cmap.get(c)))
             ]
-            if len(cands) + 1 < k:
-                continue
-            ids = sorted(cands)
-            idx = {v: i for i, v in enumerate(ids)}
-            n = len(ids)
-            adj = np.zeros((n, n), dtype=bool)
-            if r["eg_src"] is not None:
-                for a, b in zip(r["eg_src"], r["eg_dst"]):
-                    ia, ib = idx.get(a), idx.get(b)
-                    if ia is not None and ib is not None:
-                        adj[ia, ib] = adj[ib, ia] = True
-            # greedy attributed clique: extend while an attr stays shared
-            members = [int(r["u"])]
-            shared = set(seed_attrs)
-            mask = np.ones(n, dtype=bool)
-            for v in np.argsort(-adj.sum(1), kind="stable"):
-                if not mask[v]:
-                    continue
-                nxt = shared & set(_aslist(cmap.get(ids[v])))
-                if not nxt:
-                    continue
-                members.append(int(ids[v]))
-                shared = nxt
-                mask &= adj[v]
+            inner, common = _kernel_attr_clique(
+                seed_attrs, cands, r["eg_src"], r["eg_dst"], cmap, k
+            )
+            members = sorted([int(r["u"])] + [int(x) for x in inner])
             if len(members) >= k:
-                out.append(
-                    (sorted(members), sorted(shared)[0] if shared else None)
-                )
+                out.append((members, min(common) if common else None))
         return pd.DataFrame(out, columns=["community", "shared_attr"])
 
     res = full.mapInPandas(lambda it: (run(pdf) for pdf in it), schema)

@@ -41,6 +41,7 @@ def voronoi_blocks(
     max_vc_size: int | None = None,
     factor: float = 2.0,
     max_rate: float = 0.5,
+    stop_ratio: float = 0.9,
     seed: int = 42,
 ) -> DataFrame:
     """(id, block) — Voronoi cells + hash-min CC for the remainder.
@@ -48,8 +49,14 @@ def voronoi_blocks(
     Colors flood from sampled seeds for ``max_hop`` supersteps; cells
     larger than ``max_vc_size`` are dissolved and the next round
     re-seeds the uncolored region at ``rate × factor`` (capped at
-    ``max_rate``); whatever remains uncolored becomes hash-min CC
-    blocks (block id offset so the two namespaces cannot collide).
+    ``max_rate``); sampling also gives up early when a round shrinks
+    the uncolored set by too little —
+    ``#{uncolored this round}/#{uncolored last round} > stop_ratio``
+    (the reference's global_stop_ratio, default 0.9:
+    partition/BGlobal.cpp:27-31, check at round entry
+    BPartitioner.tpp:378-386).  Whatever remains uncolored becomes
+    hash-min CC blocks (block id offset so the two namespaces cannot
+    collide).
     """
     sym = tables.symmetrize(edges).persist()
     verts = tables.vertices(sym)
@@ -60,6 +67,7 @@ def voronoi_blocks(
     # colored: (id, block) — grows across rounds; uncolored: (id)
     colored = None
     uncolored = verts
+    last_uncolored = n  # reference inits lastNum = |V| (BPartitioner.tpp:353)
     rate = sample_rate
     round_no = 0
     while rate <= max_rate:
@@ -93,8 +101,14 @@ def voronoi_blocks(
         colored = newly if colored is None else colored.unionByName(newly)
         colored = colored.localCheckpoint()
         uncolored = verts.join(colored.select("id"), on="id", how="left_anti")
-        if uncolored.isEmpty():
+        n_uncolored = uncolored.count()
+        if n_uncolored == 0:
             break
+        # insufficient shrinkage: hand the rest to hash-min now
+        # (BPartitioner.tpp:378-386, ratio > global_stop_ratio)
+        if n_uncolored / last_uncolored > stop_ratio:
+            break
+        last_uncolored = n_uncolored
         rate *= factor
 
     leftover = uncolored

@@ -85,6 +85,89 @@ def test_attributed_communities(spark):
     assert all(len(c) >= 3 for c in rows)
 
 
+def test_attributed_communities_greedy_trap(spark):
+    """The exact B&B must NOT fall for the greedy trap: seed 1's
+    highest-degree compatible neighbor (2, attr x+y, degree 4) leads
+    to a size-3 x-clique, while the maximum attributed clique through
+    1 is the size-4 y-clique {1,3,4,5}.  A one-shot greedy extension
+    keyed on degree picks 2 first and narrows to x."""
+    from gminer_spark.graph.mining import attributed_communities
+
+    y4 = [(i, j) for i in (1, 3, 4, 5) for j in (1, 3, 4, 5) if i < j]
+    x3 = [(1, 2), (2, 6), (1, 6), (2, 7), (2, 8)]
+    attrs = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (6, "x")]
+        + [(v, "y") for v in (3, 4, 5)]
+        + [(7, "z"), (8, "z")],
+        "id long, attr string",
+    )
+    res = attributed_communities(edges_df(spark, y4 + x3), attrs, k=3)
+    rows = {tuple(r["community"]) for r in res.collect()}
+    assert (1, 3, 4, 5) in rows
+
+
+def _bk_max_attr_clique(pairs, attr_rows, k):
+    """Brute-force oracle: the GLOBAL max attributed-clique size =
+    max over attribute values a of the max clique in G[{v: a in
+    attrs(v)}] (any clique sharing >= 1 attribute is a clique of some
+    attribute-induced subgraph)."""
+    from collections import defaultdict
+
+    attrs = defaultdict(set)
+    for v, a in attr_rows:
+        attrs[v].add(a)
+    best = 0
+    for a in {x for s in attrs.values() for x in s}:
+        keep = {v for v in attrs if a in attrs[v]}
+        sub = [(s, d) for s, d in pairs if s in keep and d in keep]
+        if sub:
+            size, _ = bron_kerbosch_max(sub)
+            best = max(best, size)
+    return best if best >= k else 0
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_attributed_communities_exact_vs_bruteforce(spark, seed):
+    """Random attributed graphs: every engine community is a valid
+    attribute-sharing clique, and the engine's max community size
+    equals the brute-force global max attributed-clique size."""
+    import random
+
+    rng = random.Random(seed)
+    pairs = random_graph(n=30, p=0.25, seed=seed, directed=False)
+    verts = sorted({v for e in pairs for v in e})
+    attr_rows = [
+        (v, a) for v in verts for a in "pqr" if rng.random() < 0.55
+    ]
+    from gminer_spark.graph.mining import attributed_communities
+
+    k = 3
+    res = attributed_communities(
+        edges_df(spark, pairs),
+        spark.createDataFrame(attr_rows, "id long, attr string"),
+        k=k,
+    ).collect()
+    es = {(min(a, b), max(a, b)) for a, b in pairs}
+    from collections import defaultdict
+
+    attrs = defaultdict(set)
+    for v, a in attr_rows:
+        attrs[v].add(a)
+    got_max = 0
+    for r in res:
+        c = list(r["community"])
+        got_max = max(got_max, len(c))
+        assert len(c) >= k
+        # valid clique
+        for i, a in enumerate(c):
+            for b in c[i + 1 :]:
+                assert (a, b) in es
+        # genuinely shares >= 1 attribute, and shared_attr is one of them
+        common = set.intersection(*(attrs[v] for v in c))
+        assert common and r["shared_attr"] in common
+    assert got_max == _bk_max_attr_clique(pairs, attr_rows, k)
+
+
 def test_seed_egonets_shuffle_path_above_gate(spark):
     """Above the broadcast gate the egonet builder must NOT broadcast
     the O(|E|) key/closer tables (driver OOM at web scale): with the

@@ -21,7 +21,11 @@ def test_partition_complete_and_balanced(spark):
     from gminer_spark.graph.partitioning import partition_graph
 
     edges = edges_df(spark, caveman())
-    asg = partition_graph(edges, n_workers=4, max_vc_size=20)
+    # stop_ratio=1.0: on this 64-vertex toy the reference default (0.9)
+    # legitimately abandons sampling after round 1 (dissolved oversized
+    # cells leave >90% uncolored) and hash-min yields ONE connected
+    # block — balance needs the multi-round sampling path.
+    asg = partition_graph(edges, n_workers=4, max_vc_size=20, stop_ratio=1.0)
     rows = asg.collect()
     assert len(rows) == 64  # every vertex assigned exactly once
     assert len({r["id"] for r in rows}) == 64
@@ -42,7 +46,7 @@ def test_bdg_beats_hash_on_community_graph(spark):
     edges = edges_df(spark, caveman())
     hash_ratio = cross_edge_ratio(edges, hash_partitioning(edges, 4))
     bdg_ratio = cross_edge_ratio(
-        edges, partition_graph(edges, 4, max_vc_size=20)
+        edges, partition_graph(edges, 4, max_vc_size=20, stop_ratio=1.0)
     )
     # hash scatters cliques (~75% cross); locality blocks keep them together
     assert bdg_ratio < hash_ratio
@@ -53,11 +57,36 @@ def test_partitioning_deterministic(spark):
     from gminer_spark.graph.partitioning import partition_graph
 
     edges = edges_df(spark, caveman())
-    a = {r["id"]: r["wid"] for r in partition_graph(edges, 4, max_vc_size=20).collect()}
+    a = {r["id"]: r["wid"] for r in partition_graph(edges, 4, max_vc_size=20, stop_ratio=1.0).collect()}
     b = {
         r["id"]: r["wid"]
         for r in partition_graph(
-            edges.repartition(7), 4, max_vc_size=20
+            edges.repartition(7), 4, max_vc_size=20, stop_ratio=1.0
         ).collect()
     }
     assert a == b
+
+def test_voronoi_stop_ratio_knob(spark):
+    """stop_ratio parity (BGlobal.cpp:27-31): a stop_ratio of 0 stops
+    Voronoi sampling after the first round (any nonzero leftover fails
+    ratio > 0), so the remainder lands in the hash-min CC namespace
+    (block >= 2^40); the permissive default keeps sampling and colors
+    strictly more vertices in Voronoi cells."""
+    from gminer_spark.graph.partitioning import voronoi_blocks
+
+    edges = edges_df(spark, caveman())
+
+    def cc_namespace_count(stop_ratio):
+        rows = voronoi_blocks(
+            edges,
+            sample_rate=0.02,  # ~1 seed: round 1 leaves most uncolored
+            max_hop=1,
+            max_vc_size=20,
+            stop_ratio=stop_ratio,
+        ).collect()
+        assert len(rows) == 64  # complete either way
+        return sum(1 for r in rows if r["block"] >= 2**40)
+
+    eager_stop = cc_namespace_count(0.0)
+    keep_going = cc_namespace_count(1.0)
+    assert eager_stop > keep_going
