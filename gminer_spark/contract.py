@@ -80,6 +80,8 @@ def _doc(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 PR_ITERS = 15
 LPA_ITERS = 3
+KCORE_K = 80
+KCORE_ITERS = 8  # sf0.01 converges in 5 peel rounds; margin for safety
 
 
 def _materialize(cte: str) -> str:
@@ -235,6 +237,33 @@ def build_queries() -> dict[str, QueryFn]:
         return label_propagation(_edges(s, d), num_iter=LPA_ITERS).state
 
     q["lpa_labels"] = lpa_labels
+
+    def kcore(s, d):
+        """k-core by iterative degree peeling (the reference's degree
+        seed-filters, e.g. trianglecount.cpp:139-140, run to fixpoint).
+        k=80 actually peels at sf0.01 (5 rounds, 2000 -> 1857);
+        KCORE_ITERS caps both engine and oracle — peeling is idempotent
+        past the fixpoint, so the capped runs agree exactly."""
+        from gminer_spark.graph.kcore import k_core
+
+        return k_core(_edges(s, d), k=KCORE_K, max_iter=KCORE_ITERS)
+
+    q["kcore"] = kcore
+
+    def motif_open_wedges(s, d):
+        """Motif API (GM-app generalization): per-center count of OPEN
+        wedges a-b-c with no closing a-c edge — positive chaining plus
+        a negated term, compiled to a Catalyst join chain."""
+        from gminer_spark.graph.motif import find
+
+        res = find(_edges(s, d), "(a)-(b); (b)-(c); !(a)-(c)")
+        return (
+            res.where(F.col("a") < F.col("c"))
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.count("*").alias("open_wedges"))
+        )
+
+    q["motif_open_wedges"] = motif_open_wedges
 
     # -- 4. join patterns (SURVEY §2.3) -------------------------------------
     def vertex_pull(s, d):
@@ -727,6 +756,22 @@ SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id
     o["pagerank_blocked_micro"] = pagerank_oracle_sql()
     o["cc_components"] = CC_ORACLE_SQL
     o["lpa_labels"] = lpa_oracle_sql()
+
+    from gminer_spark.graph.kcore import kcore_oracle_sql
+
+    o["kcore"] = kcore_oracle_sql(EDGES_CTE, k=KCORE_K, iters=KCORE_ITERS)
+
+    o["motif_open_wedges"] = f"""
+WITH {EDGES_CTE.strip()}, {SYM_CTE.strip()}
+SELECT b AS id, COUNT(*) AS open_wedges
+FROM (
+    SELECT s1.src AS a, s1.dst AS b, s2.dst AS c
+    FROM sym s1 JOIN sym s2 ON s2.src = s1.dst
+    WHERE s1.src < s2.dst
+      AND NOT EXISTS (
+          SELECT 1 FROM sym e WHERE e.src = s1.src AND e.dst = s2.dst)
+) GROUP BY b
+"""
 
     o["vertex_pull"] = f"""
 WITH {EDGES_CTE.strip()}, {SYM_CTE.strip()},

@@ -355,7 +355,7 @@ def focused_clusters(
     params: FocusCOParams | None = None,
     seeds: list[int] | None = None,
     max_spark_rounds: int = 200,
-    hot_k: int = 1024,
+    hot_k: int = 0,
 ) -> DataFrame:
     """All-seeds focused clustering -> (cluster, outlier, phi) rows.
 
@@ -370,8 +370,12 @@ def focused_clusters(
     the default is far above any observed convergence)."""
     p = params or FocusCOParams()
     adj = weighted_adjacency(wedges).persist()
-    # hub adjacency rows serve from a broadcast cache (the RefCache
-    # analog, core/ref_cache.hpp:17-60): split once, reuse every round
+    # hot_k > 0 serves hub adjacency rows from a broadcast cache (the
+    # RefCache analog, core/ref_cache.hpp:17-60): split once, reuse
+    # every round.  Default OFF: on a single box with tmpfs shuffle the
+    # split's extra request scans measurably outweigh the saved hub
+    # wire-crossings (tools/refcache_bench.py: 0.32x at 1M requests) —
+    # it is a network-bound-cluster knob, not a local one (BENCH.md).
     from gminer_spark.graph.refcache import cached_pull, split_adjacency
 
     hot, cold, hot_ids = split_adjacency(adj, hot_k=hot_k)
