@@ -103,18 +103,23 @@ def main() -> None:
     from gminer_spark.contract import build_queries
 
     cq = build_queries()
+    mining = {}
     for name in ("max_clique", "communities", "pattern_match", "focusco"):
         t0 = time.time()
         cq[name](spark, SF_DIR).count()
-        queries[name] = round(time.time() - t0, 3)
+        mining[name] = round(time.time() - t0, 3)
 
+    # "value" stays the round-1 8-query headline total so rounds are
+    # comparable; the task-kernel queries are timed separately
     total = round(sum(queries.values()), 3)
     pr_sec = queries["pagerank10"]
+    queries.update(mining)
     out = {
         "metric": "bench_total",
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "mining_total": round(sum(mining.values()), 3),
         "sf": SF_DIR,
         "cpus": CPUS,
         "n_edges": n_edges,

@@ -82,6 +82,8 @@ PR_ITERS = 15
 LPA_ITERS = 3
 KCORE_K = 80
 KCORE_ITERS = 8  # sf0.01 converges in 5 peel rounds; margin for safety
+KTRUSS_K = 12
+KTRUSS_ITERS = 7  # sf0.01 converges in 4 support-peel rounds; margin
 
 
 def _materialize(cte: str) -> str:
@@ -264,6 +266,17 @@ def build_queries() -> dict[str, QueryFn]:
         )
 
     q["motif_open_wedges"] = motif_open_wedges
+
+    def ktruss(s, d):
+        """k-truss by triangle-support peeling (oriented TC enumeration
+        per round).  k=12 really peels at sf0.01 (4 rounds,
+        115729 -> 1127 edges); KTRUSS_ITERS caps engine and oracle
+        alike — idempotent past the fixpoint."""
+        from gminer_spark.graph.ktruss import k_truss
+
+        return k_truss(_edges(s, d), k=KTRUSS_K, max_iter=KTRUSS_ITERS)
+
+    q["ktruss"] = ktruss
 
     # -- 4. join patterns (SURVEY §2.3) -------------------------------------
     def vertex_pull(s, d):
@@ -760,6 +773,10 @@ SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id
     from gminer_spark.graph.kcore import kcore_oracle_sql
 
     o["kcore"] = kcore_oracle_sql(EDGES_CTE, k=KCORE_K, iters=KCORE_ITERS)
+
+    from gminer_spark.graph.ktruss import ktruss_oracle_sql
+
+    o["ktruss"] = ktruss_oracle_sql(EDGES_CTE, k=KTRUSS_K, iters=KTRUSS_ITERS)
 
     o["motif_open_wedges"] = f"""
 WITH {EDGES_CTE.strip()}, {SYM_CTE.strip()}

@@ -71,6 +71,35 @@ def split_adjacency(
     return hot, cold, hot_ids
 
 
+def minhash_task_order(
+    tasks: DataFrame, set_col: str, num_hashes: int = 4
+) -> DataFrame:
+    """Range-partition tasks by the minhash signature of their request
+    set — GMiner's task_sorter (core/task_sorter.tpp:16-39): tasks that
+    pull similar vertex sets become neighbors, so a worker's cache (or
+    here, an executor partition's pulled rows / Arrow batch) gets
+    maximal reuse.  Signatures are md5-derived (functions.h32), all
+    JVM-side; adds ``num_hashes`` signature columns ``mh0..mh{n-1}``
+    and returns the table range-partitioned by them."""
+    from gminer_spark.functions import h32
+
+    out = tasks
+    sig_cols = []
+    for i in range(num_hashes):
+        col = f"mh{i}"
+        out = out.withColumn(
+            col,
+            F.array_min(
+                F.transform(
+                    F.col(set_col),
+                    lambda x, i=i: h32(F.concat(F.lit(f"mh{i}:"), x)),
+                )
+            ),
+        )
+        sig_cols.append(col)
+    return out.repartitionByRange(*sig_cols)
+
+
 def cached_pull(
     requests: DataFrame,
     hot: DataFrame | None,

@@ -66,3 +66,24 @@ def test_hot_slice_is_broadcast_and_budget_capped(spark):
     assert none_hot is None and ids0 == []
     assert cached_pull(requests, none_hot, all_cold, ids0).count() == adj.count()
     adj.unpersist()
+
+
+def test_minhash_task_order_preserves_rows(spark):
+    """Task signing is pure routing: same rows, similar request sets
+    get identical signatures (so they co-locate under range
+    partitioning), disjoint sets get different ones."""
+    from gminer_spark.graph.refcache import minhash_task_order
+
+    tasks = spark.createDataFrame(
+        [
+            (1, [10, 11, 12, 13]),
+            (2, [10, 11, 12, 13]),  # identical request set as task 1
+            (3, [900, 901, 902]),
+        ],
+        "task_id long, req array<long>",
+    )
+    out = minhash_task_order(tasks, "req", num_hashes=4)
+    rows = {r["task_id"]: (r["mh0"], r["mh1"], r["mh2"], r["mh3"]) for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
