@@ -34,27 +34,65 @@ CSR_SCHEMA = (
 )
 
 
+def dense_block_map(block_map: DataFrame) -> DataFrame:
+    """(id, block:int) — remap arbitrary block labels (e.g. the Voronoi
+    partitioner's offset namespaces) to dense ints, deterministically
+    (dense_rank over label)."""
+    from pyspark.sql import Window
+
+    labels = block_map.select(F.col("block").alias("label")).distinct()
+    dense = labels.withColumn(
+        "block",
+        (F.dense_rank().over(Window.orderBy("label")) - 1).cast("int"),
+    )
+    return block_map.select("id", F.col("block").alias("label")).join(
+        dense, on="label"
+    ).select("id", "block")
+
+
 def build_csr_blocks(
-    edges: DataFrame, n_blocks: int = 32, all_vertices: DataFrame | None = None
+    edges: DataFrame,
+    n_blocks: int = 32,
+    all_vertices: DataFrame | None = None,
+    block_map: DataFrame | None = None,
 ) -> DataFrame:
     """Build CSR blocks from directed ``edges(src, dst)``.
 
     ``all_vertices`` (optional ``id`` column) forces rows for vertices
     with no out-edges (empty adjacency) so downstream state arrays are
     complete — the dangling vertices PageRank must still hold rank for.
+
+    ``block_map`` (optional ``(id, block:int)``) overrides the default
+    ``pmod(id, n_blocks)`` ownership with data-driven locality blocks
+    (the BDG partitioner's output, graph/partitioning.py) — the analog
+    of the reference's owner-annotated adjacency format
+    (partition/BDGPartitioner.tpp:339-350).  Every vertex must appear
+    in the map.
     """
-    e = edges.select(
-        F.pmod(F.col("src"), F.lit(n_blocks)).cast("int").alias("block_id"),
-        "src",
-        "dst",
-    )
+    if block_map is None:
+        e = edges.select(
+            F.pmod(F.col("src"), F.lit(n_blocks)).cast("int").alias("block_id"),
+            "src",
+            "dst",
+        )
+    else:
+        e = edges.join(
+            block_map.withColumnRenamed("id", "src"), on="src"
+        ).select(F.col("block").cast("int").alias("block_id"), "src", "dst")
     if all_vertices is None:
         all_vertices = tables.vertices(edges)
-    verts = all_vertices.select(
-        F.pmod(F.col("id"), F.lit(n_blocks)).cast("int").alias("block_id"),
-        F.col("id").alias("src"),
-        F.lit(None).cast("long").alias("dst"),
-    )
+    if block_map is None:
+        verts = all_vertices.select(
+            F.pmod(F.col("id"), F.lit(n_blocks)).cast("int").alias("block_id"),
+            F.col("id").alias("src"),
+            F.lit(None).cast("long").alias("dst"),
+        )
+    else:
+        verts = all_vertices.join(block_map, on="id").select(
+            F.col("block").cast("int").alias("block_id"),
+            F.col("id").alias("src"),
+            F.lit(None).cast("long").alias("dst"),
+        )
 
     def to_csr(pdf: pd.DataFrame) -> pd.DataFrame:
         block_id = int(pdf["block_id"].iloc[0])
@@ -98,6 +136,7 @@ def pagerank_blocked(
     tol: float = 1e-6,
     max_iter: int = 100,
     num_iter: int | None = None,
+    block_map: DataFrame | None = None,
 ) -> DataFrame:
     """Blocked PageRank: per-block numpy gather-scatter kernels.
 
@@ -112,7 +151,11 @@ def pagerank_blocked(
     Returns the converged ``(id, rank)`` DataFrame.
     """
     spark = edges.sparkSession
-    blocks = build_csr_blocks(edges, n_blocks=n_blocks).persist()
+    if block_map is not None:
+        block_map = block_map.persist()
+    blocks = build_csr_blocks(
+        edges, n_blocks=n_blocks, block_map=block_map
+    ).persist()
     n = int(blocks.agg(F.sum(F.size("vids"))).first()[0])
     teleport = (1.0 - damping) / n
 
@@ -173,14 +216,24 @@ def pagerank_blocked(
             ).alias("_dmass")
         )
 
-        gathered = (
-            contribs.where(F.col("dst") >= 0)
-            .select(
+        real = contribs.where(F.col("dst") >= 0)
+        if block_map is None:
+            # ownership is a pure function of the id — no lookup table,
+            # like the reference's DefaultHash (BVertex.tpp:6-13)
+            gathered = real.select(
                 F.pmod(F.col("dst"), F.lit(n_blocks)).cast("int").alias("block_id"),
                 "dst",
                 "contrib",
             )
-        )
+        else:
+            # data-driven ownership: one post-combine join per superstep
+            # against the (persisted) block map — the contribs table is
+            # already collapsed to O(distinct dst), not O(edges)
+            gathered = real.join(
+                block_map.withColumnRenamed("id", "dst"), on="dst"
+            ).select(
+                F.col("block").cast("int").alias("block_id"), "dst", "contrib"
+            )
 
         def gather(key, state_pdf, contrib_pdf) -> pd.DataFrame:
             (block_id,) = key
@@ -228,6 +281,8 @@ def pagerank_blocked(
             state = new_state
 
     blocks.unpersist()
+    if block_map is not None:
+        block_map.unpersist()
     return state.select(
         F.explode(F.arrays_zip("vids", "ranks")).alias("z")
     ).select(F.col("z.vids").alias("id"), F.col("z.ranks").alias("rank"))
