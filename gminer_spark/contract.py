@@ -500,6 +500,36 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["pagerank_blocked_micro"] = pagerank_blocked_micro
 
+    def pagerank_locality_micro(s, d):
+        """Blocked PageRank over BDG/Voronoi locality blocks (the
+        owner-annotated-format analog, BDGPartitioner.tpp:339-350) —
+        same fixpoint, so it shares the unrolled-SQL oracle; validates
+        the data-driven-ownership routing end to end."""
+        from gminer_spark.graph.csr import pagerank_blocked
+        from gminer_spark.graph.partitioning import partition_graph
+
+        edges = _edges(s, d)
+        # the full BDG flow: Voronoi cells -> greedy worker assignment
+        # (KDD'13 strategy 4) -> 16 locality blocks.  Aggressive
+        # sampling + shallow flood keeps the partitioning pass cheap;
+        # block QUALITY is irrelevant to correctness.
+        bm = partition_graph(
+            edges,
+            n_workers=16,
+            sample_rate=0.2,
+            max_hop=2,
+            max_vc_size=10**9,
+            stop_ratio=1.0,
+        ).select("id", F.col("wid").cast("int").alias("block"))
+        res = pagerank_blocked(
+            edges, n_blocks=16, num_iter=PR_ITERS, block_map=bm
+        )
+        return res.select(
+            "id", F.round(F.col("rank") * 1e6, 0).cast("long").alias("rank_micro")
+        )
+
+    q["pagerank_locality_micro"] = pagerank_locality_micro
+
     def focusco_q(s, d):
         """Focused clustering (GC/FocusCO app at full parity:
         expand/contract/dual-phi/outliers, focusCO.cpp:162-343) on the
@@ -767,6 +797,7 @@ SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id
 
     o["pagerank_micro"] = pagerank_oracle_sql()
     o["pagerank_blocked_micro"] = pagerank_oracle_sql()
+    o["pagerank_locality_micro"] = pagerank_oracle_sql()
     o["cc_components"] = CC_ORACLE_SQL
     o["lpa_labels"] = lpa_oracle_sql()
 

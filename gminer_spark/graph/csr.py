@@ -152,9 +152,21 @@ def pagerank_blocked(
     """
     spark = edges.sparkSession
     if block_map is not None:
-        block_map = block_map.persist()
+        # keyed by the per-superstep join key (dst) and persisted, so
+        # every superstep shuffles only the (combined, small) contribs
+        # side; under the broadcast gate it is map-side entirely
+        block_map = (
+            block_map.withColumnRenamed("id", "dst")
+            .repartition(tables.shuffle_partitions(spark), "dst")
+            .persist()
+        )
+        n_map = block_map.count()
     blocks = build_csr_blocks(
-        edges, n_blocks=n_blocks, block_map=block_map
+        edges,
+        n_blocks=n_blocks,
+        block_map=(
+            block_map.withColumnRenamed("dst", "id") if block_map is not None else None
+        ),
     ).persist()
     n = int(blocks.agg(F.sum(F.size("vids"))).first()[0])
     teleport = (1.0 - damping) / n
@@ -226,11 +238,13 @@ def pagerank_blocked(
                 "contrib",
             )
         else:
-            # data-driven ownership: one post-combine join per superstep
-            # against the (persisted) block map — the contribs table is
-            # already collapsed to O(distinct dst), not O(edges)
+            # data-driven ownership: one post-combine lookup per
+            # superstep — broadcast under the gate, else a join where
+            # only the O(distinct dst) contribs side shuffles
+            from gminer_spark.graph.triangles import gated_broadcast
+
             gathered = real.join(
-                block_map.withColumnRenamed("id", "dst"), on="dst"
+                gated_broadcast(block_map, n_map), on="dst"
             ).select(
                 F.col("block").cast("int").alias("block_id"), "dst", "contrib"
             )
