@@ -684,6 +684,19 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["ann_lsh"] = ann_lsh  # rows-only: recall < 1 by construction
 
+    def ann_ivf(s, d):
+        """IVF ANN (the brief's named scale path): deterministic
+        k-means cells as the inverted index, n_probe nearest cells per
+        query, exact cosine re-rank.  Recall-tested vs brute force in
+        pytest (test_corpus_ops)."""
+        from gminer_spark.sim.ann import ann_ivf_topk
+
+        return ann_ivf_topk(
+            _doc(s, d, "embeddings"), list(range(10)), k=5, n_cells=16, n_probe=4
+        )
+
+    q["ann_ivf"] = ann_ivf  # rows-only: recall < 1 by construction
+
     def dedup_embedding(s, d):
         from gminer_spark.sim.ann import embedding_near_dups
 
@@ -748,6 +761,25 @@ def build_queries() -> dict[str, QueryFn]:
         )
 
     q["events_sessions"] = events_sessions
+
+    def events_dedup(s, d):
+        """Retry-collapse dedup: earliest event per (user, type, hour)
+        — the at-least-once ingest repair; streaming twin is
+        dropDuplicatesWithinWatermark (tested batch≡semantics)."""
+        from gminer_spark.streaming.events import dedup_events
+
+        s.conf.set("spark.sql.session.timeZone", "UTC")  # oracle parity
+
+        de = dedup_events(_doc(s, d, "events"), granularity="hour")
+        return de.select(
+            "user_id",
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_id",
+            F.round("value", 4).alias("value"),
+        )
+
+    q["events_dedup"] = events_dedup
 
     return q
 
@@ -1124,6 +1156,19 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
        event_type, COUNT(*) AS n,
        ROUND(ROUND(SUM(value), 6), 4) AS total_value
 FROM events GROUP BY 1, 2
+"""
+
+    o["events_dedup"] = """
+WITH ranked AS (
+    SELECT user_id, event_type, date_trunc('hour', ts) AS b, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, event_type,
+                                           date_trunc('hour', ts)
+                              ORDER BY ts, event_id) AS rn
+    FROM events)
+SELECT user_id, event_type,
+       strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket,
+       event_id, ROUND(value, 4) AS value
+FROM ranked WHERE rn = 1
 """
 
     o["events_sessions"] = """

@@ -130,3 +130,39 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.count("*").alias("n_events"),
     )
+
+
+def dedup_events(events: DataFrame, granularity: str = "hour") -> DataFrame:
+    """Batch retry-collapse dedup: keep the EARLIEST event per
+    (user_id, event_type, time bucket) — the at-least-once-delivery
+    repair step of an event-ingest pipeline.  Deterministic winner:
+    min (ts, event_id) per key, expressed as a window rank so a SQL
+    oracle reproduces it exactly."""
+    bucket = F.date_trunc(granularity, F.col("ts"))
+    w = Window.partitionBy("user_id", "event_type", bucket).orderBy(
+        "ts", "event_id"
+    )
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def dedup_events_stream(
+    events_stream: DataFrame,
+    granularity: str = "hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming form: ``dropDuplicatesWithinWatermark`` on the same
+    key — state for a key is dropped once the watermark passes it, so
+    state size is bounded by (keys per watermark window), not by
+    stream length.  Keeps the FIRST ARRIVAL per key (streaming cannot
+    know the globally-earliest event); the batch form is the
+    deterministic replay repair."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .withColumn("bucket", F.date_trunc(granularity, F.col("ts")))
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "bucket"])
+        .drop("bucket")
+    )

@@ -245,3 +245,35 @@ def test_embedding_near_dups_lsh_path(spark):
     assert len(exact_pairs) >= 100  # the planted dups are found by exact
     recall = len(lsh_pairs & exact_pairs) / len(exact_pairs)
     assert recall >= 0.8
+
+
+def test_ann_ivf_recall_and_determinism(spark):
+    """IVF = deterministic k-means cells + n_probe search + exact
+    re-rank: on well-clustered data every query's true neighbors live
+    in its nearest cells, so recall should be high; identical output
+    under different input partitioning (md5 seeding, rounded
+    centroids)."""
+    from gminer_spark.sim.ann import ann_ivf_topk, cosine_topk
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(5, 16)) * 4
+    vecs = np.vstack([c + rng.normal(size=(20, 16)) * 0.3 for c in centers])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], 0) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>, label int",
+    )
+    exact = {}
+    for r in cosine_topk(emb, [0, 20, 40], k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    rows1 = ann_ivf_topk(emb, [0, 20, 40], k=5, n_cells=8, n_probe=2).collect()
+    for r in rows1:
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(exact[q] & approx.get(q, set())) / 5 for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.8
+
+    rows2 = ann_ivf_topk(
+        emb.repartition(13), [0, 20, 40], k=5, n_cells=8, n_probe=2
+    ).collect()
+    norm = lambda rows: {(r["query_id"], r["neighbor_id"], r["cos"]) for r in rows}
+    assert norm(rows1) == norm(rows2)

@@ -125,3 +125,57 @@ def test_sessionize(spark):
         for r in sessionize(df, gap_minutes=30).collect()
     }
     assert got == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_dedup_events_batch_earliest_wins(spark):
+    from gminer_spark.streaming.events import dedup_events
+
+    rows = events_rows()
+    # inject retries: duplicates of event 0 later in the same hour
+    t0 = rows[0][1]
+    rows += [
+        (1000, t0 + dt.timedelta(seconds=30), 0, "view", 999.0, "{}"),
+        (1001, t0 + dt.timedelta(minutes=5, seconds=30), 0, "view", 999.0, "{}"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = dedup_events(df, granularity="hour").collect()
+    keys = {}
+    for r in got:
+        k = (r["user_id"], r["event_type"], r["ts"].replace(minute=0, second=0))
+        assert k not in keys  # one row per key
+        keys[k] = r
+    # earliest event of the retried key wins (event_id 0, value 0.0)
+    winner = keys[(0, "view", t0.replace(minute=0, second=0))]
+    assert winner["event_id"] == 0 and winner["value"] == 0.0
+
+
+def test_dedup_events_stream_one_row_per_key(spark, tmp_path):
+    from gminer_spark.streaming.events import dedup_events_stream
+
+    src = str(tmp_path / "dedup_src")
+    df = spark.createDataFrame(events_rows(), SCHEMA)
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        dedup_events_stream(stream, granularity="hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM dedup_out").collect()
+    finally:
+        q.stop()
+    keys = [
+        (r["user_id"], r["event_type"], r["ts"].replace(minute=r["ts"].minute // 60, second=0))
+        for r in rows
+    ]
+    hour_keys = [
+        (r["user_id"], r["event_type"], r["ts"].replace(minute=0, second=0))
+        for r in rows
+    ]
+    assert len(hour_keys) == len(set(hour_keys))  # one row per key
+    input_ids = {r[0] for r in events_rows()}
+    assert all(r["event_id"] in input_ids for r in rows)  # subset of input
