@@ -25,18 +25,38 @@ from pyspark.sql import functions as F
 from gminer_spark.graph import tables
 
 
+def _survivor_degrees(sym: DataFrame, core: DataFrame, n_core: int) -> DataFrame:
+    """Per-survivor degree within the survivor-induced subgraph.
+
+    The survivor set shrinks monotonically, so under the broadcast gate
+    BOTH membership joins are map-side hash probes of the persisted
+    edge table — a peel round then shuffles nothing but the (small)
+    aggregated degree table.  Above the gate: ordinary shuffle joins.
+    """
+    from gminer_spark.graph.triangles import gated_broadcast
+
+    c_src = gated_broadcast(core.withColumnRenamed("id", "src"), n_core)
+    c_dst = gated_broadcast(core.withColumnRenamed("id", "dst"), n_core)
+    return (
+        sym.join(c_src, on="src")
+        .join(c_dst, on="dst")
+        .groupBy("src")
+        .agg(F.count("*").alias("deg"))
+    )
+
+
 def k_core(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
     """(id) — vertices of the k-core of the undirected graph."""
-    sym = tables.symmetrize(edges).persist()
+    spark = edges.sparkSession
+    sym = (
+        tables.symmetrize(edges)
+        .repartition(tables.shuffle_partitions(spark), "src")
+        .persist()
+    )
     core = tables.vertices(sym).localCheckpoint()
     n = core.count()
     for _ in range(max_iter):
-        deg = (
-            sym.join(core.withColumnRenamed("id", "src"), on="src")
-            .join(core.withColumnRenamed("id", "dst"), on="dst")
-            .groupBy("src")
-            .agg(F.count("*").alias("deg"))
-        )
+        deg = _survivor_degrees(sym, core, n)
         new_core = (
             deg.where(F.col("deg") >= k)
             .select(F.col("src").alias("id"))
@@ -63,10 +83,15 @@ def coreness(edges: DataFrame, max_k: int | None = None) -> DataFrame:
     graphs; for huge k_max switch to h-index iteration.
     """
     spark = edges.sparkSession
-    sym = tables.symmetrize(edges).persist()
+    sym = (
+        tables.symmetrize(edges)
+        .repartition(tables.shuffle_partitions(spark), "src")
+        .persist()
+    )
     verts = tables.vertices(sym).localCheckpoint()
     result = verts.select("id", F.lit(0).alias("coreness"))
     core = verts
+    n_core = core.count()
     k = 0
     while True:
         k += 1
@@ -74,24 +99,21 @@ def coreness(edges: DataFrame, max_k: int | None = None) -> DataFrame:
             break
         # peel the (k)-core out of the previous survivor set
         while True:
-            deg = (
-                sym.join(core.withColumnRenamed("id", "src"), on="src")
-                .join(core.withColumnRenamed("id", "dst"), on="dst")
-                .groupBy("src")
-                .agg(F.count("*").alias("deg"))
-            )
+            deg = _survivor_degrees(sym, core, n_core)
             new_core = (
                 deg.where(F.col("deg") >= k)
                 .select(F.col("src").alias("id"))
                 .localCheckpoint()
             )
-            if new_core.count() == core.count():
+            n_new = new_core.count()
+            if n_new == n_core:
                 core = new_core
                 break
             core = new_core
-            if core.isEmpty():
+            n_core = n_new
+            if n_core == 0:
                 break
-        if core.isEmpty():
+        if n_core == 0:
             break
         result = (
             result.join(
