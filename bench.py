@@ -22,6 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 PR_ITERS = 10
+# single-JVM local mode: ONE heap holds all 32 executor threads'
+# working memory; 8g is undersized for the mining kernels at sf0.1
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
 
 
 def main() -> None:

@@ -550,8 +550,55 @@ def build_queries() -> dict[str, QueryFn]:
             )
             .agg(F.count("*").cast("double").alias("weight"))
         )
-        p = FocusCOParams(min_weight=3.0, min_core_size=8, min_result_size=3)
-        res = focused_clusters(w, p)
+        # Scale-invariant MIN_WEIGHT: the weight of the (4·|V|)-th
+        # heaviest edge (deterministic top-K, ties broken on src/dst).
+        # An absolute threshold does NOT transfer across scale factors:
+        # at sf0.1 the supplier graph has 10x the pairs at LOWER
+        # per-pair weights, so a fixed cut admits ~median edges and
+        # every task's core/pull explodes (OOM at 8g).  Top-4|V| keeps
+        # mean heavy-degree ~8 at any sf.
+        w = w.persist()
+        n_v = (
+            w.select(F.col("src").alias("id"))
+            .unionByName(w.select(F.col("dst").alias("id")))
+            .distinct()
+            .count()
+        )
+        kth = (
+            w.orderBy(F.col("weight").desc(), "src", "dst")
+            .limit(4 * n_v)
+            .agg(F.min("weight"))
+            .first()[0]
+        )
+        # cand_max_time=5 (an argv knob in the reference, :616) bounds
+        # each task's candidate frontier — with the 512-task batches
+        # (the reference's queue-draining analog) the per-round pull
+        # stays in low-GB territory at any sf.
+        p = FocusCOParams(
+            min_weight=float(kth),
+            min_core_size=8,
+            min_result_size=3,
+            diff_ratio=0.05,  # stop expanding below 5% phi improvement
+            iter_round_max=3,
+            cand_max_time=5.0,
+        )
+        # deterministic 64-seed task set (heaviest-degree suppliers of
+        # the heavy-edge graph): every Spark round costs the same
+        # whether 64 or 10k tasks are live, but stragglers' ROUNDS
+        # dominate wall-clock — an all-seeds sweep belongs in a batch
+        # job, not a per-round gate query
+        heavy = w.where(F.col("weight") >= float(kth))
+        seeds = [
+            int(r["id"])
+            for r in heavy.select(F.col("src").alias("id"))
+            .unionByName(heavy.select(F.col("dst").alias("id")))
+            .groupBy("id")
+            .agg(F.count("*").alias("hd"))
+            .orderBy(F.col("hd").desc(), F.col("id"))
+            .limit(64)
+            .collect()
+        ]
+        res = focused_clusters(w, p, seeds=seeds, max_spark_rounds=40)
         return res.select(
             F.array_join("cluster", ",").alias("cluster"),
             F.array_join("outlier", ",").alias("outlier"),

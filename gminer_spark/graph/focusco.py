@@ -356,6 +356,7 @@ def focused_clusters(
     seeds: list[int] | None = None,
     max_spark_rounds: int = 200,
     hot_k: int = 0,
+    task_batch_size: int | None = 512,
 ) -> DataFrame:
     """All-seeds focused clustering -> (cluster, outlier, phi) rows.
 
@@ -367,7 +368,16 @@ def focused_clusters(
     (co_map key, :97); the outlier set and phi of duplicate clusters
     tie-break to the minimum for determinism.  Tasks still live after
     ``max_spark_rounds`` are dropped (the reference has no such cap;
-    the default is far above any observed convergence)."""
+    the default is far above any observed convergence).
+
+    ``task_batch_size`` bounds the tasks IN FLIGHT at once — the
+    analog of the reference's disk-backed task queue draining in
+    batches (core/priority_queue.tpp:21-57, PIPE_POP_NUM batching):
+    a pull round's memory is Σ_live |subg ∪ cand| × avg-degree rows,
+    so running every seed simultaneously melts the heap on dense
+    graphs; excess tasks wait in later batches (md5-hash assignment,
+    deterministic, and independent tasks make batching result-
+    invariant).  ``None`` runs everything at once."""
     p = params or FocusCOParams()
     adj = weighted_adjacency(wedges).persist()
     # hot_k > 0 serves hub adjacency rows from a broadcast cache (the
@@ -409,31 +419,47 @@ def focused_clusters(
         state = state.where(F.col("task_id").isin([int(s) for s in seeds]))
     state = state.localCheckpoint()
 
+    from gminer_spark.functions import h32
+
+    n_tasks = state.count()
+    if task_batch_size is None or n_tasks <= task_batch_size:
+        n_batches = 1
+    else:
+        n_batches = -(-n_tasks // task_batch_size)
+
     result_schema = "cluster array<long>, outlier array<long>, phi double"
     done_parts: list[DataFrame] = []
-    for _ in range(max_spark_rounds):
-        if state.isEmpty():
-            break
-        needed = state.select(
-            "task_id", F.explode(F.array_union("subg", "cand")).alias("id")
-        )
-        pulled = (
-            cached_pull(needed, hot, cold, hot_ids)
-            .groupBy("task_id")
-            .agg(
-                F.collect_list(
-                    F.struct(F.col("id").alias("vid"), F.col("adj"))
-                ).alias("nbhd")
+    for b in range(n_batches):
+        if n_batches == 1:
+            live = state
+        else:
+            live = state.where(
+                F.pmod(h32(F.col("task_id").cast("string")), F.lit(n_batches))
+                == b
+            ).localCheckpoint()
+        for _ in range(max_spark_rounds):
+            if live.isEmpty():
+                break
+            needed = live.select(
+                "task_id", F.explode(F.array_union("subg", "cand")).alias("id")
             )
-        )
-        new_state = (
-            state.drop("done", "cluster", "phi")
-            .join(pulled, on="task_id")
-            .mapInPandas(_kernel(p), _STATE_SCHEMA)
-            .localCheckpoint()
-        )
-        done_parts.append(new_state.where(F.col("done")))
-        state = new_state.where(~F.col("done"))
+            pulled = (
+                cached_pull(needed, hot, cold, hot_ids)
+                .groupBy("task_id")
+                .agg(
+                    F.collect_list(
+                        F.struct(F.col("id").alias("vid"), F.col("adj"))
+                    ).alias("nbhd")
+                )
+            )
+            new_state = (
+                live.drop("done", "cluster", "phi")
+                .join(pulled, on="task_id")
+                .mapInPandas(_kernel(p), _STATE_SCHEMA)
+                .localCheckpoint()
+            )
+            done_parts.append(new_state.where(F.col("done")))
+            live = new_state.where(~F.col("done"))
 
     adj.unpersist()
     spark = wedges.sparkSession
