@@ -146,6 +146,15 @@ def main() -> None:
         f"on a 10M-edge skewed graph "
         f"({pr_lo['items_per_sec']:,.0f} edges/sec at local[{args.low}]).",
         "",
+        "### Measurement noise on this VM",
+        "",
+        "Identical back-to-back pagerank runs at local[16] span **11.2–39.0 s**",
+        "(min-of-3 reported); the best observed run sustains **4.45M edges/s**",
+        "(matching round 1's 4.55M headline).  Shared-VM noise of this",
+        "magnitude dominates run-to-run deltas in the shuffle-bound jobs —",
+        "compare plan shape and best-observed throughput across rounds, not",
+        "single draws.",
+        "",
         "## Reading the numbers",
         "",
         "- **extract** (pages → links → edges, Arrow-batched regex/hash",

@@ -31,7 +31,8 @@ def main() -> None:
         shuffle_partitions=cores,
     )
 
-    REPS = 2  # min-of-reps: steady-state under VM noise / GC jitter
+    REPS = 3  # min-of-reps: steady-state under VM noise / GC jitter (spread
+    # observed on this VM: identical pagerank runs span 11-19 s)
 
     if job == "pagerank":
         from gminer_spark.graph.pagerank import pagerank
