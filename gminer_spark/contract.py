@@ -84,6 +84,7 @@ KCORE_K = 80
 KCORE_ITERS = 8  # sf0.01 converges in 5 peel rounds; margin for safety
 KTRUSS_K = 12
 KTRUSS_ITERS = 7  # sf0.01 converges in 4 support-peel rounds; margin
+CORENESS_H_ITERS = 22  # sf0.01 h-index fixpoint at round 18; margin
 
 
 def _materialize(cte: str) -> str:
@@ -123,6 +124,115 @@ def pagerank_oracle_sql(iters: int = PR_ITERS, damping: float = 0.85) -> str:
                  / (SELECT cnt FROM n)
            ) AS rank,
            d.out_deg
+    FROM deg d LEFT JOIN (
+        SELECT e.dst, SUM(r.rank / r.out_deg) AS contrib
+        FROM edges e JOIN {p} r ON e.src = r.id
+        GROUP BY e.dst) c
+    ON d.id = c.dst
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(ROUND(rank * 1e6) AS BIGINT) AS rank_micro FROM r{iters}"
+    )
+
+
+WEDGES_CTE = """
+wedges AS (
+    SELECT CAST(a.l_partkey AS BIGINT) AS src,
+           CAST(b.l_partkey AS BIGINT) AS dst,
+           CAST(COUNT(*) AS DOUBLE) AS w
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+)"""
+
+
+def pagerank_weighted_oracle_sql(iters: int = PR_ITERS, damping: float = 0.85) -> str:
+    """Unrolled WEIGHTED PageRank: contributions are rank * w / out-strength
+    (out-strength = Σ of outgoing weights); teleport/dangling unchanged."""
+    ctes = [
+        _materialize(WEDGES_CTE.strip()),
+        _materialize("""sym AS (
+    SELECT src, dst FROM wedges
+    UNION SELECT dst AS src, src AS dst FROM wedges
+)"""),
+        _materialize(VERTS_CTE.strip()),
+        _materialize("""deg AS (
+    SELECT v.id, COALESCE(o.s, 0.0) AS out_deg
+    FROM verts v LEFT JOIN (
+        SELECT src, SUM(w) AS s FROM wedges GROUP BY src) o
+    ON v.id = o.src
+)"""),
+        _materialize("n AS (SELECT COUNT(*) AS cnt FROM verts)"),
+        _materialize(
+            "r0 AS (SELECT d.id, 1.0/(SELECT cnt FROM n) AS rank, d.out_deg FROM deg d)"
+        ),
+    ]
+    for k in range(1, iters + 1):
+        p = f"r{k - 1}"
+        ctes.append(
+            f"""r{k} AS MATERIALIZED (
+    SELECT d.id,
+           (1.0 - {damping})/(SELECT cnt FROM n)
+           + {damping} * (
+               COALESCE(c.contrib, 0.0)
+               + (SELECT COALESCE(SUM(rank), 0.0) FROM {p} WHERE out_deg = 0)
+                 / (SELECT cnt FROM n)
+           ) AS rank,
+           d.out_deg
+    FROM deg d LEFT JOIN (
+        SELECT e.dst, SUM(r.rank * e.w / r.out_deg) AS contrib
+        FROM wedges e JOIN {p} r ON e.src = r.id
+        GROUP BY e.dst) c
+    ON d.id = c.dst
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(ROUND(rank * 1e6) AS BIGINT) AS rank_micro FROM r{iters}"
+    )
+
+
+PPR_SEED_MOD = 97
+
+
+def ppr_oracle_sql(iters: int = PR_ITERS, damping: float = 0.85) -> str:
+    """Unrolled PERSONALIZED PageRank: teleport and dangling mass land
+    uniformly on the seed set (``id % PPR_SEED_MOD == 0``); the walk
+    starts from the seeds (r0 = reset vector)."""
+    ctes = [
+        _materialize(EDGES_CTE.strip()),
+        _materialize(SYM_CTE.strip()),
+        _materialize(VERTS_CTE.strip()),
+        _materialize(
+            f"ns AS (SELECT COUNT(*) AS cnt FROM verts WHERE id % {PPR_SEED_MOD} = 0)"
+        ),
+        _materialize(f"""deg AS (
+    SELECT v.id, COALESCE(o.c, 0) AS out_deg,
+           CASE WHEN v.id % {PPR_SEED_MOD} = 0
+                THEN 1.0/(SELECT cnt FROM ns) ELSE 0.0 END AS reset
+    FROM verts v LEFT JOIN (
+        SELECT src, COUNT(*) AS c FROM edges GROUP BY src) o
+    ON v.id = o.src
+)"""),
+        _materialize("r0 AS (SELECT id, reset AS rank, out_deg, reset FROM deg)"),
+    ]
+    for k in range(1, iters + 1):
+        p = f"r{k - 1}"
+        ctes.append(
+            f"""r{k} AS MATERIALIZED (
+    SELECT d.id,
+           (1.0 - {damping}) * d.reset
+           + {damping} * (
+               COALESCE(c.contrib, 0.0)
+               + (SELECT COALESCE(SUM(rank), 0.0) FROM {p} WHERE out_deg = 0)
+                 * d.reset
+           ) AS rank,
+           d.out_deg, d.reset
     FROM deg d LEFT JOIN (
         SELECT e.dst, SUM(r.rank / r.out_deg) AS contrib
         FROM edges e JOIN {p} r ON e.src = r.id
@@ -226,6 +336,34 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["pagerank_micro"] = pagerank_micro
 
+    def pagerank_weighted_micro(s, d):
+        """Weighted PageRank: contribution ∝ shared-order count."""
+        from gminer_spark.graph.pagerank import pagerank
+
+        res = pagerank(
+            gt.copurchase_weighted_edges(s, d), num_iter=PR_ITERS, weight_col="w"
+        )
+        return res.state.select(
+            "id", F.round(F.col("rank") * 1e6, 0).cast("long").alias("rank_micro")
+        )
+
+    q["pagerank_weighted_micro"] = pagerank_weighted_micro
+
+    def ppr_micro(s, d):
+        """Personalized PageRank from a deterministic seed set
+        (id % PPR_SEED_MOD == 0): teleport + dangling mass return to
+        the seeds only."""
+        from gminer_spark.graph.pagerank import pagerank
+
+        e = _edges(s, d)
+        seeds = gt.vertices(e).where(F.col("id") % PPR_SEED_MOD == 0)
+        res = pagerank(e, num_iter=PR_ITERS, reset=seeds)
+        return res.state.select(
+            "id", F.round(F.col("rank") * 1e6, 0).cast("long").alias("rank_micro")
+        )
+
+    q["ppr_micro"] = ppr_micro
+
     def cc_components(s, d):
         from gminer_spark.graph.cc import connected_components
 
@@ -251,6 +389,19 @@ def build_queries() -> dict[str, QueryFn]:
         return k_core(_edges(s, d), k=KCORE_K, max_iter=KCORE_ITERS)
 
     q["kcore"] = kcore
+
+    def coreness_hindex(s, d):
+        """Coreness by the iterated-h-index fixpoint (Lü et al. 2016)
+        — the scale path for full core decomposition: one
+        window+aggregate pass per round instead of a peel loop per k
+        level.  Fixed CORENESS_H_ITERS rounds (fixpoint at 18 on
+        sf0.01; idempotent past it) so engine and unrolled oracle
+        agree exactly."""
+        from gminer_spark.graph.kcore import coreness_hindex as ch
+
+        return ch(_edges(s, d), num_iter=CORENESS_H_ITERS)
+
+    q["coreness_hindex"] = coreness_hindex
 
     def motif_open_wedges(s, d):
         """Motif API (GM-app generalization): per-center count of OPEN
@@ -877,12 +1028,17 @@ SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id
     o["pagerank_micro"] = pagerank_oracle_sql()
     o["pagerank_blocked_micro"] = pagerank_oracle_sql()
     o["pagerank_locality_micro"] = pagerank_oracle_sql()
+    o["pagerank_weighted_micro"] = pagerank_weighted_oracle_sql()
+    o["ppr_micro"] = ppr_oracle_sql()
     o["cc_components"] = CC_ORACLE_SQL
     o["lpa_labels"] = lpa_oracle_sql()
 
-    from gminer_spark.graph.kcore import kcore_oracle_sql
+    from gminer_spark.graph.kcore import coreness_hindex_oracle_sql, kcore_oracle_sql
 
     o["kcore"] = kcore_oracle_sql(EDGES_CTE, k=KCORE_K, iters=KCORE_ITERS)
+    o["coreness_hindex"] = coreness_hindex_oracle_sql(
+        EDGES_CTE, iters=CORENESS_H_ITERS
+    )
 
     from gminer_spark.graph.ktruss import ktruss_oracle_sql
 

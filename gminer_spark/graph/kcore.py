@@ -131,6 +131,94 @@ def coreness(edges: DataFrame, max_k: int | None = None) -> DataFrame:
     return result
 
 
+def coreness_hindex(
+    edges: DataFrame, num_iter: int | None = None, max_iter: int = 100
+) -> DataFrame:
+    """(id, coreness) via the iterated-h-index fixpoint.
+
+    ``h_0 = degree``; ``h_k(v) = H({h_{k-1}(u) : u ∈ N(v)})`` where H
+    is the h-index operator (largest h with ≥ h neighbors valued ≥ h).
+    The sequence is per-vertex monotone non-increasing and converges
+    exactly to coreness (Lü et al., Nature Communications 7:10168,
+    2016) — the scale path for coreness: O(rounds) full passes instead
+    of :func:`coreness`'s peel loop per k level, each round a single
+    window+aggregate on the neighbor key (one shuffle, reused by the
+    groupBy).  ``num_iter`` forces a fixed round count (oracle parity;
+    idempotent past the fixpoint), else stops when Σh is unchanged.
+    """
+    from pyspark.sql import Window
+
+    spark = edges.sparkSession
+    sym = (
+        tables.symmetrize(edges)
+        .repartition(tables.shuffle_partitions(spark), "dst")
+        .persist()
+    )
+    state = (
+        sym.groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").cast("long").alias("val"))
+        .localCheckpoint()
+    )
+    prev_total = state.agg(F.sum("val")).first()[0]
+    rounds = num_iter if num_iter is not None else max_iter
+    w = Window.partitionBy("id").orderBy(F.desc("val"))
+    for _ in range(rounds):
+        nbr = sym.join(state, sym.dst == state.id).select(
+            F.col("src").alias("id"), "val"
+        )
+        state = (
+            nbr.withColumn("rn", F.row_number().over(w))
+            .groupBy("id")
+            .agg(
+                F.coalesce(
+                    F.max(F.when(F.col("val") >= F.col("rn"), F.col("rn"))),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("val")
+            )
+            .localCheckpoint()
+        )
+        if num_iter is None:
+            total = state.agg(F.sum("val")).first()[0]
+            if total == prev_total:  # monotone ⇒ fixpoint
+                break
+            prev_total = total
+    sym.unpersist()
+    return state.select("id", F.col("val").alias("coreness"))
+
+
+def coreness_hindex_oracle_sql(edges_cte: str, iters: int) -> str:
+    """Unrolled h-index rounds as a MATERIALIZED CTE chain — a FULL
+    value oracle for coreness (tie order inside the window is
+    irrelevant: rows are sorted by val, and equal vals yield the same
+    h regardless of their relative order)."""
+    ctes = [
+        f"{edges_cte.strip()}",
+        """sym AS MATERIALIZED (
+    SELECT src, dst FROM edges
+    UNION SELECT dst AS src, src AS dst FROM edges)""",
+        """h0 AS MATERIALIZED (
+    SELECT src AS id, COUNT(*) AS val FROM sym GROUP BY src)""",
+    ]
+    for i in range(1, iters + 1):
+        p = f"h{i - 1}"
+        ctes.append(
+            f"""h{i} AS MATERIALIZED (
+    SELECT id, COALESCE(MAX(CASE WHEN val >= rn THEN rn END), 0) AS val
+    FROM (
+        SELECT s.src AS id, p.val,
+               ROW_NUMBER() OVER (PARTITION BY s.src ORDER BY p.val DESC) AS rn
+        FROM sym s JOIN {p} p ON s.dst = p.id)
+    GROUP BY id)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(val AS BIGINT) AS coreness FROM h{iters}"
+    )
+
+
 def kcore_oracle_sql(edges_cte: str, k: int, iters: int) -> str:
     """Unrolled peeling as a MATERIALIZED CTE chain (the contract's
     iterative-oracle idiom): c0 = all vertices; c{i} = vertices with

@@ -35,12 +35,23 @@ def pagerank(
     num_iter: int | None = None,
     store: CheckpointStore | None = None,
     resume: bool = True,
+    weight_col: str | None = None,
+    reset: DataFrame | None = None,
 ) -> SuperstepResult:
     """PageRank over a directed ``edges(src, dst)`` DataFrame.
 
     Returns state ``(id, rank)``.  ``num_iter`` forces an exact
     iteration count (oracle parity mode); otherwise the loop stops at
     L1 delta < ``tol``.
+
+    ``weight_col`` names an edge-weight column: contributions become
+    ``rank * w / Σ_out w`` (out-STRENGTH replaces out-degree; weights
+    must be positive).  ``reset`` is a 1-column ``(id)`` DataFrame of
+    teleport seeds — personalized PageRank: both the teleport term and
+    the dangling-mass redistribution land uniformly on the seed set
+    instead of all vertices, and the walk starts from the seeds.  The
+    plan shape is identical in every variant: one rank-shuffle join
+    per superstep, dangling as a broadcast 1-row aggregate.
     """
     spark = edges.sparkSession
     # Static tables, computed once and reused across all supersteps.
@@ -50,13 +61,19 @@ def pagerank(
     # lineage (e.g. the co-purchase self-join) materializes exactly once.
     edges_in, n_in, we_persisted = tables.ensure_materialized(edges)
     n_shuffle = tables.sized_partitions(spark, n_in)
-    edges = edges_in.repartition(n_shuffle, "src").persist()
+    if weight_col is not None:
+        edges = edges_in.select(
+            "src", "dst", F.col(weight_col).cast("double").alias("w")
+        )
+        strength_agg = F.sum("w").alias("out_deg")
+    else:
+        edges = edges_in.select("src", "dst")
+        strength_agg = F.count("*").cast("long").alias("out_deg")
+    edges = edges.repartition(n_shuffle, "src").persist()
     verts = tables.vertices(edges)
     out_deg = (
         verts.join(
-            edges.groupBy(F.col("src").alias("id")).agg(
-                F.count("*").alias("out_deg")
-            ),
+            edges.groupBy(F.col("src").alias("id")).agg(strength_agg),
             on="id",
             how="left",
         )
@@ -72,9 +89,39 @@ def pagerank(
         empty = spark.createDataFrame([], "id long, rank double")
         return SuperstepResult(empty, 0, 0, True, [])
 
-    init = out_deg.select("id", F.lit(1.0 / n).alias("rank"), "out_deg")
+    if reset is not None:
+        # Seed set is tiny relative to |V| (that's the point of PPR) —
+        # broadcast the membership probe; reset mass 1/|S| per seed.
+        seeds = reset.select(F.col("id").cast("long").alias("id")).distinct()
+        n_seeds = seeds.count()
+        if n_seeds == 0:
+            raise ValueError("personalized PageRank needs a non-empty seed set")
+        base_deg = out_deg
+        out_deg = (
+            out_deg.join(
+                F.broadcast(seeds.withColumn("_s", F.lit(True))), on="id", how="left"
+            )
+            .select(
+                "id",
+                "out_deg",
+                F.when(F.col("_s"), F.lit(1.0 / n_seeds))
+                .otherwise(F.lit(0.0))
+                .alias("reset"),
+            )
+            .persist()
+        )
+        out_deg.count()
+        base_deg.unpersist()  # reset-annotated copy is materialized now
+        init = out_deg.select("id", F.col("reset").alias("rank"), "out_deg", "reset")
+    else:
+        init = out_deg.select("id", F.lit(1.0 / n).alias("rank"), "out_deg")
 
     teleport = (1.0 - damping) / n
+    contrib_expr = (
+        (F.col("rank") * F.col("w") / F.col("out_deg"))
+        if weight_col is not None
+        else (F.col("rank") / F.col("out_deg"))
+    )
 
     def step(state: DataFrame, k: int):
         # Dangling mass enters the plan as a broadcast 1-row aggregate —
@@ -85,28 +132,26 @@ def pagerank(
         )
         contribs = (
             edges.join(state, edges.src == state.id)
-            .select(
-                F.col("dst"),
-                (F.col("rank") / F.col("out_deg")).alias("contrib"),
-            )
+            .select(F.col("dst"), contrib_expr.alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("contrib"))
         )
+        if reset is not None:
+            rank_expr = F.lit(1.0 - damping) * F.col("reset") + F.lit(damping) * (
+                F.coalesce(F.col("contrib"), F.lit(0.0))
+                + F.col("_dangling") * F.col("reset")
+            )
+            carry = ["out_deg", "reset"]
+        else:
+            rank_expr = F.lit(teleport) + F.lit(damping) * (
+                F.coalesce(F.col("contrib"), F.lit(0.0))
+                + F.col("_dangling") / F.lit(float(n))
+            )
+            carry = ["out_deg"]
         new_state = (
             out_deg.join(contribs, out_deg.id == contribs.dst, "left")
             .crossJoin(F.broadcast(dangling))
-            .select(
-                "id",
-                (
-                    F.lit(teleport)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("_dangling") / F.lit(float(n))
-                    )
-                ).alias("rank"),
-                "out_deg",
-            )
+            .select("id", rank_expr.alias("rank"), *carry)
         )
         metrics = {
             "edges_scanned": edge_count,

@@ -56,6 +56,27 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def copurchase_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase edges with ``w`` = number of shared orders.
+
+    Same topology as :func:`copurchase_edges`; the weight is the
+    natural link strength (how often the two parts co-occur).  One
+    shuffle on the order key, count folded map-side.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, on="l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").cast("long").alias("src"),
+            F.col("b.l_partkey").cast("long").alias("dst"),
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+
+
 COPURCHASE_EDGES_SQL = """
     SELECT DISTINCT
         CAST(a.l_partkey AS BIGINT) AS src,

@@ -49,6 +49,58 @@ def pagerank(
     return {v: float(r[idx[v]]) for v in vs}
 
 
+def pagerank_weighted(
+    edges: list[tuple[int, int, float]],
+    damping: float = 0.85,
+    num_iter: int = 50,
+) -> dict[int, float]:
+    """Weighted PageRank: contribution = rank * w / out-strength."""
+    vs = _vertices([(s, d) for s, d, _ in edges])
+    idx = {v: i for i, v in enumerate(vs)}
+    n = len(vs)
+    strength = np.zeros(n)
+    for s, _, w in edges:
+        strength[idx[s]] += w
+    r = np.full(n, 1.0 / n)
+    for _ in range(num_iter):
+        contrib = np.zeros(n)
+        nz = strength > 0
+        for s, d, w in edges:
+            contrib[idx[d]] += r[idx[s]] * w / strength[idx[s]]
+        dangling = r[~nz].sum()
+        r = (1 - damping) / n + damping * (contrib + dangling / n)
+    return {v: float(r[idx[v]]) for v in vs}
+
+
+def ppr(
+    edges: list[tuple[int, int]],
+    seeds: list[int],
+    damping: float = 0.85,
+    num_iter: int = 50,
+) -> dict[int, float]:
+    """Personalized PageRank: teleport + dangling mass → uniform over seeds."""
+    vs = _vertices(edges)
+    idx = {v: i for i, v in enumerate(vs)}
+    n = len(vs)
+    out_deg = np.zeros(n)
+    for s, _ in edges:
+        out_deg[idx[s]] += 1
+    reset = np.zeros(n)
+    for s in seeds:
+        reset[idx[s]] = 1.0 / len(seeds)
+    r = reset.copy()
+    for _ in range(num_iter):
+        contrib = np.zeros(n)
+        nz = out_deg > 0
+        w = np.zeros(n)
+        w[nz] = r[nz] / out_deg[nz]
+        for s, d in edges:
+            contrib[idx[d]] += w[idx[s]]
+        dangling = r[~nz].sum()
+        r = (1 - damping) * reset + damping * (contrib + dangling * reset)
+    return {v: float(r[idx[v]]) for v in vs}
+
+
 def cc(edges: list[tuple[int, int]]) -> dict[int, int]:
     """Union-find; component label = min vertex id in component."""
     parent: dict[int, int] = {}

@@ -31,6 +31,65 @@ def test_pagerank_matches_oracle(spark, name):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
 
 
+def test_pagerank_weighted_matches_oracle(spark):
+    from gminer_spark.graph.pagerank import pagerank
+
+    rng = np.random.default_rng(7)
+    pairs = random_graph(n=80, p=0.05)
+    wpairs = [(s, d, float(rng.integers(1, 6))) for s, d in pairs]
+    wdf = spark.createDataFrame(wpairs, "src long, dst long, w double")
+    res = pagerank(wdf, num_iter=40, weight_col="w")
+    got = {r["id"]: r["rank"] for r in res.state.collect()}
+    want = oracle.pagerank_weighted(wpairs, num_iter=40)
+    assert np.allclose(
+        [got[v] for v in sorted(want)], [want[v] for v in sorted(want)], atol=1e-9
+    )
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_weighted_unit_weights_equals_unweighted(spark):
+    from gminer_spark.graph.pagerank import pagerank
+
+    pairs = random_graph(n=60, p=0.05)
+    base = pagerank(edges_df(spark, pairs), num_iter=20)
+    wdf = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in pairs], "src long, dst long, w double"
+    )
+    weighted = pagerank(wdf, num_iter=20, weight_col="w")
+    g1 = {r["id"]: r["rank"] for r in base.state.collect()}
+    g2 = {r["id"]: r["rank"] for r in weighted.state.collect()}
+    for v in g1:
+        assert g2[v] == pytest.approx(g1[v], abs=1e-12)
+
+
+def test_ppr_matches_oracle(spark):
+    from gminer_spark.graph.pagerank import pagerank
+
+    pairs = random_graph(n=80, p=0.05)
+    seeds = sorted({s for s, _ in pairs})[:5]
+    seed_df = spark.createDataFrame([(s,) for s in seeds], "id long")
+    res = pagerank(edges_df(spark, pairs), num_iter=40, reset=seed_df)
+    got = {r["id"]: r["rank"] for r in res.state.collect()}
+    want = oracle.ppr(pairs, seeds, num_iter=40)
+    assert np.allclose(
+        [got[v] for v in sorted(want)], [want[v] for v in sorted(want)], atol=1e-9
+    )
+    # probability mass stays on the seeds' reachable set and sums to 1
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_ppr_unreachable_gets_zero(spark):
+    from gminer_spark.graph.pagerank import pagerank
+
+    # two components; seed only in the first — second must end at 0
+    seed_df = spark.createDataFrame([(1,)], "id long")
+    res = pagerank(edges_df(spark, TWOCOMP), num_iter=60, reset=seed_df)
+    got = {r["id"]: r["rank"] for r in res.state.collect()}
+    for v in (10, 11, 12):
+        assert got[v] == pytest.approx(0.0, abs=1e-12)
+    assert got[1] > 0.2
+
+
 def test_pagerank_cycle_uniform(spark):
     from gminer_spark.graph.pagerank import pagerank
 

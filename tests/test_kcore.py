@@ -91,3 +91,35 @@ def test_kcore_capped_run_equals_unrolled_oracle_semantics(spark):
     capped = {r["id"] for r in k_core(edges, k=3, max_iter=8).collect()}
     # this graph converges well under 8 rounds (oracle-checked)
     assert peel_oracle(pairs, 3) == exact == capped
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_coreness_hindex_matches_peel(spark, seed):
+    """The h-index fixpoint must agree with peel-based coreness (and
+    hence the exact python oracle) on random graphs."""
+    from gminer_spark.graph.kcore import coreness_hindex
+
+    pairs = random_graph(n=70, p=0.09, seed=seed, directed=False)
+    want = coreness_oracle(pairs)
+    got = {
+        r["id"]: r["coreness"]
+        for r in coreness_hindex(edges_df(spark, pairs)).collect()
+    }
+    assert got == want
+
+
+def test_coreness_hindex_fixed_rounds_idempotent(spark):
+    """Contract invariant: overshooting num_iter past the fixpoint
+    leaves the values unchanged (capped run == unrolled oracle)."""
+    from gminer_spark.graph.kcore import coreness_hindex
+
+    pairs = random_graph(n=60, p=0.1, seed=9, directed=False)
+    edges = edges_df(spark, pairs)
+    auto = {
+        r["id"]: r["coreness"] for r in coreness_hindex(edges).collect()
+    }
+    capped = {
+        r["id"]: r["coreness"]
+        for r in coreness_hindex(edges, num_iter=40).collect()
+    }
+    assert auto == capped == coreness_oracle(pairs)
