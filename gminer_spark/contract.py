@@ -371,6 +371,23 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["cc_components"] = cc_components
 
+    def cc_incremental(s, d):
+        """Streaming CC maintenance under the correctness gate: edges
+        split into two deterministic halves, full hash-min on half A,
+        half B folded in with incremental_cc (component-contracted
+        merge graph + one relabel join — no full-graph iteration).
+        Must be bit-identical to a full recompute, so it shares the
+        recursive-CTE oracle with cc_components."""
+        from gminer_spark.graph.cc import connected_components, incremental_cc
+
+        e = _edges(s, d)
+        a = e.where((F.col("src") + F.col("dst")) % 2 == 0)
+        b = e.where((F.col("src") + F.col("dst")) % 2 == 1)
+        base = connected_components(a).state
+        return incremental_cc(base, b)
+
+    q["cc_incremental"] = cc_incremental
+
     def lpa_labels(s, d):
         from gminer_spark.graph.lpa import label_propagation
 
@@ -1031,6 +1048,7 @@ SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id
     o["pagerank_weighted_micro"] = pagerank_weighted_oracle_sql()
     o["ppr_micro"] = ppr_oracle_sql()
     o["cc_components"] = CC_ORACLE_SQL
+    o["cc_incremental"] = CC_ORACLE_SQL
     o["lpa_labels"] = lpa_oracle_sql()
 
     from gminer_spark.graph.kcore import coreness_hindex_oracle_sql, kcore_oracle_sql

@@ -210,3 +210,41 @@ def test_empty_graph_all_algorithms(spark):
     assert r.converged and r.state.count() == 0
     assert connected_components(empty).state.count() == 0
     assert label_propagation(empty, num_iter=2).state.count() == 0
+
+
+def test_incremental_cc_batches_equal_full_recompute(spark):
+    from gminer_spark.graph.cc import CCMaintainer, connected_components
+
+    pairs = random_graph(n=150, p=0.015, seed=21)
+    thirds = [pairs[i::3] for i in range(3)]
+    m = CCMaintainer()
+    for batch in thirds:
+        m.update(edges_df(spark, batch))
+    got = {r["id"]: r["component"] for r in m.labels.collect()}
+    want = oracle.cc(pairs)
+    assert got == want
+    # and bit-identical to a one-shot run
+    full = {
+        r["id"]: r["component"]
+        for r in connected_components(edges_df(spark, pairs)).state.collect()
+    }
+    assert got == full
+
+
+def test_incremental_cc_merges_components(spark):
+    from gminer_spark.graph.cc import connected_components, incremental_cc
+
+    base = connected_components(edges_df(spark, TWOCOMP)).state
+    bridge = edges_df(spark, [(3, 10)])
+    got = {r["id"]: r["component"] for r in incremental_cc(base, bridge).collect()}
+    assert set(got.values()) == {1}  # everything collapses to min id 1
+
+
+def test_incremental_cc_new_vertices_only(spark):
+    from gminer_spark.graph.cc import connected_components, incremental_cc
+
+    base = connected_components(edges_df(spark, PATH5)).state
+    fresh = edges_df(spark, [(100, 101), (101, 102)])
+    got = {r["id"]: r["component"] for r in incremental_cc(base, fresh).collect()}
+    assert got[100] == got[101] == got[102] == 100
+    assert got[1] == 1 and len(got) == 8

@@ -179,3 +179,42 @@ def test_dedup_events_stream_one_row_per_key(spark, tmp_path):
     assert len(hour_keys) == len(set(hour_keys))  # one row per key
     input_ids = {r[0] for r in events_rows()}
     assert all(r["event_id"] in input_ids for r in rows)  # subset of input
+
+
+def test_cc_maintainer_foreachbatch_matches_batch(spark, tmp_path):
+    """Structured-streaming CC maintenance: edge batches arrive as
+    parquet files; foreachBatch folds each into the labeling via
+    incremental_cc.  Final labels must equal a one-shot batch CC."""
+    from tests.conftest import random_graph
+
+    from gminer_spark.graph.cc import CCMaintainer, connected_components
+
+    pairs = random_graph(n=120, p=0.02, seed=33)
+    halves = [pairs[0::2], pairs[1::2]]
+    src = str(tmp_path / "edge_batches")
+    for i, batch in enumerate(halves):
+        spark.createDataFrame(
+            [(int(s), int(d)) for s, d in batch], "src long, dst long"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    m = CCMaintainer()
+    stream = spark.readStream.schema("src long, dst long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = stream.writeStream.foreachBatch(
+        lambda batch, _id: (m.update(batch), None)[1]
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["id"]: r["component"] for r in m.labels.collect()}
+    edges = spark.createDataFrame(
+        [(int(s), int(d)) for s, d in pairs], "src long, dst long"
+    )
+    want = {
+        r["id"]: r["component"]
+        for r in connected_components(edges).state.collect()
+    }
+    assert got == want
