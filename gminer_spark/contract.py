@@ -435,6 +435,38 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["motif_open_wedges"] = motif_open_wedges
 
+    def motif_heavy_wedges(s, d):
+        """Edge-variable motif: wedges whose BOTH edges have weight >= 2
+        (shared-order count), counted per center — (a)-[e1]-(b);
+        (b)-[e2]-(c) with filters on the bound edge attributes."""
+        from gminer_spark.graph.motif import find
+
+        we = gt.copurchase_weighted_edges(s, d)
+        res = find(we, "(a)-[e1]-(b); (b)-[e2]-(c)").where(
+            (F.col("a") < F.col("c"))
+            & (F.col("e1_w") >= 2)
+            & (F.col("e2_w") >= 2)
+        )
+        return res.groupBy(F.col("b").alias("id")).agg(
+            F.count("*").cast("long").alias("heavy_wedges")
+        )
+
+    q["motif_heavy_wedges"] = motif_heavy_wedges
+
+    def motif_sink_fanin(s, d):
+        """Anti-vertex motif: (a)->(b); !(b)->(c) — b is a SINK (no
+        out-edge in the directed view; the unbound c is existentially
+        negated).  Returns per-sink fan-in — the dangling-page shape
+        PageRank's dangling-mass term redistributes."""
+        from gminer_spark.graph.motif import find
+
+        res = find(_edges(s, d), "(a)->(b); !(b)->(c)")
+        return res.groupBy(F.col("b").alias("id")).agg(
+            F.count("*").cast("long").alias("fan_in")
+        )
+
+    q["motif_sink_fanin"] = motif_sink_fanin
+
     def ktruss(s, d):
         """k-truss by triangle-support peeling (oriented TC enumeration
         per round).  k=12 really peels at sf0.01 (4 rounds,
@@ -1057,6 +1089,34 @@ SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id
     o["coreness_hindex"] = coreness_hindex_oracle_sql(
         EDGES_CTE, iters=CORENESS_H_ITERS
     )
+
+    o["motif_heavy_wedges"] = """
+WITH wedges AS (
+    SELECT CAST(a.l_partkey AS BIGINT) AS src,
+           CAST(b.l_partkey AS BIGINT) AS dst,
+           COUNT(*) AS w
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+),
+symw AS (
+    SELECT src, dst, w FROM wedges
+    UNION ALL SELECT dst AS src, src AS dst, w FROM wedges
+)
+SELECT s1.dst AS id, CAST(COUNT(*) AS BIGINT) AS heavy_wedges
+FROM symw s1 JOIN symw s2 ON s1.dst = s2.src
+WHERE s1.src < s2.dst AND s1.w >= 2 AND s2.w >= 2
+GROUP BY s1.dst
+"""
+
+    o["motif_sink_fanin"] = f"""
+WITH {EDGES_CTE.strip()}
+SELECT e1.dst AS id, CAST(COUNT(*) AS BIGINT) AS fan_in
+FROM edges e1
+WHERE NOT EXISTS (SELECT 1 FROM edges e2 WHERE e2.src = e1.dst)
+GROUP BY e1.dst
+"""
 
     from gminer_spark.graph.ktruss import ktruss_oracle_sql
 

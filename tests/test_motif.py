@@ -5,7 +5,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from tests.conftest import K5, edges_df, random_graph
+from tests.conftest import K5, PATH5, edges_df, random_graph
 
 
 def test_motif_triangle_equals_triangle_count(spark):
@@ -71,6 +71,54 @@ def test_motif_rejects_bad_patterns(spark):
     with pytest.raises(ValueError):
         find(edges, "(a)-(b); (c)-(d)")  # disconnected
     with pytest.raises(ValueError):
-        find(edges, "(a)-(b); !(a)-(z)")  # negation on unbound var
+        find(edges, "(a)-(b); !(y)-(z)")  # negation with no bound var
+    with pytest.raises(ValueError):
+        find(edges, "(a)-[e]-(b); (b)-[e]-(c)")  # duplicate edge var
+    with pytest.raises(ValueError):
+        find(edges, "!(a)-[e]-(b)")  # edge var on a negated term
     with pytest.raises(ValueError):
         find(edges, "nonsense")
+
+
+def test_motif_edge_variable_binds_attributes(spark):
+    """(a)-[e]-(b) exposes the edge's extra columns as e_<col>, carried
+    to both directions of the undirected view."""
+    from gminer_spark.graph.motif import find
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5.0), (2, 3, 7.0)], "src long, dst long, w double"
+    )
+    res = find(edges, "(a)-[e1]-(b); (b)-[e2]-(c)").where("a < c")
+    rows = {(r["a"], r["b"], r["c"]): (r["e1_w"], r["e2_w"]) for r in res.collect()}
+    assert rows == {(1, 2, 3): (5.0, 7.0)}
+    heavy = find(edges, "(a)-[e]-(b)").where("e_w >= 6.0 AND a < b")
+    assert [(r["a"], r["b"]) for r in heavy.collect()] == [(2, 3)]
+
+
+def test_motif_anti_vertex_directed_sink(spark):
+    """!(b)->(c) with c unbound keeps only bindings where b has no
+    out-edge (a sink in the directed view)."""
+    from gminer_spark.graph.motif import find
+
+    edges = edges_df(spark, [(1, 2), (2, 3), (1, 4)])  # sinks: 3, 4
+    res = find(edges, "(a)->(b); !(b)->(c)")
+    got = sorted((r["a"], r["b"]) for r in res.collect())
+    assert got == [(1, 4), (2, 3)]
+
+
+def test_motif_anti_vertex_source(spark):
+    """!(c)->(b) with c unbound: b has no in-edge (a source)."""
+    from gminer_spark.graph.motif import find
+
+    edges = edges_df(spark, [(1, 2), (2, 3)])
+    res = find(edges, "(b)->(a); !(c)->(b)")
+    assert [r["b"] for r in res.collect()] == [1]
+
+
+def test_motif_anti_vertex_isolated_direction_undirected(spark):
+    """Undirected anti-vertex over a path: no vertex is edge-free, so
+    the match set is empty."""
+    from gminer_spark.graph.motif import find
+
+    edges = edges_df(spark, PATH5)
+    assert find(edges, "(a)-(b); !(b)-(c)").count() == 0
