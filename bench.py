@@ -112,17 +112,51 @@ def main() -> None:
         cq[name](spark, SF_DIR).count()
         mining[name] = round(time.time() - t0, 3)
 
+    # round-2 variants: PPR / weighted PR / h-index coreness /
+    # incremental CC — timed separately, headline unchanged
+    from gminer_spark.graph.cc import incremental_cc
+    from gminer_spark.graph.kcore import coreness_hindex
+    from gminer_spark.graph.tables import copurchase_weighted_edges
+
+    variants = {}
+    t0 = time.time()
+    seeds = edges.select(F.col("src").alias("id")).distinct().where(
+        F.col("id") % 97 == 0
+    )
+    pagerank(edges, num_iter=PR_ITERS, reset=seeds)
+    variants["ppr10"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    pagerank(
+        copurchase_weighted_edges(spark, SF_DIR),
+        num_iter=PR_ITERS,
+        weight_col="w",
+    )
+    variants["pagerank_weighted10"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    coreness_hindex(edges)
+    variants["coreness_hindex"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    half_a = edges.where((F.col("src") + F.col("dst")) % 2 == 0)
+    half_b = edges.where((F.col("src") + F.col("dst")) % 2 == 1)
+    incremental_cc(connected_components(half_a).state, half_b).count()
+    variants["cc_incremental"] = round(time.time() - t0, 3)
+
     # "value" stays the round-1 8-query headline total so rounds are
     # comparable; the task-kernel queries are timed separately
     total = round(sum(queries.values()), 3)
     pr_sec = queries["pagerank10"]
     queries.update(mining)
+    queries.update(variants)
     out = {
         "metric": "bench_total",
         "value": total,
         "unit": "sec",
         "queries": queries,
         "mining_total": round(sum(mining.values()), 3),
+        "variants_total": round(sum(variants.values()), 3),
         "sf": SF_DIR,
         "cpus": CPUS,
         "n_edges": n_edges,

@@ -909,6 +909,38 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["dedup_minhash_lsh"] = dedup_minhash_lsh
 
+    def dedup_clusters(s, d):
+        """Near-dup CLUSTERING: the graph engine closes the loop on the
+        text pipeline — MinHash-LSH candidate pairs become an edge
+        table, hash-min CC groups transitive duplicates, and the min
+        doc_id is the canonical representative (singletons keep
+        themselves).  This is the 100-TB dedup shape: bucketed pair
+        generation, batch-sized merge graph, one relabel join."""
+        from gminer_spark.graph.cc import connected_components
+        from gminer_spark.textops.dedup import minhash_lsh_pairs
+
+        docs = _doc(s, d, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id")
+        )
+        pairs = minhash_lsh_pairs(
+            _doc(s, d, "documents"), num_hashes=16, bands=4
+        )
+        edges = pairs.select(
+            F.col("doc_a").cast("long").alias("src"),
+            F.col("doc_b").cast("long").alias("dst"),
+        )
+        labels = connected_components(edges).state
+        return (
+            docs.join(labels, docs.doc_id == labels.id, "left")
+            .select(
+                "doc_id",
+                F.coalesce("component", F.col("doc_id")).alias("cluster"),
+            )
+            .withColumn("is_canonical", F.col("doc_id") == F.col("cluster"))
+        )
+
+    q["dedup_clusters"] = dedup_clusters
+
     def dedup_simhash(s, d):
         from gminer_spark.textops.dedup import simhash_near_pairs
 
@@ -1367,6 +1399,36 @@ buckets AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM buckets a JOIN buckets b
   ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+"""
+
+    o["dedup_clusters"] = f"""
+WITH RECURSIVE {WORDS_CTE.strip()},
+{SHINGLES_CTE.strip()},
+sig AS MATERIALIZED (
+    SELECT doc_id,
+           {mh_mins}
+    FROM shingles GROUP BY doc_id),
+buckets AS MATERIALIZED (
+    {bands_union}
+),
+pairs AS MATERIALIZED (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+),
+psym AS MATERIALIZED (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(id, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT p.d, r.label FROM reach r JOIN psym p ON p.s = r.id
+)
+SELECT CAST(id AS BIGINT) AS doc_id,
+       CAST(MIN(label) AS BIGINT) AS cluster,
+       id = MIN(label) AS is_canonical
+FROM reach GROUP BY id
 """
 
     # SimHash: 16-bit md5 bit votes; all-pairs oracle (the slice-bucket

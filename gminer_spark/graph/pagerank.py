@@ -37,6 +37,7 @@ def pagerank(
     resume: bool = True,
     weight_col: str | None = None,
     reset: DataFrame | None = None,
+    init_state: DataFrame | None = None,
 ) -> SuperstepResult:
     """PageRank over a directed ``edges(src, dst)`` DataFrame.
 
@@ -52,6 +53,13 @@ def pagerank(
     instead of all vertices, and the walk starts from the seeds.  The
     plan shape is identical in every variant: one rank-shuffle join
     per superstep, dangling as a broadcast 1-row aggregate.
+
+    ``init_state`` is a ``(id, rank)`` DataFrame to WARM-START from
+    (e.g. the previous run's ranks after an edge batch arrived).  The
+    update is an affine L1-contraction with factor = damping, so it
+    converges to the same unique fixpoint from any start — warm starts
+    change only the superstep count, not the answer.  Vertices absent
+    from ``init_state`` start at the cold-start value.
     """
     spark = edges.sparkSession
     # Static tables, computed once and reused across all supersteps.
@@ -112,9 +120,20 @@ def pagerank(
         )
         out_deg.count()
         base_deg.unpersist()  # reset-annotated copy is materialized now
-        init = out_deg.select("id", F.col("reset").alias("rank"), "out_deg", "reset")
+        cold = F.col("reset")
+        carry_cols = ["out_deg", "reset"]
     else:
-        init = out_deg.select("id", F.lit(1.0 / n).alias("rank"), "out_deg")
+        cold = F.lit(1.0 / n)
+        carry_cols = ["out_deg"]
+    if init_state is not None:
+        init = (
+            out_deg.join(
+                init_state.select("id", F.col("rank").alias("_warm")), on="id", how="left"
+            )
+            .select("id", F.coalesce("_warm", cold).alias("rank"), *carry_cols)
+        )
+    else:
+        init = out_deg.select("id", cold.alias("rank"), *carry_cols)
 
     teleport = (1.0 - damping) / n
     contrib_expr = (

@@ -4,7 +4,7 @@ parallelism first (python workers, JIT, shuffle service), so the
 measurement is steady-state.
 
 Usage: python tools/scaling_run.py <job> <cores> <input_path> [iters]
-jobs: pagerank | extract | tc
+jobs: pagerank | extract | tc | tc_kernel
 """
 
 from __future__ import annotations
@@ -73,6 +73,21 @@ def main() -> None:
         for _ in range(REPS):
             t0 = time.time()
             n_tri = triangle_count(edges)
+            secs.append(time.time() - t0)
+        sec = min(secs)
+        throughput = n_items / sec
+        extra = {"triangles": n_tri, "reps_sec": [round(s, 1) for s in secs]}
+    elif job == "tc_kernel":
+        from gminer_spark.graph.triangles import triangle_count_kernel
+
+        edges = spark.read.parquet(path).persist()
+        n_items = edges.count()
+        triangle_count_kernel(edges)  # warm-up (python workers + JIT)
+        secs = []
+        n_tri = 0
+        for _ in range(REPS):
+            t0 = time.time()
+            n_tri = triangle_count_kernel(edges)
             secs.append(time.time() - t0)
         sec = min(secs)
         throughput = n_items / sec
