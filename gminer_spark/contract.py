@@ -85,6 +85,7 @@ KCORE_ITERS = 8  # sf0.01 converges in 5 peel rounds; margin for safety
 KTRUSS_K = 12
 KTRUSS_ITERS = 7  # sf0.01 converges in 4 support-peel rounds; margin
 CORENESS_H_ITERS = 22  # sf0.01 h-index fixpoint at round 18; margin
+SSSP_ITERS = 6  # sf0.01 converges in 3 Bellman-Ford rounds; margin
 
 
 def _materialize(cte: str) -> str:
@@ -406,6 +407,29 @@ def build_queries() -> dict[str, QueryFn]:
         return k_core(_edges(s, d), k=KCORE_K, max_iter=KCORE_ITERS)
 
     q["kcore"] = kcore
+
+    def sssp_hops(s, d):
+        """Multi-source BFS hop distance (Bellman-Ford supersteps with
+        unit weights, min-combiner messages + vote-to-halt frontier);
+        sources = id % PPR_SEED_MOD == 0.  Reached vertices only."""
+        from gminer_spark.graph.sssp import shortest_paths
+
+        e = _edges(s, d)
+        srcs = gt.vertices(e).where(F.col("id") % PPR_SEED_MOD == 0)
+        return shortest_paths(e, srcs, max_iter=SSSP_ITERS).state
+
+    q["sssp_hops"] = sssp_hops
+
+    def sssp_weighted(s, d):
+        """Weighted shortest paths: edge cost = shared-order count
+        (integer weights — bit-identical distances across engines)."""
+        from gminer_spark.graph.sssp import shortest_paths
+
+        we = gt.copurchase_weighted_edges(s, d)
+        srcs = gt.vertices(we).where(F.col("id") % PPR_SEED_MOD == 0)
+        return shortest_paths(we, srcs, weight_col="w", max_iter=SSSP_ITERS).state
+
+    q["sssp_weighted"] = sssp_weighted
 
     def coreness_hindex(s, d):
         """Coreness by the iterated-h-index fixpoint (Lü et al. 2016)
@@ -1120,6 +1144,25 @@ SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id
     o["kcore"] = kcore_oracle_sql(EDGES_CTE, k=KCORE_K, iters=KCORE_ITERS)
     o["coreness_hindex"] = coreness_hindex_oracle_sql(
         EDGES_CTE, iters=CORENESS_H_ITERS
+    )
+
+    from gminer_spark.graph.sssp import sssp_oracle_sql
+
+    o["sssp_hops"] = sssp_oracle_sql(
+        EDGES_CTE, f"id % {PPR_SEED_MOD} = 0", iters=SSSP_ITERS
+    )
+    _sssp_wedges = """
+edges AS (
+    SELECT CAST(a.l_partkey AS BIGINT) AS src,
+           CAST(b.l_partkey AS BIGINT) AS dst,
+           COUNT(*) AS w
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+)"""
+    o["sssp_weighted"] = sssp_oracle_sql(
+        _sssp_wedges, f"id % {PPR_SEED_MOD} = 0", iters=SSSP_ITERS, weighted=True
     )
 
     o["motif_heavy_wedges"] = """

@@ -181,3 +181,32 @@ def triangles_per_vertex(edges: list[tuple[int, int]]) -> dict[int, int]:
                         out[u] += 1
                         out[w] += 1
     return out
+
+
+def sssp(
+    edges: list[tuple[int, int]] | list[tuple[int, int, int]],
+    sources: list[int],
+    directed: bool = False,
+) -> dict[int, int]:
+    """Dijkstra multi-source; edges optionally (s, d, w) with int w>=0."""
+    import heapq
+
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for e in edges:
+        s, d, w = e if len(e) == 3 else (e[0], e[1], 1)
+        if s == d:
+            continue
+        adj.setdefault(s, []).append((d, w))
+        if not directed:
+            adj.setdefault(d, []).append((s, w))
+    dist: dict[int, int] = {}
+    pq = [(0, s) for s in sources if s in adj]
+    while pq:
+        d0, v = heapq.heappop(pq)
+        if v in dist:
+            continue
+        dist[v] = d0
+        for u, w in adj.get(v, []):
+            if u not in dist:
+                heapq.heappush(pq, (d0 + w, u))
+    return dist

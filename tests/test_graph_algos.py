@@ -272,3 +272,37 @@ def test_pagerank_warm_start_same_fixpoint_fewer_supersteps(spark):
     # the warm start lands far closer to the fixpoint: its first
     # superstep's L1 delta is orders of magnitude below cold's
     assert warm.history[0]["delta"] < cold.history[0]["delta"] / 10
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_sssp_matches_dijkstra(spark, weighted):
+    from gminer_spark.graph.sssp import shortest_paths
+
+    rng = np.random.default_rng(5)
+    pairs = random_graph(n=100, p=0.03, seed=5)
+    sources = sorted({s for s, _ in pairs})[:3]
+    src_df = spark.createDataFrame([(s,) for s in sources], "id long")
+    if weighted:
+        wpairs = [(s, d, int(rng.integers(1, 9))) for s, d in pairs]
+        wdf = spark.createDataFrame(wpairs, "src long, dst long, w long")
+        res = shortest_paths(wdf, src_df, weight_col="w")
+        want = oracle.sssp(wpairs, sources)
+    else:
+        res = shortest_paths(edges_df(spark, pairs), src_df)
+        want = oracle.sssp(pairs, sources)
+    got = {r["id"]: r["dist"] for r in res.state.collect()}
+    assert got == want
+    assert res.converged
+
+
+def test_sssp_directed_vs_undirected(spark):
+    from gminer_spark.graph.sssp import shortest_paths
+
+    src_df = spark.createDataFrame([(5,)], "id long")
+    # path 1->2->3->4->5 directed: nothing reachable from 5 except itself
+    res = shortest_paths(edges_df(spark, PATH5), src_df, directed=True)
+    got = {r["id"]: r["dist"] for r in res.state.collect()}
+    assert got == {5: 0}
+    und = shortest_paths(edges_df(spark, PATH5), src_df, directed=False)
+    got_u = {r["id"]: r["dist"] for r in und.state.collect()}
+    assert got_u == {5: 0, 4: 1, 3: 2, 2: 3, 1: 4}
