@@ -282,6 +282,53 @@ def lpa_oracle_sql(iters: int = LPA_ITERS) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{iters}"
 
 
+def lpa_weighted_oracle_sql(iters: int = LPA_ITERS) -> str:
+    """Unrolled WEIGHTED sync LPA: votes weighted by shared-order
+    count; tie (weight-sum desc, label asc).  Integer sums keep the
+    mode deterministic across engines."""
+    ctes = [
+        """wedges AS MATERIALIZED (
+    SELECT CAST(a.l_partkey AS BIGINT) AS src,
+           CAST(b.l_partkey AS BIGINT) AS dst,
+           COUNT(*) AS w
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+)""",
+        """wsym AS MATERIALIZED (
+    SELECT src, dst, w FROM wedges
+    UNION SELECT dst AS src, src AS dst, w FROM wedges
+)""",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM wsym)",
+        "l0 AS (SELECT id, id AS label FROM verts)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"l{k - 1}"
+        ctes.append(
+            f"""m{k} AS (
+    SELECT s.dst AS id, l.label, SUM(s.w) AS cnt
+    FROM wsym s JOIN {p} l ON s.src = l.id
+    GROUP BY s.dst, l.label
+)""",
+        )
+        ctes.append(
+            f"""l{k} AS MATERIALIZED (
+    SELECT v.id, COALESCE(m.label, prev.label) AS label
+    FROM verts v
+    JOIN {p} prev ON v.id = prev.id
+    LEFT JOIN (
+        SELECT id, label FROM (
+            SELECT id, label,
+                   ROW_NUMBER() OVER (PARTITION BY id
+                                      ORDER BY cnt DESC, label ASC) AS rn
+            FROM m{k}) x WHERE rn = 1) m
+    ON v.id = m.id
+)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{iters}"
+
+
 CC_ORACLE_SQL = f"""
 WITH RECURSIVE {EDGES_CTE.strip()},
 {SYM_CTE.strip()},
@@ -395,6 +442,19 @@ def build_queries() -> dict[str, QueryFn]:
         return label_propagation(_edges(s, d), num_iter=LPA_ITERS).state
 
     q["lpa_labels"] = lpa_labels
+
+    def lpa_weighted_labels(s, d):
+        """Weighted sync LPA: each neighbor votes with the shared-order
+        count; integer weight sums keep the mode exact."""
+        from gminer_spark.graph.lpa import label_propagation
+
+        return label_propagation(
+            gt.copurchase_weighted_edges(s, d),
+            num_iter=LPA_ITERS,
+            weight_col="w",
+        ).state
+
+    q["lpa_weighted_labels"] = lpa_weighted_labels
 
     def kcore(s, d):
         """k-core by iterative degree peeling (the reference's degree
@@ -1138,6 +1198,7 @@ SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id
     o["cc_components"] = CC_ORACLE_SQL
     o["cc_incremental"] = CC_ORACLE_SQL
     o["lpa_labels"] = lpa_oracle_sql()
+    o["lpa_weighted_labels"] = lpa_weighted_oracle_sql()
 
     from gminer_spark.graph.kcore import coreness_hindex_oracle_sql, kcore_oracle_sql
 

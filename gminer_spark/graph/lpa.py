@@ -25,6 +25,7 @@ def label_propagation(
     max_iter: int = 50,
     store: CheckpointStore | None = None,
     resume: bool = True,
+    weight_col: str | None = None,
 ) -> SuperstepResult:
     """Sync LPA over ``edges(src, dst)`` (treated as undirected).
 
@@ -32,13 +33,31 @@ def label_propagation(
     (sync LPA can oscillate on bipartite structures, so fixed-round is
     the reproducible contract; ``until_stable`` stops early when no
     label changes).
+
+    ``weight_col`` names a non-negative INTEGER edge weight: each
+    neighbor's vote counts w times (tie-break stays total: weight sum
+    desc, then label asc — integer sums keep the mode deterministic
+    across engines and partitionings).
     """
     spark = edges.sparkSession
     # sizing count on a persisted input: expensive upstream lineage
     # materializes once, and symmetrize below reads the cached rows
     edges, n_in, we_persisted = tables.ensure_materialized(edges)
     n_shuffle = tables.sized_partitions(spark, n_in)
-    sym = tables.symmetrize(edges).repartition(n_shuffle, "src").persist()
+    if weight_col is not None:
+        fwd = edges.select("src", "dst", F.col(weight_col).cast("long").alias("w"))
+        rev = fwd.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+        sym = (
+            fwd.unionByName(rev)
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .repartition(n_shuffle, "src")
+            .persist()
+        )
+    else:
+        sym = tables.symmetrize(edges).repartition(n_shuffle, "src").persist()
     edge_count = sym.count()
     if we_persisted:
         edges.unpersist()
@@ -48,10 +67,11 @@ def label_propagation(
     def step(state: DataFrame, k: int):
         # groupBy(dst, label).count is the map-side-combined message
         # histogram; the window picks the deterministic mode.
+        vote = F.sum("w") if weight_col is not None else F.count("*")
         counts = (
             sym.join(state, sym.src == state.id)
             .groupBy("dst", "label")
-            .agg(F.count("*").alias("cnt"))
+            .agg(vote.cast("long").alias("cnt"))
         )
         w = Window.partitionBy("dst").orderBy(
             F.col("cnt").desc(), F.col("label").asc()

@@ -210,3 +210,26 @@ def sssp(
             if u not in dist:
                 heapq.heappush(pq, (d0 + w, u))
     return dist
+
+
+def lpa_weighted(
+    edges: list[tuple[int, int, int]], num_iter: int = 5
+) -> dict[int, int]:
+    """Weighted sync LPA; tie-break (weight sum desc, label asc)."""
+    nbrs: dict[int, dict[int, int]] = {}
+    for s, d, w in edges:
+        if s == d:
+            continue
+        nbrs.setdefault(s, {})[d] = nbrs.setdefault(s, {}).get(d, 0) + w
+        nbrs.setdefault(d, {})[s] = nbrs.setdefault(d, {}).get(s, 0) + w
+    labels = {v: v for v in nbrs}
+    for _ in range(num_iter):
+        new = {}
+        for v in nbrs:
+            counts: dict[int, int] = {}
+            for u, w in nbrs[v].items():
+                lbl = labels[u]
+                counts[lbl] = counts.get(lbl, 0) + w
+            new[v] = min(counts, key=lambda l: (-counts[l], l)) if counts else labels[v]
+        labels = new
+    return labels

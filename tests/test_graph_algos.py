@@ -306,3 +306,33 @@ def test_sssp_directed_vs_undirected(spark):
     und = shortest_paths(edges_df(spark, PATH5), src_df, directed=False)
     got_u = {r["id"]: r["dist"] for r in und.state.collect()}
     assert got_u == {5: 0, 4: 1, 3: 2, 2: 3, 1: 4}
+
+
+def test_lpa_weighted_matches_oracle(spark):
+    from gminer_spark.graph.lpa import label_propagation
+
+    rng = np.random.default_rng(11)
+    pairs = random_graph(n=80, p=0.06, seed=11, directed=False)
+    wpairs = [(s, d, int(rng.integers(1, 5))) for s, d in pairs]
+    wdf = spark.createDataFrame(wpairs, "src long, dst long, w long")
+    res = label_propagation(wdf, num_iter=4, weight_col="w")
+    got = {r["id"]: r["label"] for r in res.state.collect()}
+    assert got == oracle.lpa_weighted(wpairs, num_iter=4)
+
+
+def test_lpa_weighted_unit_weights_equals_unweighted(spark):
+    from gminer_spark.graph.lpa import label_propagation
+
+    pairs = random_graph(n=60, p=0.06, seed=3, directed=False)
+    wdf = spark.createDataFrame(
+        [(s, d, 1) for s, d in pairs], "src long, dst long, w long"
+    )
+    a = {
+        r["id"]: r["label"]
+        for r in label_propagation(wdf, num_iter=3, weight_col="w").state.collect()
+    }
+    b = {
+        r["id"]: r["label"]
+        for r in label_propagation(edges_df(spark, pairs), num_iter=3).state.collect()
+    }
+    assert a == b
