@@ -161,19 +161,27 @@ def coreness_hindex(
     )
     prev_total = state.agg(F.sum("val")).first()[0]
     rounds = num_iter if num_iter is not None else max_iter
-    w = Window.partitionBy("id").orderBy(F.desc("val"))
+    # H over a multiset = max over DISTINCT values v of min(v, #{≥v}):
+    # aggregate to a per-(id, val) histogram first (map-side combined),
+    # then a cumulative window over distinct values only.  A hub with
+    # 10^6 neighbors contributes ≤ k_max rows to its window partition
+    # instead of 10^6 — the skew-robust form of the h-index operator.
+    w = (
+        Window.partitionBy("id")
+        .orderBy(F.desc("val"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     for _ in range(rounds):
-        nbr = sym.join(state, sym.dst == state.id).select(
-            F.col("src").alias("id"), "val"
+        hist = (
+            sym.join(state, sym.dst == state.id)
+            .groupBy(F.col("src").alias("id"), "val")
+            .agg(F.count("*").alias("cnt"))
         )
         state = (
-            nbr.withColumn("rn", F.row_number().over(w))
+            hist.withColumn("cum", F.sum("cnt").over(w))
             .groupBy("id")
             .agg(
-                F.coalesce(
-                    F.max(F.when(F.col("val") >= F.col("rn"), F.col("rn"))),
-                    F.lit(0),
-                )
+                F.max(F.least(F.col("cum"), F.col("val")))
                 .cast("long")
                 .alias("val")
             )
