@@ -491,6 +491,22 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["sssp_weighted"] = sssp_weighted
 
+    def random_walks(s, d):
+        """Deterministic random-walk corpus (DeepWalk-style training
+        data): md5-derived transitions over the dst-sorted adjacency —
+        hash-uniform like a seeded RNG, bit-identical across engines."""
+        from gminer_spark.graph.walks import random_walks as rw
+
+        res = rw(_edges(s, d), walk_len=3, walks_per_vertex=2)
+        return res.select(
+            "start",
+            F.col("walk").cast("long").alias("walk"),
+            F.col("step").cast("long").alias("step"),
+            "vertex",
+        )
+
+    q["random_walks"] = random_walks
+
     def coreness_hindex(s, d):
         """Coreness by the iterated-h-index fixpoint (Lü et al. 2016)
         — the scale path for full core decomposition: one
@@ -1205,6 +1221,12 @@ SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id
     o["kcore"] = kcore_oracle_sql(EDGES_CTE, k=KCORE_K, iters=KCORE_ITERS)
     o["coreness_hindex"] = coreness_hindex_oracle_sql(
         EDGES_CTE, iters=CORENESS_H_ITERS
+    )
+
+    from gminer_spark.graph.walks import random_walks_oracle_sql
+
+    o["random_walks"] = random_walks_oracle_sql(
+        EDGES_CTE, walk_len=3, walks_per_vertex=2
     )
 
     from gminer_spark.graph.sssp import sssp_oracle_sql

@@ -1,0 +1,140 @@
+"""Deterministic random-walk sampling (DeepWalk-style corpus).
+
+Training-data op: random-walk corpora feed graph-embedding trainers
+(DeepWalk / node2vec), the graph analog of the text pipeline's token
+streams.  The walk transition reuses the engine's cross-engine hash
+idiom (gminer_spark.functions.h32, the md5-derived analog of the
+reference's modular hashing, /root/reference/util/minhash.cpp:30-45):
+at step t the walk at vertex v moves to neighbor with index
+
+    h32("{seed}:{start}:{walk}:{t}:{v}") mod deg(v)
+
+over the dst-sorted adjacency — fully deterministic, identical across
+engines and partitionings, yet hash-uniform like a seeded RNG.
+
+Spark shape: the indexed adjacency (src, dst, rn, deg) is built once
+(one window over the neighbor sort) and persisted; each step is ONE
+equi-join on the current vertex with the rn filter applied inside the
+join — walk state never leaves the cluster, lineage truncated per
+step.  At 100 TB the walk table is (|V| × walks) rows per step,
+hash-partitioned on the current vertex like every other frontier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gminer_spark.functions import h32
+from gminer_spark.graph import tables
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    walks_per_vertex: int = 1,
+    seed: str = "w",
+    starts: DataFrame | None = None,
+) -> DataFrame:
+    """(start, walk, step, vertex) — deterministic walks over the
+    undirected view; one walk row per step 0..walk_len.
+
+    ``starts`` optionally restricts the start set (default: every
+    vertex).  Walks never terminate early (the symmetrized view has
+    no degree-0 vertices).
+    """
+    spark = edges.sparkSession
+    n_shuffle = tables.shuffle_partitions(spark)
+    sym = tables.symmetrize(edges)
+    w = Window.partitionBy("src").orderBy("dst")
+    adj = (
+        sym.select(
+            "src",
+            "dst",
+            (F.row_number().over(w) - 1).alias("rn"),
+            F.count("*").over(Window.partitionBy("src")).alias("deg"),
+        )
+        .repartition(n_shuffle, "src")
+        .persist()
+    )
+    adj.count()
+
+    verts = tables.vertices(sym)
+    if starts is not None:
+        verts = verts.join(
+            starts.select(F.col("id").cast("long").alias("id")).distinct(), on="id"
+        )
+    pos = verts.select(
+        F.col("id").alias("start"),
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))).alias("walk"),
+        F.col("id").alias("vertex"),
+    ).localCheckpoint()
+    out = [pos.select("start", "walk", F.lit(0).alias("step"), "vertex")]
+    for t in range(1, walk_len + 1):
+        key = F.concat_ws(
+            ":",
+            F.lit(seed),
+            F.col("start"),
+            F.col("walk"),
+            F.lit(t),
+            F.col("vertex"),
+        )
+        stepped = (
+            pos.join(
+                adj,
+                (pos.vertex == adj.src) & (adj.rn == h32(key) % adj.deg),
+            )
+            .select("start", "walk", F.col("dst").alias("vertex"))
+            .localCheckpoint()
+        )
+        out.append(stepped.select("start", "walk", F.lit(t).alias("step"), "vertex"))
+        pos = stepped
+    result = out[0]
+    for df in out[1:]:
+        result = result.unionByName(df)
+    adj.unpersist()
+    return result
+
+
+def random_walks_oracle_sql(
+    edges_cte: str,
+    walk_len: int,
+    walks_per_vertex: int,
+    seed: str = "w",
+) -> str:
+    """Unrolled walk steps as a CTE chain; the per-step transition is
+    the same md5-derived index both engines compute bit-identically."""
+    from gminer_spark.functions import h32_sql
+
+    ctes = [
+        f"{edges_cte.strip()}",
+        """sym AS MATERIALIZED (
+    SELECT src, dst FROM edges
+    UNION SELECT dst AS src, src AS dst FROM edges)""",
+        """adj AS MATERIALIZED (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS rn,
+           COUNT(*) OVER (PARTITION BY src) AS deg
+    FROM sym)""",
+        f"""w0 AS MATERIALIZED (
+    SELECT id AS start, wk AS walk, id AS vertex
+    FROM (SELECT DISTINCT src AS id FROM sym)
+    CROSS JOIN (SELECT UNNEST(range({walks_per_vertex})) AS wk))""",
+    ]
+    for t in range(1, walk_len + 1):
+        key = (
+            f"'{seed}:' || CAST(p.start AS VARCHAR) || ':' || "
+            f"CAST(p.walk AS VARCHAR) || ':{t}:' || CAST(p.vertex AS VARCHAR)"
+        )
+        ctes.append(
+            f"""w{t} AS MATERIALIZED (
+    SELECT p.start, p.walk, a.dst AS vertex
+    FROM w{t - 1} p JOIN adj a
+      ON a.src = p.vertex
+     AND a.rn = {h32_sql(key)} % a.deg)"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT start, walk, CAST({t} AS BIGINT) AS step, vertex FROM w{t}"
+        for t in range(walk_len + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects

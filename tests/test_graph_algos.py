@@ -336,3 +336,50 @@ def test_lpa_weighted_unit_weights_equals_unweighted(spark):
         for r in label_propagation(edges_df(spark, pairs), num_iter=3).state.collect()
     }
     assert a == b
+
+
+def test_random_walks_match_python_simulation(spark):
+    """Deterministic walks: the md5-derived transition must reproduce a
+    literal python simulation step for step."""
+    import hashlib
+
+    from gminer_spark.graph.walks import random_walks
+
+    def h32_py(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    pairs = random_graph(n=40, p=0.1, seed=2, directed=False)
+    adj: dict[int, list[int]] = {}
+    for s, d in pairs:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    adj = {v: sorted(ns) for v, ns in adj.items()}
+
+    walk_len, n_walks = 3, 2
+    want = set()
+    for start in adj:
+        for wk in range(n_walks):
+            v = start
+            want.add((start, wk, 0, v))
+            for t in range(1, walk_len + 1):
+                v = adj[v][h32_py(f"w:{start}:{wk}:{t}:{v}") % len(adj[v])]
+                want.add((start, wk, t, v))
+
+    res = random_walks(edges_df(spark, pairs), walk_len=walk_len, walks_per_vertex=n_walks)
+    got = {
+        (r["start"], r["walk"], r["step"], r["vertex"]) for r in res.collect()
+    }
+    assert got == want
+
+
+def test_random_walks_deterministic_under_partitioning(spark):
+    from gminer_spark.graph.walks import random_walks
+
+    pairs = random_graph(n=50, p=0.08, seed=8, directed=False)
+    e1 = edges_df(spark, pairs).repartition(1)
+    e2 = edges_df(spark, pairs).repartition(16)
+    a = sorted(map(tuple, random_walks(e1, walk_len=2).collect()))
+    b = sorted(map(tuple, random_walks(e2, walk_len=2).collect()))
+    assert a == b
