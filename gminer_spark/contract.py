@@ -507,6 +507,21 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["random_walks"] = random_walks
 
+    def walk_skipgrams(s, d):
+        """Skip-gram (center, context) pair counts from the walk corpus
+        — the DeepWalk training-data stage after sampling."""
+        from gminer_spark.graph.walks import random_walks as rw
+        from gminer_spark.graph.walks import skipgram_pairs
+
+        walks = rw(_edges(s, d), walk_len=3, walks_per_vertex=2)
+        return (
+            skipgram_pairs(walks, window=2)
+            .groupBy("center", "context")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+
+    q["walk_skipgrams"] = walk_skipgrams
+
     def coreness_hindex(s, d):
         """Coreness by the iterated-h-index fixpoint (Lü et al. 2016)
         — the scale path for full core decomposition: one
@@ -1227,6 +1242,12 @@ SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id
 
     o["random_walks"] = random_walks_oracle_sql(
         EDGES_CTE, walk_len=3, walks_per_vertex=2
+    )
+
+    from gminer_spark.graph.walks import skipgram_pairs_oracle_sql
+
+    o["walk_skipgrams"] = skipgram_pairs_oracle_sql(
+        EDGES_CTE, walk_len=3, walks_per_vertex=2, window=2
     )
 
     from gminer_spark.graph.sssp import sssp_oracle_sql

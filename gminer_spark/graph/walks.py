@@ -96,6 +96,34 @@ def random_walks(
     return result
 
 
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context) training pairs from a walk corpus — the
+    DeepWalk skip-gram window, as one self-join per corpus.
+
+    Pairs are emitted for 0 < |Δstep| <= window within the same
+    (start, walk); both directions (skip-gram is symmetric).  The join
+    key is the walk id, so the shuffle is corpus-partitioned and the
+    per-key fan-out is bounded by walk_len² — constant, not data-skew
+    prone.
+    """
+    a = walks.select(
+        F.col("start"), F.col("walk"), F.col("step").alias("sa"),
+        F.col("vertex").alias("center"),
+    )
+    b = walks.select(
+        F.col("start"), F.col("walk"), F.col("step").alias("sb"),
+        F.col("vertex").alias("context"),
+    )
+    return (
+        a.join(b, on=["start", "walk"])
+        .where(
+            (F.col("sa") != F.col("sb"))
+            & (F.abs(F.col("sa") - F.col("sb")) <= window)
+        )
+        .select("center", "context")
+    )
+
+
 def random_walks_oracle_sql(
     edges_cte: str,
     walk_len: int,
@@ -138,3 +166,26 @@ def random_walks_oracle_sql(
         for t in range(walk_len + 1)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+def skipgram_pairs_oracle_sql(
+    edges_cte: str,
+    walk_len: int,
+    walks_per_vertex: int,
+    window: int = 2,
+    seed: str = "w",
+) -> str:
+    """Skip-gram pair counts over the unrolled walk corpus."""
+    base = random_walks_oracle_sql(edges_cte, walk_len, walks_per_vertex, seed)
+    ctes, _, selects = base.partition("\nSELECT start")
+    selects = "SELECT start" + selects
+    return f"""{ctes},
+corpus AS MATERIALIZED (
+{selects}
+)
+SELECT a.vertex AS center, b.vertex AS context,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM corpus a JOIN corpus b
+  ON a.start = b.start AND a.walk = b.walk
+WHERE a.step <> b.step AND ABS(a.step - b.step) <= {window}
+GROUP BY 1, 2"""

@@ -383,3 +383,17 @@ def test_random_walks_deterministic_under_partitioning(spark):
     a = sorted(map(tuple, random_walks(e1, walk_len=2).collect()))
     b = sorted(map(tuple, random_walks(e2, walk_len=2).collect()))
     assert a == b
+
+
+def test_skipgram_pairs_window_semantics(spark):
+    from gminer_spark.graph.walks import skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [(1, 0, 0, 10), (1, 0, 1, 11), (1, 0, 2, 12), (1, 0, 3, 13)],
+        "start long, walk long, step long, vertex long",
+    )
+    got = sorted(
+        (r["center"], r["context"])
+        for r in skipgram_pairs(walks, window=1).collect()
+    )
+    assert got == [(10, 11), (11, 10), (11, 12), (12, 11), (12, 13), (13, 12)]
