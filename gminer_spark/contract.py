@@ -86,6 +86,7 @@ KTRUSS_K = 12
 KTRUSS_ITERS = 7  # sf0.01 converges in 4 support-peel rounds; margin
 CORENESS_H_ITERS = 22  # sf0.01 h-index fixpoint at round 18; margin
 SSSP_ITERS = 6  # sf0.01 converges in 3 Bellman-Ford rounds; margin
+MIS_ITERS = 10  # sf0.01 empties the undecided set in 7 Luby rounds; margin
 
 
 def _materialize(cte: str) -> str:
@@ -490,6 +491,17 @@ def build_queries() -> dict[str, QueryFn]:
         return shortest_paths(we, srcs, weight_col="w", max_iter=SSSP_ITERS).state
 
     q["sssp_weighted"] = sssp_weighted
+
+    def mis(s, d):
+        """Maximal independent set — Luby's rounds derandomized with
+        md5 priorities, so the MIS is unique and exactly checkable.
+        Rounds past the empty undecided set are no-ops (engine stops
+        early; the MIS_ITERS-unrolled oracle matches)."""
+        from gminer_spark.graph.mis import maximal_independent_set
+
+        return maximal_independent_set(_edges(s, d), max_iter=MIS_ITERS)
+
+    q["mis"] = mis
 
     def random_walks(s, d):
         """Deterministic random-walk corpus (DeepWalk-style training
@@ -1237,6 +1249,10 @@ SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id
     o["coreness_hindex"] = coreness_hindex_oracle_sql(
         EDGES_CTE, iters=CORENESS_H_ITERS
     )
+
+    from gminer_spark.graph.mis import mis_oracle_sql
+
+    o["mis"] = mis_oracle_sql(EDGES_CTE, iters=MIS_ITERS)
 
     from gminer_spark.graph.walks import random_walks_oracle_sql
 

@@ -1,0 +1,129 @@
+"""Maximal independent set — Luby's algorithm, derandomized.
+
+Luby's round: a vertex enters the MIS when its priority beats every
+undecided neighbor's; it and its neighbors leave the undecided set.
+O(log n) rounds in expectation for random priorities.  We derandomize
+with the engine's md5 idiom: priority = (h32(seed:id) >> 1) * 2^31 + id
+— hash-uniform, collision-free (id tie-break packed into the low
+bits, < 2^62 so BIGINT-safe in both engines), so the MIS is UNIQUE
+and an unrolled SQL oracle checks exact membership.
+
+Spark shape per round: one join of the undecided edge view with the
+priority table (min-combiner pre-shuffle, the reference's message
+fold, /root/reference/partition/BDGPartitioner.tpp:259-263), one
+anti-join to drop decided vertices.  The undecided set shrinks
+geometrically; survivors' edges are re-filtered by membership —
+frontier-tracking like the CC vote-to-halt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gminer_spark.functions import h32
+from gminer_spark.graph import tables
+
+
+def _priority(col: str, seed: str):
+    return (
+        F.shiftright(h32(F.concat_ws(":", F.lit(seed), F.col(col))), 1)
+        * F.lit(2147483648).cast("long")
+        + F.col(col)
+    )
+
+
+def maximal_independent_set(
+    edges: DataFrame, seed: str = "mis", max_iter: int = 100
+) -> DataFrame:
+    """(id) — the unique MIS selected by md5-derived priorities."""
+    spark = edges.sparkSession
+    sym = (
+        tables.symmetrize(edges)
+        .repartition(tables.shuffle_partitions(spark), "src")
+        .persist()
+    )
+    undecided = tables.vertices(sym).localCheckpoint()
+    live = sym
+    mis = None
+    for _ in range(max_iter):
+        if undecided.isEmpty():
+            break
+        pri = undecided.select(
+            "id", _priority("id", seed).alias("pri")
+        )
+        # min neighbor priority among undecided neighbors
+        nbr_min = (
+            live.join(pri.withColumnRenamed("id", "src"), on="src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("pri").alias("nbr_pri"))
+        )
+        winners = (
+            pri.join(nbr_min, on="id", how="left")
+            .where(F.col("nbr_pri").isNull() | (F.col("pri") < F.col("nbr_pri")))
+            .select("id")
+            .localCheckpoint()
+        )
+        mis = winners if mis is None else mis.unionByName(winners).localCheckpoint()
+        # drop winners and their neighbors from the undecided set
+        removed = winners.unionByName(
+            live.join(winners.withColumnRenamed("id", "src"), on="src").select(
+                F.col("dst").alias("id")
+            )
+        ).distinct()
+        undecided = undecided.join(removed, on="id", how="left_anti").localCheckpoint()
+        live = (
+            live.join(undecided.withColumnRenamed("id", "src"), on="src")
+            .join(undecided.withColumnRenamed("id", "dst"), on="dst")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    sym.unpersist()
+    if mis is None:
+        return spark.createDataFrame([], "id long")
+    return mis
+
+
+def mis_oracle_sql(edges_cte: str, iters: int, seed: str = "mis") -> str:
+    """Unrolled Luby rounds; priorities identical to the engine's, so
+    membership matches exactly.  ``iters`` >= measured convergence
+    (later rounds are no-ops on an empty undecided set)."""
+    from gminer_spark.functions import h32_sql
+
+    def pri(col: str) -> str:
+        key = f"'{seed}:' || CAST({col} AS VARCHAR)"
+        return f"({h32_sql(key)} // 2) * 2147483648 + {col}"
+
+    ctes = [
+        f"{edges_cte.strip()}",
+        """sym AS MATERIALIZED (
+    SELECT src, dst FROM edges
+    UNION SELECT dst AS src, src AS dst FROM edges)""",
+        "u0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym)",
+        "m0 AS (SELECT CAST(NULL AS BIGINT) AS id WHERE 1 = 0)",
+        """e0 AS MATERIALIZED (SELECT src, dst FROM sym)""",
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes += [
+            f"""w{k} AS MATERIALIZED (
+    SELECT u.id FROM u{p} u
+    LEFT JOIN (
+        SELECT e.dst AS id, MIN({pri('e.src')}) AS nbr_pri
+        FROM e{p} e JOIN u{p} s ON e.src = s.id
+        GROUP BY e.dst) n
+    ON u.id = n.id
+    WHERE n.nbr_pri IS NULL OR {pri('u.id')} < n.nbr_pri)""",
+            f"""m{k} AS MATERIALIZED (
+    SELECT id FROM m{p} UNION ALL SELECT id FROM w{k})""",
+            f"""u{k} AS MATERIALIZED (
+    SELECT id FROM u{p}
+    WHERE id NOT IN (SELECT id FROM w{k})
+      AND id NOT IN (
+        SELECT e.dst FROM e{p} e JOIN w{k} w ON e.src = w.id))""",
+            f"""e{k} AS MATERIALIZED (
+    SELECT e.src, e.dst FROM e{p} e
+    JOIN u{k} a ON e.src = a.id
+    JOIN u{k} b ON e.dst = b.id)""",
+        ]
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id FROM m{iters}"

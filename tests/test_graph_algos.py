@@ -397,3 +397,51 @@ def test_skipgram_pairs_window_semantics(spark):
         for r in skipgram_pairs(walks, window=1).collect()
     )
     assert got == [(10, 11), (11, 10), (11, 12), (12, 11), (12, 13), (13, 12)]
+
+
+def _mis_greedy_oracle(pairs, seed="mis"):
+    """Luby with fixed priorities == sequential greedy in priority
+    order (lexicographically-first MIS)."""
+    import hashlib
+
+    def pri(v):
+        h = int(hashlib.md5(f"{seed}:{v}".encode()).hexdigest()[:8], 16)
+        return (h >> 1) * 2147483648 + v
+
+    adj: dict[int, set[int]] = {}
+    for s, d in pairs:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    mis: set[int] = set()
+    for v in sorted(adj, key=pri):
+        if not (adj[v] & mis):
+            mis.add(v)
+    return mis
+
+
+@pytest.mark.parametrize("seed_graph", [4, 9])
+def test_mis_matches_greedy_oracle(spark, seed_graph):
+    from gminer_spark.graph.mis import maximal_independent_set
+
+    pairs = random_graph(n=90, p=0.05, seed=seed_graph, directed=False)
+    got = {r["id"] for r in maximal_independent_set(edges_df(spark, pairs)).collect()}
+    assert got == _mis_greedy_oracle(pairs)
+
+
+def test_mis_independent_and_maximal(spark):
+    from gminer_spark.graph.mis import maximal_independent_set
+
+    pairs = random_graph(n=70, p=0.08, seed=6, directed=False)
+    got = {r["id"] for r in maximal_independent_set(edges_df(spark, pairs)).collect()}
+    adj: dict[int, set[int]] = {}
+    for s, d in pairs:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    for v in got:
+        assert not (adj[v] & got)  # independent
+    for v in adj:
+        assert v in got or (adj[v] & got)  # maximal
