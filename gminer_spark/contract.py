@@ -87,6 +87,8 @@ KTRUSS_ITERS = 7  # sf0.01 converges in 4 support-peel rounds; margin
 CORENESS_H_ITERS = 22  # sf0.01 h-index fixpoint at round 18; margin
 SSSP_ITERS = 6  # sf0.01 converges in 3 Bellman-Ford rounds; margin
 MIS_ITERS = 10  # sf0.01 empties the undecided set in 7 Luby rounds; margin
+BC_SEED_MOD = 199  # betweenness source sample (11 sources at sf0.01)
+BC_DEPTH = 5  # sample eccentricity is 3 at sf0.01; margin (empty levels no-op)
 
 
 def _materialize(cte: str) -> str:
@@ -491,6 +493,21 @@ def build_queries() -> dict[str, QueryFn]:
         return shortest_paths(we, srcs, weight_col="w", max_iter=SSSP_ITERS).state
 
     q["sssp_weighted"] = sssp_weighted
+
+    def betweenness(s, d):
+        """Sampled-source Brandes betweenness: all sources BFS
+        simultaneously (state keyed (s, v)), then level-by-level
+        dependency accumulation.  Micro-rounded like PageRank."""
+        from gminer_spark.graph.betweenness import betweenness_sampled
+
+        e = _edges(s, d)
+        srcs = gt.vertices(e).where(F.col("id") % BC_SEED_MOD == 0)
+        res = betweenness_sampled(e, srcs, max_depth=BC_DEPTH)
+        return res.select(
+            "id", F.round(F.col("bc") * 1e6, 0).cast("long").alias("bc_micro")
+        )
+
+    q["betweenness"] = betweenness
 
     def mis(s, d):
         """Maximal independent set — Luby's rounds derandomized with
@@ -1248,6 +1265,12 @@ SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id
     o["kcore"] = kcore_oracle_sql(EDGES_CTE, k=KCORE_K, iters=KCORE_ITERS)
     o["coreness_hindex"] = coreness_hindex_oracle_sql(
         EDGES_CTE, iters=CORENESS_H_ITERS
+    )
+
+    from gminer_spark.graph.betweenness import betweenness_oracle_sql
+
+    o["betweenness"] = betweenness_oracle_sql(
+        EDGES_CTE, f"id % {BC_SEED_MOD} = 0", depth=BC_DEPTH
     )
 
     from gminer_spark.graph.mis import mis_oracle_sql

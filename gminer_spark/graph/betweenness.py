@@ -1,0 +1,162 @@
+"""Sampled-source betweenness centrality (Brandes accumulation).
+
+Exact Brandes restricted to a source sample — the standard estimator
+at web scale (full betweenness is O(|V|·|E|)).  All sampled sources
+run SIMULTANEOUSLY: BFS state is keyed ``(s, v)``, so each level is
+one shuffle regardless of |S|, and executors see |S|× rows rather
+than |S|× rounds — the same batched-task trick the mining kernels use
+(many seeds per `applyInPandas` batch).
+
+Forward pass: level-synchronous BFS counting shortest paths
+(``sigma``, exact integers; the per-level groupBy sum is the
+min-combiner shape).  Backward pass: dependency accumulation
+``delta(v) = Σ_{w ∈ succ(v)} sigma(v)/sigma(w) · (1 + delta(w))``
+level by level.  Per-vertex result is ``Σ_s delta_s(v)`` over v ≠ s —
+raw Brandes dependencies for the sample (undirected double-counting
+retained, as in Brandes when iterating a source subset).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gminer_spark.graph import tables
+
+
+def betweenness_sampled(
+    edges: DataFrame, sources: DataFrame, max_depth: int = 20
+) -> DataFrame:
+    """(id, bc) — Brandes dependency sums from the ``sources(id)``
+    sample over the undirected view."""
+    spark = edges.sparkSession
+    sym = (
+        tables.symmetrize(edges)
+        .repartition(tables.shuffle_partitions(spark), "src")
+        .persist()
+    )
+    sym.count()
+    src_set = sources.select(F.col("id").cast("long").alias("s")).distinct()
+    frontier = src_set.select(
+        "s", F.col("s").alias("v"), F.lit(1).cast("long").alias("sigma")
+    ).localCheckpoint()
+    levels = [frontier]  # levels[d] = (s, v, sigma) at distance d
+    visited = frontier.select("s", "v")
+    for _ in range(max_depth):
+        cand = (
+            levels[-1]
+            .join(sym, levels[-1].v == sym.src)
+            .select("s", F.col("dst").alias("v"), "sigma")
+            .groupBy("s", "v")
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        nxt = cand.join(visited, on=["s", "v"], how="left_anti").localCheckpoint()
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        visited = visited.unionByName(nxt.select("s", "v")).localCheckpoint()
+
+    # Backward accumulation: deepest level has delta = 0.
+    delta = levels[-1].select("s", "v", F.lit(0.0).alias("delta"))
+    acc = delta  # per-(s, v) dependency; sources dropped at the end
+    for d in range(len(levels) - 2, -1, -1):
+        succ = delta  # (s, w, delta) at level d+1, with sigma via join
+        w_sig = levels[d + 1].select(
+            "s", F.col("v").alias("w"), F.col("sigma").alias("sigma_w")
+        )
+        succ = succ.select("s", F.col("v").alias("w"), "delta").join(
+            w_sig, on=["s", "w"]
+        )
+        contrib = (
+            levels[d]
+            .join(sym, levels[d].v == sym.src)
+            .select("s", "v", "sigma", F.col("dst").alias("w"))
+            .join(succ, on=["s", "w"])
+            .select(
+                "s",
+                "v",
+                (
+                    F.col("sigma")
+                    / F.col("sigma_w")
+                    * (F.lit(1.0) + F.col("delta"))
+                ).alias("part"),
+            )
+            .groupBy("s", "v")
+            .agg(F.sum("part").alias("contrib"))
+        )
+        delta = (
+            levels[d]
+            .select("s", "v")
+            .join(contrib, on=["s", "v"], how="left")
+            .select("s", "v", F.coalesce("contrib", F.lit(0.0)).alias("delta"))
+            .localCheckpoint()
+        )
+        acc = acc.unionByName(delta)
+    result = (
+        acc.where(F.col("s") != F.col("v"))
+        .groupBy(F.col("v").alias("id"))
+        .agg(F.sum("delta").alias("bc"))
+    )
+    sym.unpersist()
+    return result
+
+
+def betweenness_oracle_sql(
+    edges_cte: str, source_pred: str, depth: int
+) -> str:
+    """Unrolled forward-BFS + backward-accumulation CTE chain.
+
+    ``depth`` must be >= the sample's eccentricity (deeper levels are
+    empty and contribute nothing).  Output rounds to micro ints like
+    the PageRank oracle (sigma is exact; delta is a double sum).
+    """
+    ctes = [
+        f"{edges_cte.strip()}",
+        """sym AS MATERIALIZED (
+    SELECT src, dst FROM edges
+    UNION SELECT dst AS src, src AS dst FROM edges)""",
+        f"""l0 AS MATERIALIZED (
+    SELECT id AS s, id AS v, CAST(1 AS BIGINT) AS sigma
+    FROM (SELECT DISTINCT src AS id FROM sym) WHERE {source_pred})""",
+        "vis0 AS MATERIALIZED (SELECT s, v FROM l0)",
+    ]
+    for d in range(1, depth + 1):
+        p = d - 1
+        ctes += [
+            f"""l{d} AS MATERIALIZED (
+    SELECT c.s, c.v, c.sigma FROM (
+        SELECT l.s, e.dst AS v, SUM(l.sigma) AS sigma
+        FROM l{p} l JOIN sym e ON l.v = e.src
+        GROUP BY l.s, e.dst) c
+    LEFT JOIN vis{p} x ON c.s = x.s AND c.v = x.v
+    WHERE x.v IS NULL)""",
+            f"""vis{d} AS MATERIALIZED (
+    SELECT s, v FROM vis{p} UNION ALL SELECT s, v FROM l{d})""",
+        ]
+    ctes.append(f"d{depth} AS (SELECT s, v, 0.0 AS delta FROM l{depth})")
+    for d in range(depth - 1, -1, -1):
+        ctes.append(
+            f"""d{d} AS MATERIALIZED (
+    SELECT l.s, l.v, COALESCE(c.contrib, 0.0) AS delta
+    FROM l{d} l LEFT JOIN (
+        SELECT a.s, a.v, SUM(a.sigma / w.sigma * (1.0 + w.delta)) AS contrib
+        FROM (SELECT l2.s, l2.v, l2.sigma, e.dst AS w
+              FROM l{d} l2 JOIN sym e ON l2.v = e.src) a
+        JOIN (SELECT n.s, n.v, n.sigma, dd.delta
+              FROM l{d + 1} n JOIN d{d + 1} dd ON n.s = dd.s AND n.v = dd.v) w
+          ON a.s = w.s AND a.w = w.v
+        GROUP BY a.s, a.v) c
+    ON l.s = c.s AND l.v = c.v)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT s, v, delta FROM d{d}" for d in range(depth + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT v AS id, CAST(ROUND(SUM(delta) * 1e6) AS BIGINT) AS bc_micro
+FROM ({union})
+WHERE s <> v
+GROUP BY v"""
+    )

@@ -233,3 +233,46 @@ def lpa_weighted(
             new[v] = min(counts, key=lambda l: (-counts[l], l)) if counts else labels[v]
         labels = new
     return labels
+
+
+def betweenness_sampled(
+    edges: list[tuple[int, int]], sources: list[int]
+) -> dict[int, float]:
+    """Brandes dependency accumulation from a source sample (raw sums,
+    undirected adjacency, source excluded per pass)."""
+    from collections import deque
+
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    bc = {v: 0.0 for v in adj}
+    for s in sources:
+        if s not in adj:
+            continue
+        sigma = {s: 1}
+        dist = {s: 0}
+        order = []
+        preds: dict[int, list[int]] = {s: []}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for u in adj[v]:
+                if u not in dist:
+                    dist[u] = dist[v] + 1
+                    sigma[u] = 0
+                    preds[u] = []
+                    q.append(u)
+                if dist[u] == dist[v] + 1:
+                    sigma[u] += sigma[v]
+                    preds[u].append(v)
+        delta = {v: 0.0 for v in order}
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc

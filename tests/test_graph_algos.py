@@ -445,3 +445,33 @@ def test_mis_independent_and_maximal(spark):
         assert not (adj[v] & got)  # independent
     for v in adj:
         assert v in got or (adj[v] & got)  # maximal
+
+
+@pytest.mark.parametrize("seed", [12, 25])
+def test_betweenness_sampled_matches_brandes(spark, seed):
+    from gminer_spark.graph.betweenness import betweenness_sampled
+
+    pairs = random_graph(n=60, p=0.06, seed=seed, directed=False)
+    verts = sorted({v for e in pairs for v in e})
+    sources = verts[::7]
+    src_df = spark.createDataFrame([(s,) for s in sources], "id long")
+    got = {
+        r["id"]: r["bc"]
+        for r in betweenness_sampled(edges_df(spark, pairs), src_df).collect()
+    }
+    want = oracle.betweenness_sampled(pairs, sources)
+    for v in want:
+        assert got.get(v, 0.0) == pytest.approx(want[v], abs=1e-9)
+
+
+def test_betweenness_path_closed_form(spark):
+    """On a path 1-2-3-4-5 with source 1: delta = (3, 2, 1, 0) along
+    the chain (textbook Brandes single-source dependencies)."""
+    from gminer_spark.graph.betweenness import betweenness_sampled
+
+    src_df = spark.createDataFrame([(1,)], "id long")
+    got = {
+        r["id"]: r["bc"]
+        for r in betweenness_sampled(edges_df(spark, PATH5), src_df).collect()
+    }
+    assert got == {2: 3.0, 3: 2.0, 4: 1.0, 5: 0.0}
