@@ -509,6 +509,21 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["betweenness"] = betweenness
 
+    def harmonic(s, d):
+        """Sampled harmonic centrality: Σ 1/dist over the same
+        simultaneous multi-source BFS as betweenness."""
+        from gminer_spark.graph.betweenness import harmonic_sampled
+
+        e = _edges(s, d)
+        srcs = gt.vertices(e).where(F.col("id") % BC_SEED_MOD == 0)
+        res = harmonic_sampled(e, srcs, max_depth=BC_DEPTH)
+        return res.select(
+            "id",
+            F.round(F.col("harmonic") * 1e6, 0).cast("long").alias("harmonic_micro"),
+        )
+
+    q["harmonic"] = harmonic
+
     def mis(s, d):
         """Maximal independent set — Luby's rounds derandomized with
         md5 priorities, so the MIS is unique and exactly checkable.
@@ -1270,6 +1285,12 @@ SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id
     from gminer_spark.graph.betweenness import betweenness_oracle_sql
 
     o["betweenness"] = betweenness_oracle_sql(
+        EDGES_CTE, f"id % {BC_SEED_MOD} = 0", depth=BC_DEPTH
+    )
+
+    from gminer_spark.graph.betweenness import harmonic_oracle_sql
+
+    o["harmonic"] = harmonic_oracle_sql(
         EDGES_CTE, f"id % {BC_SEED_MOD} = 0", depth=BC_DEPTH
     )
 

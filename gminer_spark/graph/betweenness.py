@@ -24,23 +24,15 @@ from pyspark.sql import functions as F
 from gminer_spark.graph import tables
 
 
-def betweenness_sampled(
-    edges: DataFrame, sources: DataFrame, max_depth: int = 20
-) -> DataFrame:
-    """(id, bc) — Brandes dependency sums from the ``sources(id)``
-    sample over the undirected view."""
-    spark = edges.sparkSession
-    sym = (
-        tables.symmetrize(edges)
-        .repartition(tables.shuffle_partitions(spark), "src")
-        .persist()
-    )
-    sym.count()
+def _bfs_levels(sym: DataFrame, sources: DataFrame, max_depth: int) -> list[DataFrame]:
+    """Level-synchronous multi-source BFS: levels[d] = (s, v, sigma)
+    rows at distance d from source s, sigma = exact shortest-path
+    counts.  One shuffle per level regardless of |sources|."""
     src_set = sources.select(F.col("id").cast("long").alias("s")).distinct()
     frontier = src_set.select(
         "s", F.col("s").alias("v"), F.lit(1).cast("long").alias("sigma")
     ).localCheckpoint()
-    levels = [frontier]  # levels[d] = (s, v, sigma) at distance d
+    levels = [frontier]
     visited = frontier.select("s", "v")
     for _ in range(max_depth):
         cand = (
@@ -55,6 +47,22 @@ def betweenness_sampled(
             break
         levels.append(nxt)
         visited = visited.unionByName(nxt.select("s", "v")).localCheckpoint()
+    return levels
+
+
+def betweenness_sampled(
+    edges: DataFrame, sources: DataFrame, max_depth: int = 20
+) -> DataFrame:
+    """(id, bc) — Brandes dependency sums from the ``sources(id)``
+    sample over the undirected view."""
+    spark = edges.sparkSession
+    sym = (
+        tables.symmetrize(edges)
+        .repartition(tables.shuffle_partitions(spark), "src")
+        .persist()
+    )
+    sym.count()
+    levels = _bfs_levels(sym, sources, max_depth)
 
     # Backward accumulation: deepest level has delta = 0.
     delta = levels[-1].select("s", "v", F.lit(0.0).alias("delta"))
@@ -99,6 +107,55 @@ def betweenness_sampled(
     )
     sym.unpersist()
     return result
+
+
+def harmonic_sampled(
+    edges: DataFrame, sources: DataFrame, max_depth: int = 20
+) -> DataFrame:
+    """(id, harmonic) — sampled harmonic centrality: Σ_s 1/dist(s, v)
+    over the source sample (s ≠ v; unreachable pairs contribute 0).
+    Shares the multi-source BFS with :func:`betweenness_sampled`."""
+    spark = edges.sparkSession
+    sym = (
+        tables.symmetrize(edges)
+        .repartition(tables.shuffle_partitions(spark), "src")
+        .persist()
+    )
+    sym.count()
+    levels = _bfs_levels(sym, sources, max_depth)
+    parts = [
+        lvl.select("s", "v", F.lit(1.0 / d).alias("inv"))
+        for d, lvl in enumerate(levels)
+        if d > 0
+    ]
+    sym.unpersist()
+    if not parts:
+        return spark.createDataFrame([], "id long, harmonic double")
+    allp = parts[0]
+    for df in parts[1:]:
+        allp = allp.unionByName(df)
+    return allp.groupBy(F.col("v").alias("id")).agg(
+        F.sum("inv").alias("harmonic")
+    )
+
+
+def harmonic_oracle_sql(edges_cte: str, source_pred: str, depth: int) -> str:
+    """Harmonic sums over the same unrolled BFS level CTEs."""
+    base = betweenness_oracle_sql(edges_cte, source_pred, depth)
+    # reuse only the forward CTEs: rebuild the tail selection
+    ctes = base[: base.index(",\nd" + str(depth) + " AS ")]
+    union = "\nUNION ALL\n".join(
+        # CAST keeps DuckDB in double division (bare 1.0/{d} is DECIMAL)
+        f"SELECT s, v, CAST(1 AS DOUBLE)/{d} AS inv FROM l{d}"
+        for d in range(1, depth + 1)
+    )
+    return (
+        ctes
+        + f"""
+SELECT v AS id, CAST(ROUND(SUM(inv) * 1e6) AS BIGINT) AS harmonic_micro
+FROM ({union})
+GROUP BY v"""
+    )
 
 
 def betweenness_oracle_sql(

@@ -475,3 +475,26 @@ def test_betweenness_path_closed_form(spark):
         for r in betweenness_sampled(edges_df(spark, PATH5), src_df).collect()
     }
     assert got == {2: 3.0, 3: 2.0, 4: 1.0, 5: 0.0}
+
+
+def test_harmonic_sampled_matches_python(spark):
+    from gminer_spark.graph.betweenness import harmonic_sampled
+
+    pairs = random_graph(n=60, p=0.06, seed=14, directed=False)
+    verts = sorted({v for e in pairs for v in e})
+    sources = verts[::6]
+    dist = oracle.sssp(pairs, sources)  # min over set — not per-source!
+    # per-source distances for the harmonic sum:
+    want: dict[int, float] = {}
+    for s in sources:
+        d = oracle.sssp(pairs, [s])
+        for v, dv in d.items():
+            if v != s and dv > 0:
+                want[v] = want.get(v, 0.0) + 1.0 / dv
+    src_df = spark.createDataFrame([(s,) for s in sources], "id long")
+    got = {
+        r["id"]: r["harmonic"]
+        for r in harmonic_sampled(edges_df(spark, pairs), src_df).collect()
+    }
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
