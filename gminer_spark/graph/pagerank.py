@@ -202,3 +202,40 @@ def pagerank(
     edges.unpersist()
     out_deg.unpersist()
     return result
+
+
+class PageRankMaintainer:
+    """Streaming PageRank: feed edge batches (e.g. from
+    ``foreachBatch``), read ``ranks`` between updates.
+
+    Each update unions the batch into the accumulated edge table
+    (dedup'd, materialized via ``localCheckpoint`` so lineage never
+    chains across batches) and re-converges WARM-STARTED from the
+    previous ranks — the same fixpoint a cold run reaches (the update
+    is an L1 contraction), usually in far fewer supersteps when the
+    batch perturbs the graph mildly."""
+
+    def __init__(self, damping: float = 0.85, tol: float = 1e-6) -> None:
+        self.damping = damping
+        self.tol = tol
+        self.edges: DataFrame | None = None
+        self.ranks: DataFrame | None = None
+        self.last_supersteps = 0
+
+    def update(self, batch_edges: DataFrame) -> DataFrame:
+        batch = batch_edges.select("src", "dst")
+        if self.edges is None:
+            self.edges = batch.distinct().localCheckpoint()
+        else:
+            self.edges = (
+                self.edges.unionByName(batch).distinct().localCheckpoint()
+            )
+        res = pagerank(
+            self.edges,
+            damping=self.damping,
+            tol=self.tol,
+            init_state=self.ranks,
+        )
+        self.ranks = res.state.localCheckpoint()
+        self.last_supersteps = res.supersteps_run
+        return self.ranks

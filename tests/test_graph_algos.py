@@ -498,3 +498,19 @@ def test_harmonic_sampled_matches_python(spark):
     }
     for v in want:
         assert got[v] == pytest.approx(want[v], abs=1e-9)
+
+
+def test_pagerank_maintainer_batches_reach_cold_fixpoint(spark):
+    from gminer_spark.graph.pagerank import PageRankMaintainer, pagerank
+
+    pairs = random_graph(n=150, p=0.03, seed=19)
+    thirds = [pairs[i::3] for i in range(3)]
+    m = PageRankMaintainer(tol=1e-8)
+    for batch in thirds:
+        m.update(edges_df(spark, batch))
+    cold = pagerank(edges_df(spark, pairs), tol=1e-8)
+    g_cold = {r["id"]: r["rank"] for r in cold.state.collect()}
+    g_warm = {r["id"]: r["rank"] for r in m.ranks.collect()}
+    assert set(g_cold) == set(g_warm)
+    for v in g_cold:
+        assert g_warm[v] == pytest.approx(g_cold[v], abs=1e-6)
