@@ -144,6 +144,27 @@ def main() -> None:
     incremental_cc(connected_components(half_a).state, half_b).count()
     variants["cc_incremental"] = round(time.time() - t0, 3)
 
+    from gminer_spark.graph.betweenness import betweenness_sampled
+    from gminer_spark.graph.sssp import shortest_paths
+    from gminer_spark.graph.tables import vertices as _verts
+    from gminer_spark.graph.walks import random_walks
+
+    t0 = time.time()
+    seeds97 = _verts(edges).where(F.col("id") % 97 == 0)
+    shortest_paths(edges, seeds97).state.count()
+    variants["sssp_hops"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    random_walks(edges, walk_len=3, walks_per_vertex=1).count()
+    variants["random_walks3"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    # ~40 sources at sf0.1 — keeps the per-round bench snappy while
+    # still exercising the simultaneous multi-source BFS path
+    seeds499 = _verts(edges).where(F.col("id") % 499 == 0)
+    betweenness_sampled(edges, seeds499, max_depth=8).count()
+    variants["betweenness"] = round(time.time() - t0, 3)
+
     # "value" stays the round-1 8-query headline total so rounds are
     # comparable; the task-kernel queries are timed separately
     total = round(sum(queries.values()), 3)

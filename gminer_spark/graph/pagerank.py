@@ -100,7 +100,14 @@ def pagerank(
     if reset is not None:
         # Seed set is tiny relative to |V| (that's the point of PPR) —
         # broadcast the membership probe; reset mass 1/|S| per seed.
-        seeds = reset.select(F.col("id").cast("long").alias("id")).distinct()
+        # materialize the (tiny) seed set once: its lineage may be an
+        # expensive derive (vertices() over the edge table) that would
+        # otherwise run again for the broadcast below
+        seeds = (
+            reset.select(F.col("id").cast("long").alias("id"))
+            .distinct()
+            .localCheckpoint()
+        )
         n_seeds = seeds.count()
         if n_seeds == 0:
             raise ValueError("personalized PageRank needs a non-empty seed set")
