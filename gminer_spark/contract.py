@@ -87,6 +87,8 @@ KTRUSS_ITERS = 7  # sf0.01 converges in 4 support-peel rounds; margin
 CORENESS_H_ITERS = 22  # sf0.01 h-index fixpoint at round 18; margin
 SSSP_ITERS = 6  # sf0.01 converges in 3 Bellman-Ford rounds; margin
 MIS_ITERS = 10  # sf0.01 empties the undecided set in 7 Luby rounds; margin
+SCORE_K = 60  # s-core strength threshold: sf0.01 stabilizes in 2 rounds
+SCORE_ITERS = 5  # margin over the measured 2 peel rounds
 BC_SEED_MOD = 199  # betweenness source sample (11 sources at sf0.01)
 BC_DEPTH = 5  # sample eccentricity is 3 at sf0.01; margin (empty levels no-op)
 
@@ -565,6 +567,34 @@ def build_queries() -> dict[str, QueryFn]:
         )
 
     q["walk_skipgrams"] = walk_skipgrams
+
+    def score(s, d):
+        """s-core (weighted k-core): survivors keep total incident
+        shared-order weight >= SCORE_K within the survivor set —
+        k_core's peel with SUM(w) in place of COUNT(*)."""
+        from gminer_spark.graph.kcore import s_core
+
+        return s_core(
+            gt.copurchase_weighted_edges(s, d),
+            k=SCORE_K,
+            weight_col="w",
+            max_iter=SCORE_ITERS,
+        )
+
+    q["score"] = score
+
+    def degree_histogram(s, d):
+        """Degree distribution (count-of-counts over the undirected
+        view) — the first diagnostic anyone runs on a web graph, exact
+        and trivially oracled."""
+        e = _edges(s, d)
+        sym = gt.symmetrize(e)
+        deg = sym.groupBy("src").agg(F.count("*").alias("degree"))
+        return deg.groupBy("degree").agg(
+            F.count("*").cast("long").alias("n_vertices")
+        )
+
+    q["degree_histogram"] = degree_histogram
 
     def coreness_hindex(s, d):
         """Coreness by the iterated-h-index fixpoint (Lü et al. 2016)
@@ -1281,6 +1311,27 @@ SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id
     o["coreness_hindex"] = coreness_hindex_oracle_sql(
         EDGES_CTE, iters=CORENESS_H_ITERS
     )
+
+    from gminer_spark.graph.kcore import score_oracle_sql
+
+    _score_wedges = """
+wedges AS (
+    SELECT CAST(a.l_partkey AS BIGINT) AS src,
+           CAST(b.l_partkey AS BIGINT) AS dst,
+           COUNT(*) AS w
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+)"""
+    o["score"] = score_oracle_sql(_score_wedges, k=SCORE_K, iters=SCORE_ITERS)
+
+    o["degree_histogram"] = f"""
+WITH {EDGES_CTE.strip()}, {SYM_CTE.strip()},
+deg AS (SELECT src, COUNT(*) AS degree FROM sym GROUP BY src)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_vertices
+FROM deg GROUP BY degree
+"""
 
     from gminer_spark.graph.betweenness import betweenness_oracle_sql
 

@@ -131,6 +131,78 @@ def coreness(edges: DataFrame, max_k: int | None = None) -> DataFrame:
     return result
 
 
+def s_core(
+    edges: DataFrame, k: int, weight_col: str, max_iter: int = 50
+) -> DataFrame:
+    """(id) — the s-core: repeatedly drop vertices whose STRENGTH
+    (sum of incident edge weights within the survivor set) is < k.
+
+    The weighted generalization of :func:`k_core` (Eidsaa & Almaas,
+    Phys. Rev. E 88, 2013); integer weights keep the peel exact across
+    engines.  Same plan shape as k_core: two survivor semi-joins + one
+    aggregate per round, lineage truncated per round.
+    """
+    spark = edges.sparkSession
+    fwd = edges.select("src", "dst", F.col(weight_col).cast("long").alias("w"))
+    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    sym = (
+        fwd.unionByName(rev)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(tables.shuffle_partitions(spark), "src")
+        .persist()
+    )
+    from gminer_spark.graph.triangles import gated_broadcast
+
+    core = tables.vertices(sym).localCheckpoint()
+    n = core.count()
+    for _ in range(max_iter):
+        c_src = gated_broadcast(core.withColumnRenamed("id", "src"), n)
+        c_dst = gated_broadcast(core.withColumnRenamed("id", "dst"), n)
+        strength = (
+            sym.join(c_src, on="src")
+            .join(c_dst, on="dst")
+            .groupBy("src")
+            .agg(F.sum("w").alias("s"))
+        )
+        new_core = (
+            strength.where(F.col("s") >= k)
+            .select(F.col("src").alias("id"))
+            .localCheckpoint()
+        )
+        n_new = new_core.count()
+        core = new_core
+        if n_new == n or n_new == 0:
+            break
+        n = n_new
+    sym.unpersist()
+    return core
+
+
+def score_oracle_sql(wedges_cte: str, k: int, iters: int) -> str:
+    """Unrolled s-core peel: ``wedges_cte`` must define
+    ``wedges(src, dst, w)``; survivors need strength >= k."""
+    ctes = [
+        f"{wedges_cte.strip()}",
+        """wsym AS MATERIALIZED (
+    SELECT src, dst, w FROM wedges
+    UNION SELECT dst AS src, src AS dst, w FROM wedges)""",
+        "sc0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM wsym)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"sc{i - 1}"
+        ctes.append(
+            f"""sc{i} AS MATERIALIZED (
+    SELECT s.src AS id
+    FROM wsym s
+    JOIN {p} a ON s.src = a.id
+    JOIN {p} b ON s.dst = b.id
+    GROUP BY s.src
+    HAVING SUM(s.w) >= {k})"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id FROM sc{iters}"
+
+
 def coreness_hindex(
     edges: DataFrame, num_iter: int | None = None, max_iter: int = 100
 ) -> DataFrame:

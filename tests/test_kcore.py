@@ -123,3 +123,48 @@ def test_coreness_hindex_fixed_rounds_idempotent(spark):
         for r in coreness_hindex(edges, num_iter=40).collect()
     }
     assert auto == capped == coreness_oracle(pairs)
+
+
+def score_peel_oracle(wpairs, k):
+    """Exact s-core peel: strength = sum of incident weights within
+    the survivor set."""
+    adj: dict[int, dict[int, int]] = {}
+    for s, d, w in wpairs:
+        if s == d:
+            continue
+        adj.setdefault(s, {})[d] = w
+        adj.setdefault(d, {})[s] = w
+    core = set(adj)
+    while True:
+        drop = {
+            v for v in core if sum(w for u, w in adj[v].items() if u in core) < k
+        }
+        if not drop:
+            return core
+        core -= drop
+
+
+@pytest.mark.parametrize("k", [3, 6])
+def test_s_core_random_vs_oracle(spark, k):
+    import numpy as np
+
+    from gminer_spark.graph.kcore import s_core
+
+    rng = np.random.default_rng(15)
+    pairs = random_graph(n=70, p=0.08, seed=15, directed=False)
+    wpairs = [(s, d, int(rng.integers(1, 4))) for s, d in pairs]
+    wdf = spark.createDataFrame(wpairs, "src long, dst long, w long")
+    got = {r["id"] for r in s_core(wdf, k=k, weight_col="w").collect()}
+    assert got == score_peel_oracle(wpairs, k)
+
+
+def test_s_core_unit_weights_equals_k_core(spark):
+    from gminer_spark.graph.kcore import k_core, s_core
+
+    pairs = random_graph(n=60, p=0.09, seed=20, directed=False)
+    wdf = spark.createDataFrame(
+        [(s, d, 1) for s, d in pairs], "src long, dst long, w long"
+    )
+    a = {r["id"] for r in s_core(wdf, k=4, weight_col="w").collect()}
+    b = {r["id"] for r in k_core(edges_df(spark, pairs), k=4).collect()}
+    assert a == b
