@@ -526,6 +526,37 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["harmonic"] = harmonic
 
+    def eccentricity(s, d):
+        """Per-sampled-source eccentricity (max BFS level) — the
+        sampled diameter lower bound, over the shared multi-source
+        BFS."""
+        from gminer_spark.graph.betweenness import eccentricity_sampled
+
+        e = _edges(s, d)
+        srcs = gt.vertices(e).where(F.col("id") % BC_SEED_MOD == 0)
+        return eccentricity_sampled(e, srcs, max_depth=BC_DEPTH)
+
+    q["eccentricity"] = eccentricity
+
+    def link_features(s, d):
+        """Per-edge link-prediction features: common neighbors,
+        Jaccard, resource allocation (integer-exact / micro-rounded;
+        RA chosen over Adamic-Adar to avoid cross-engine ln drift)."""
+        from gminer_spark.graph.linkpred import link_features as lf
+
+        return lf(_edges(s, d))
+
+    q["link_features"] = link_features
+
+    def clustering_coeff(s, d):
+        """Local clustering coefficient 2T(v)/deg(v)(deg(v)-1) —
+        triangles-per-vertex composed with the degree table."""
+        from gminer_spark.graph.linkpred import clustering_coefficient
+
+        return clustering_coefficient(_edges(s, d))
+
+    q["clustering_coeff"] = clustering_coeff
+
     def mis(s, d):
         """Maximal independent set — Luby's rounds derandomized with
         md5 priorities, so the MIS is unique and exactly checkable.
@@ -1344,6 +1375,56 @@ FROM deg GROUP BY degree
     o["harmonic"] = harmonic_oracle_sql(
         EDGES_CTE, f"id % {BC_SEED_MOD} = 0", depth=BC_DEPTH
     )
+
+    from gminer_spark.graph.betweenness import eccentricity_oracle_sql
+
+    o["eccentricity"] = eccentricity_oracle_sql(
+        EDGES_CTE, f"id % {BC_SEED_MOD} = 0", depth=BC_DEPTH
+    )
+
+    o["link_features"] = f"""
+WITH {EDGES_CTE.strip()}, {SYM_CTE.strip()},
+deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src),
+common AS MATERIALIZED (
+    SELECT e.src, e.dst, COUNT(*) AS cn,
+           SUM(CAST(1 AS DOUBLE) / dw.deg) AS ra
+    FROM edges e
+    JOIN sym a ON a.src = e.src
+    JOIN sym b ON b.src = e.dst AND b.dst = a.dst
+    JOIN deg dw ON dw.id = a.dst
+    GROUP BY e.src, e.dst)
+SELECT e.src, e.dst,
+       CAST(COALESCE(c.cn, 0) AS BIGINT) AS cn,
+       CAST(ROUND(CAST(COALESCE(c.cn, 0) AS DOUBLE)
+                  / (du.deg + dv.deg - COALESCE(c.cn, 0)) * 1e6) AS BIGINT)
+           AS jaccard_micro,
+       CAST(ROUND(COALESCE(c.ra, 0.0) * 1e6) AS BIGINT) AS ra_micro
+FROM edges e
+LEFT JOIN common c ON c.src = e.src AND c.dst = e.dst
+JOIN deg du ON du.id = e.src
+JOIN deg dv ON dv.id = e.dst
+"""
+
+    o["clustering_coeff"] = f"""
+WITH {EDGES_CTE.strip()}, {SYM_CTE.strip()},
+tri AS MATERIALIZED (
+    SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+    FROM edges e1
+    JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+    JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+),
+corners AS (
+    SELECT u AS id FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri
+),
+tpv AS (SELECT id, COUNT(*) AS t FROM corners GROUP BY id),
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src)
+SELECT d.id,
+       CAST(CASE WHEN d.deg >= 2
+                 THEN ROUND(CAST(2 AS DOUBLE) * COALESCE(t.t, 0)
+                            / (d.deg * (d.deg - 1)) * 1e6)
+                 ELSE 0 END AS BIGINT) AS lcc_micro
+FROM deg d LEFT JOIN tpv t ON d.id = t.id
+"""
 
     from gminer_spark.graph.mis import mis_oracle_sql
 

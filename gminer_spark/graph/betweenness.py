@@ -139,6 +139,48 @@ def harmonic_sampled(
     )
 
 
+def eccentricity_sampled(
+    edges: DataFrame, sources: DataFrame, max_depth: int = 20
+) -> DataFrame:
+    """(id, ecc) — per sampled source, the max BFS distance reached
+    (eccentricity within its component).  Shares :func:`_bfs_levels`;
+    the max over all sampled eccentricities lower-bounds the graph
+    diameter — the standard sampled diameter estimate."""
+    spark = edges.sparkSession
+    sym = (
+        tables.symmetrize(edges)
+        .repartition(tables.shuffle_partitions(spark), "src")
+        .persist()
+    )
+    sym.count()
+    levels = _bfs_levels(sym, sources, max_depth)
+    sym.unpersist()
+    parts = [
+        lvl.select(F.col("s").alias("id"), F.lit(d).cast("long").alias("d"))
+        for d, lvl in enumerate(levels)
+    ]
+    allp = parts[0]
+    for df in parts[1:]:
+        allp = allp.unionByName(df)
+    return allp.groupBy("id").agg(F.max("d").alias("ecc"))
+
+
+def eccentricity_oracle_sql(edges_cte: str, source_pred: str, depth: int) -> str:
+    """Max reached BFS level per source over the unrolled level CTEs."""
+    base = betweenness_oracle_sql(edges_cte, source_pred, depth)
+    ctes = base[: base.index(",\nd" + str(depth) + " AS ")]
+    union = "\nUNION ALL\n".join(
+        f"SELECT s, CAST({d} AS BIGINT) AS d FROM l{d}" for d in range(depth + 1)
+    )
+    return (
+        ctes
+        + f"""
+SELECT s AS id, MAX(d) AS ecc
+FROM ({union})
+GROUP BY s"""
+    )
+
+
 def harmonic_oracle_sql(edges_cte: str, source_pred: str, depth: int) -> str:
     """Harmonic sums over the same unrolled BFS level CTEs."""
     base = betweenness_oracle_sql(edges_cte, source_pred, depth)

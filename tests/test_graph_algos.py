@@ -514,3 +514,49 @@ def test_pagerank_maintainer_batches_reach_cold_fixpoint(spark):
     assert set(g_cold) == set(g_warm)
     for v in g_cold:
         assert g_warm[v] == pytest.approx(g_cold[v], abs=1e-6)
+
+
+def test_link_features_small_graph(spark):
+    """K4 minus an edge: check cn/jaccard/RA by hand."""
+    from gminer_spark.graph.linkpred import link_features
+
+    # vertices 1,2,3,4; edges of K4 without (3,4)
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)]
+    rows = {
+        (r["src"], r["dst"]): (r["cn"], r["jaccard_micro"], r["ra_micro"])
+        for r in link_features(edges_df(spark, pairs)).collect()
+    }
+    # edge (1,2): N(1)={2,3,4}, N(2)={1,3,4} → cn=2 {3,4}; deg3=deg4=2
+    assert rows[(1, 2)] == (2, 500000, 1000000)  # 2/(3+3-2)=0.5; 1/2+1/2=1
+    # edge (1,3): N(1)={2,3,4}, N(3)={1,2} → cn=1 {2}; deg2=3
+    assert rows[(1, 3)][0] == 1
+    assert rows[(1, 3)][1] == 250000  # 1/(3+2-1)
+    assert rows[(1, 3)][2] == 333333  # 1/3
+
+
+def test_clustering_coefficient_closed_forms(spark):
+    from gminer_spark.graph.linkpred import clustering_coefficient
+
+    from tests.conftest import K5
+
+    got = {
+        r["id"]: r["lcc_micro"]
+        for r in clustering_coefficient(edges_df(spark, K5)).collect()
+    }
+    assert all(v == 1000000 for v in got.values())  # complete graph: lcc = 1
+    got_p = {
+        r["id"]: r["lcc_micro"]
+        for r in clustering_coefficient(edges_df(spark, PATH5)).collect()
+    }
+    assert all(v == 0 for v in got_p.values())  # path: no triangles
+
+
+def test_eccentricity_path(spark):
+    from gminer_spark.graph.betweenness import eccentricity_sampled
+
+    src_df = spark.createDataFrame([(1,), (3,)], "id long")
+    got = {
+        r["id"]: r["ecc"]
+        for r in eccentricity_sampled(edges_df(spark, PATH5), src_df).collect()
+    }
+    assert got == {1: 4, 3: 2}
