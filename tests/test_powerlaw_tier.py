@@ -74,3 +74,42 @@ def test_powerlaw_triangles_exact(spark, powerlaw):
 
     pairs, edges = powerlaw
     assert triangle_count(edges) == oracle.triangles(pairs)
+
+
+def test_powerlaw_sssp_exact(spark, powerlaw):
+    from gminer_spark.graph.sssp import shortest_paths
+
+    pairs, edges = powerlaw
+    sources = [0, 17, 4096]
+    src_df = spark.createDataFrame([(s,) for s in sources], "id long")
+    got = {
+        r["id"]: r["dist"]
+        for r in shortest_paths(edges, src_df).state.collect()
+    }
+    assert got == oracle.sssp(pairs, sources)
+
+
+def test_powerlaw_mis_exact(spark, powerlaw):
+    from tests.test_graph_algos import _mis_greedy_oracle
+
+    from gminer_spark.graph.mis import maximal_independent_set
+
+    pairs, edges = powerlaw
+    got = {r["id"] for r in maximal_independent_set(edges).collect()}
+    assert got == _mis_greedy_oracle(pairs)
+
+
+def test_powerlaw_walks_deterministic(spark, powerlaw):
+    """Hub-heavy topology: walks must stay identical across
+    partitioning — the md5 transition cannot depend on shuffle order."""
+    from gminer_spark.graph.walks import random_walks
+
+    _, edges = powerlaw
+    starts = spark.createDataFrame([(i,) for i in range(0, 200)], "id long")
+    a = sorted(
+        map(tuple, random_walks(edges.repartition(2), walk_len=2, starts=starts).collect())
+    )
+    b = sorted(
+        map(tuple, random_walks(edges.repartition(32), walk_len=2, starts=starts).collect())
+    )
+    assert a == b and len(a) > 0
