@@ -548,6 +548,17 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["link_features"] = link_features
 
+    def feature_agg_2hop(s, d):
+        """GNN preprocessing: 2-hop neighbor-sum of an integer vertex
+        feature (id % 1000) — A²·x exactly, one shuffle per hop."""
+        from gminer_spark.graph.features import feature_propagation
+
+        e = _edges(s, d)
+        feats = gt.vertices(e).select("id", (F.col("id") % 1000).alias("f"))
+        return feature_propagation(e, feats, hops=2, agg="sum")
+
+    q["feature_agg_2hop"] = feature_agg_2hop
+
     def clustering_coeff(s, d):
         """Local clustering coefficient 2T(v)/deg(v)(deg(v)-1) —
         triangles-per-vertex composed with the degree table."""
@@ -1425,6 +1436,12 @@ SELECT d.id,
                  ELSE 0 END AS BIGINT) AS lcc_micro
 FROM deg d LEFT JOIN tpv t ON d.id = t.id
 """
+
+    from gminer_spark.graph.features import feature_propagation_oracle_sql
+
+    o["feature_agg_2hop"] = feature_propagation_oracle_sql(
+        EDGES_CTE, "id % 1000", hops=2
+    )
 
     from gminer_spark.graph.mis import mis_oracle_sql
 

@@ -560,3 +560,30 @@ def test_eccentricity_path(spark):
         for r in eccentricity_sampled(edges_df(spark, PATH5), src_df).collect()
     }
     assert got == {1: 4, 3: 2}
+
+
+@pytest.mark.parametrize("agg", ["sum", "min", "max"])
+def test_feature_propagation_matches_python(spark, agg):
+    from gminer_spark.graph.features import feature_propagation
+
+    pairs = random_graph(n=50, p=0.08, seed=23, directed=False)
+    adj: dict[int, set[int]] = {}
+    for s, d in pairs:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    f = {v: v % 7 for v in adj}
+    fn = {"sum": sum, "min": min, "max": max}[agg]
+    for _ in range(2):
+        f = {v: fn(f[u] for u in adj[v]) for v in adj}
+    feats = spark.createDataFrame(
+        [(v, v % 7) for v in adj], "id long, f long"
+    )
+    got = {
+        r["id"]: r["f"]
+        for r in feature_propagation(
+            edges_df(spark, pairs), feats, hops=2, agg=agg
+        ).collect()
+    }
+    assert got == f
