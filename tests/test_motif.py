@@ -122,3 +122,21 @@ def test_motif_anti_vertex_isolated_direction_undirected(spark):
 
     edges = edges_df(spark, PATH5)
     assert find(edges, "(a)-(b); !(b)-(c)").count() == 0
+
+
+def test_motif_plans_stay_join_shaped(spark):
+    """The compiler must emit hash/sort-merge joins — no cartesian
+    product and no broadcast-nested-loop from any grammar feature."""
+    from gminer_spark.graph.motif import find
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 2.0)], "src long, dst long, w double"
+    )
+    for pattern in (
+        "(a)-(b); (b)-(c); !(a)-(c)",
+        "(a)-[e1]-(b); (b)-[e2]-(c)",
+        "(a)->(b); !(b)->(c)",
+    ):
+        plan = find(edges, pattern)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, pattern
+        assert "BroadcastNestedLoopJoin" not in plan, pattern
