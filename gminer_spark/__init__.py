@@ -9,8 +9,12 @@ checkpoints for superstep state.
 
 Subpackages
 -----------
-graph       edge tables, CSR blocks, superstep framework, PageRank /
-            connected components / label propagation / triangle count,
+graph       edge tables, CSR blocks, superstep framework, PageRank
+            (plain / weighted / personalized / warm-start), connected
+            components (+ incremental), label propagation (+ weighted),
+            triangle count, SSSP, k-core / s-core / coreness, k-truss,
+            MIS, betweenness / harmonic / eccentricity, link-prediction
+            features, random-walk corpora, k-hop feature aggregation,
             mining kernels (max clique, pattern match, community, FocusCO)
 web         Common-Crawl-style pages fixtures, HTML link/text extraction,
             url normalization and edge minting

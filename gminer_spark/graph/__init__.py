@@ -1,1 +1,2 @@
-"""Graph layer: edge tables, degrees, CSR blocks, superstep algorithms."""
+"""Graph layer: edge tables, degrees, CSR blocks, superstep algorithms,
+centralities, core decompositions, walks, and mining kernels."""

@@ -4,7 +4,7 @@ parallelism first (python workers, JIT, shuffle service), so the
 measurement is steady-state.
 
 Usage: python tools/scaling_run.py <job> <cores> <input_path> [iters]
-jobs: pagerank | extract | tc | tc_kernel
+jobs: pagerank | extract | tc | tc_kernel | sssp
 """
 
 from __future__ import annotations
@@ -77,6 +77,26 @@ def main() -> None:
         sec = min(secs)
         throughput = n_items / sec
         extra = {"triangles": n_tri, "reps_sec": [round(s, 1) for s in secs]}
+    elif job == "sssp":
+        from pyspark.sql import functions as F
+
+        from gminer_spark.graph.sssp import shortest_paths
+        from gminer_spark.graph.tables import vertices
+
+        edges = spark.read.parquet(path).persist()
+        n_items = edges.count()
+        srcs = vertices(edges).where(F.col("id") % 9973 == 0).localCheckpoint()
+        shortest_paths(edges, srcs)  # warm-up
+        secs = []
+        reached = 0
+        for _ in range(REPS):
+            t0 = time.time()
+            res = shortest_paths(edges, srcs)
+            reached = res.state.count()
+            secs.append(time.time() - t0)
+        sec = min(secs)
+        throughput = n_items / sec
+        extra = {"reached": reached, "reps_sec": [round(s, 1) for s in secs]}
     elif job == "tc_kernel":
         from gminer_spark.graph.triangles import triangle_count_kernel
 
