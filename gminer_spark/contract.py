@@ -417,6 +417,23 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["ppr_micro"] = ppr_micro
 
+    def ppr_batch_micro(s, d):
+        """BATCHED personalized PageRank: one rank vector PER seed
+        (state keyed (s, id), reached pairs only) — the
+        recommendation primitive, all seeds in one plan."""
+        from gminer_spark.graph.pagerank import ppr_batch
+
+        e = _edges(s, d)
+        seeds = gt.vertices(e).where(F.col("id") % 499 == 0)
+        res = ppr_batch(e, seeds, num_iter=PR_ITERS)
+        return res.select(
+            "s",
+            "id",
+            F.round(F.col("rank") * 1e6, 0).cast("long").alias("rank_micro"),
+        )
+
+    q["ppr_batch_micro"] = ppr_batch_micro
+
     def cc_components(s, d):
         from gminer_spark.graph.cc import connected_components
 
@@ -1342,6 +1359,12 @@ SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id
     o["pagerank_locality_micro"] = pagerank_oracle_sql()
     o["pagerank_weighted_micro"] = pagerank_weighted_oracle_sql()
     o["ppr_micro"] = ppr_oracle_sql()
+
+    from gminer_spark.graph.pagerank import ppr_batch_oracle_sql
+
+    o["ppr_batch_micro"] = ppr_batch_oracle_sql(
+        EDGES_CTE, "id % 499 = 0", iters=PR_ITERS
+    )
     o["cc_components"] = CC_ORACLE_SQL
     o["cc_incremental"] = CC_ORACLE_SQL
     o["lpa_labels"] = lpa_oracle_sql()

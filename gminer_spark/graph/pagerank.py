@@ -211,6 +211,134 @@ def pagerank(
     return result
 
 
+def ppr_batch(
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = 0.85,
+    num_iter: int = 10,
+) -> DataFrame:
+    """(s, id, rank) — one personalized PageRank vector PER seed, all
+    seeds propagated simultaneously with state keyed ``(s, id)`` (the
+    recommendation primitive: rank of id in seed s's walk).
+
+    Differs from ``pagerank(reset=...)``, which spreads ONE teleport
+    vector across the whole seed set.  State rows exist only for
+    reached pairs (ranks are 0 elsewhere), so cost scales with
+    Σ|reach(s)| rather than |S|·|V|; each superstep is the standard
+    edges ⋈ state shuffle plus a broadcast |S|-row dangling table —
+    the batched-task pattern (many tasks, one plan) the mining
+    kernels use.
+    """
+    spark = edges.sparkSession
+    edges_in, n_in, we_persisted = tables.ensure_materialized(edges)
+    n_shuffle = tables.sized_partitions(spark, n_in)
+    e = edges_in.select("src", "dst").repartition(n_shuffle, "src").persist()
+    deg = (
+        e.groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").cast("long").alias("out_deg"))
+        .persist()
+    )
+    deg.count()
+    if we_persisted:
+        edges_in.unpersist()
+    base = (
+        seeds.select(F.col("id").cast("long").alias("s"))
+        .distinct()
+        .select("s", F.col("s").alias("id"))
+        .localCheckpoint()
+    )
+    state = base.select("s", "id", F.lit(1.0).alias("rank"))
+    for _ in range(num_iter):
+        ranked = state.join(deg, on="id", how="left").select(
+            "s", "id", "rank", F.coalesce("out_deg", F.lit(0)).alias("out_deg")
+        )
+        dang = (
+            ranked.where(F.col("out_deg") == 0)
+            .groupBy("s")
+            .agg(F.sum("rank").alias("_dang"))
+        )
+        contribs = (
+            e.join(ranked, e.src == ranked.id)
+            .select("s", F.col("dst").alias("id"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("s", "id")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        state = (
+            contribs.join(base.withColumn("_seed", F.lit(True)), on=["s", "id"], how="full")
+            .join(F.broadcast(dang), on="s", how="left")
+            .select(
+                "s",
+                "id",
+                (
+                    F.lit(1.0 - damping) * F.coalesce(F.col("_seed").cast("double"), F.lit(0.0))
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("contrib", F.lit(0.0))
+                        + F.coalesce("_dang", F.lit(0.0))
+                        * F.coalesce(F.col("_seed").cast("double"), F.lit(0.0))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    deg.unpersist()
+    return state
+
+
+def ppr_batch_oracle_sql(
+    edges_cte: str, seed_pred: str, iters: int, damping: float = 0.85
+) -> str:
+    """Unrolled per-seed PPR: state keyed (s, id), reached pairs only
+    (identical row-set growth to the engine — reach is monotone)."""
+    ctes = [
+        f"{edges_cte.strip()}",
+        """sym AS MATERIALIZED (
+    SELECT src, dst FROM edges
+    UNION SELECT dst AS src, src AS dst FROM edges)""",
+        """verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym)""",
+        """deg AS MATERIALIZED (
+    SELECT v.id, COALESCE(o.c, 0) AS out_deg
+    FROM verts v LEFT JOIN (
+        SELECT src, COUNT(*) AS c FROM edges GROUP BY src) o
+    ON v.id = o.src)""",
+        f"""seeds AS MATERIALIZED (
+    SELECT id AS s, id FROM verts WHERE {seed_pred})""",
+        "p0 AS MATERIALIZED (SELECT s, id, 1.0 AS rank FROM seeds)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"p{k - 1}"
+        ctes.append(
+            f"""p{k} AS MATERIALIZED (
+    SELECT COALESCE(c.s, b.s) AS s, COALESCE(c.id, b.id) AS id,
+           (1.0 - {damping}) * (CASE WHEN b.s IS NOT NULL THEN 1.0 ELSE 0.0 END)
+           + {damping} * (
+               COALESCE(c.contrib, 0.0)
+               + COALESCE(dg.dang, 0.0)
+                 * (CASE WHEN b.s IS NOT NULL THEN 1.0 ELSE 0.0 END)
+           ) AS rank
+    FROM (
+        SELECT r.s, e.dst AS id, SUM(r.rank / d.out_deg) AS contrib
+        FROM edges e
+        JOIN {p} r ON e.src = r.id
+        JOIN deg d ON d.id = r.id
+        GROUP BY r.s, e.dst) c
+    FULL OUTER JOIN seeds b ON c.s = b.s AND c.id = b.id
+    LEFT JOIN (
+        SELECT r.s, SUM(r.rank) AS dang
+        FROM {p} r JOIN deg d ON d.id = r.id
+        WHERE d.out_deg = 0 GROUP BY r.s) dg
+    ON COALESCE(c.s, b.s) = dg.s)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT s, id, CAST(ROUND(rank * 1e6) AS BIGINT) AS rank_micro
+FROM p{iters}"""
+    )
+
+
 class PageRankMaintainer:
     """Streaming PageRank: feed edge batches (e.g. from
     ``foreachBatch``), read ``ranks`` between updates.

@@ -587,3 +587,22 @@ def test_feature_propagation_matches_python(spark, agg):
         ).collect()
     }
     assert got == f
+
+
+def test_ppr_batch_matches_per_seed_oracle(spark):
+    """Each seed's vector must equal single-seed PPR run separately;
+    absent rows mean rank 0 (unreached)."""
+    from gminer_spark.graph.pagerank import ppr_batch
+
+    pairs = random_graph(n=80, p=0.04, seed=27)
+    verts = sorted({v for e in pairs for v in e})
+    seeds = verts[:3]
+    src_df = spark.createDataFrame([(s,) for s in seeds], "id long")
+    res = ppr_batch(edges_df(spark, pairs), src_df, num_iter=30)
+    got: dict[int, dict[int, float]] = {}
+    for r in res.collect():
+        got.setdefault(r["s"], {})[r["id"]] = r["rank"]
+    for s in seeds:
+        want = oracle.ppr(pairs, [s], num_iter=30)
+        for v, w in want.items():
+            assert got[s].get(v, 0.0) == pytest.approx(w, abs=1e-9), (s, v)
