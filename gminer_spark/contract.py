@@ -434,6 +434,34 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["ppr_batch_micro"] = ppr_batch_micro
 
+    def ppr_topk(s, d):
+        """Per-seed top-5 recommendations off the batched PPR vectors
+        (self excluded; total-order tie-break rank desc, id asc)."""
+        from pyspark.sql import Window
+
+        from gminer_spark.graph.pagerank import ppr_batch
+
+        e = _edges(s, d)
+        seeds = gt.vertices(e).where(F.col("id") % 499 == 0)
+        res = ppr_batch(e, seeds, num_iter=PR_ITERS).where(
+            F.col("s") != F.col("id")
+        )
+        scored = res.select(
+            "s",
+            "id",
+            F.round(F.col("rank") * 1e6, 0).cast("long").alias("rank_micro"),
+        )
+        w = Window.partitionBy("s").orderBy(
+            F.col("rank_micro").desc(), F.col("id").asc()
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 5)
+            .select("s", "id", "rank_micro", F.col("rk").cast("long").alias("rk"))
+        )
+
+    q["ppr_topk"] = ppr_topk
+
     def cc_components(s, d):
         from gminer_spark.graph.cc import connected_components
 
@@ -1365,6 +1393,19 @@ SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id
     o["ppr_batch_micro"] = ppr_batch_oracle_sql(
         EDGES_CTE, "id % 499 = 0", iters=PR_ITERS
     )
+
+    _ppr_base = ppr_batch_oracle_sql(EDGES_CTE, "id % 499 = 0", iters=PR_ITERS)
+    _ppr_ctes, _, _ppr_tail = _ppr_base.rpartition("\nSELECT s, id,")
+    o["ppr_topk"] = f"""{_ppr_ctes},
+scored AS (
+    SELECT s, id, CAST(ROUND(rank * 1e6) AS BIGINT) AS rank_micro
+    FROM p{PR_ITERS} WHERE s <> id)
+SELECT s, id, rank_micro, CAST(rk AS BIGINT) AS rk FROM (
+    SELECT s, id, rank_micro,
+           ROW_NUMBER() OVER (PARTITION BY s
+                              ORDER BY rank_micro DESC, id ASC) AS rk
+    FROM scored) x
+WHERE rk <= 5"""
     o["cc_components"] = CC_ORACLE_SQL
     o["cc_incremental"] = CC_ORACLE_SQL
     o["lpa_labels"] = lpa_oracle_sql()
