@@ -640,6 +640,26 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["random_walks"] = random_walks
 
+    def random_walks_weighted(s, d):
+        """Weighted walk corpus: transitions ∝ shared-order count via
+        an all-integer cumulative-weight draw (exact oracle)."""
+        from gminer_spark.graph.walks import random_walks as rw
+
+        res = rw(
+            gt.copurchase_weighted_edges(s, d),
+            walk_len=3,
+            walks_per_vertex=1,
+            weight_col="w",
+        )
+        return res.select(
+            "start",
+            F.col("walk").cast("long").alias("walk"),
+            F.col("step").cast("long").alias("step"),
+            "vertex",
+        )
+
+    q["random_walks_weighted"] = random_walks_weighted
+
     def walk_skipgrams(s, d):
         """Skip-gram (center, context) pair counts from the walk corpus
         — the DeepWalk training-data stage after sampling."""
@@ -1515,6 +1535,22 @@ FROM deg d LEFT JOIN tpv t ON d.id = t.id
 
     o["random_walks"] = random_walks_oracle_sql(
         EDGES_CTE, walk_len=3, walks_per_vertex=2
+    )
+
+    from gminer_spark.graph.walks import weighted_walks_oracle_sql
+
+    _walk_wedges = """
+wedges AS (
+    SELECT CAST(a.l_partkey AS BIGINT) AS src,
+           CAST(b.l_partkey AS BIGINT) AS dst,
+           COUNT(*) AS w
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+)"""
+    o["random_walks_weighted"] = weighted_walks_oracle_sql(
+        _walk_wedges, walk_len=3, walks_per_vertex=1
     )
 
     from gminer_spark.graph.walks import skipgram_pairs_oracle_sql

@@ -35,6 +35,7 @@ def random_walks(
     walks_per_vertex: int = 1,
     seed: str = "w",
     starts: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(start, walk, step, vertex) — deterministic walks over the
     undirected view; one walk row per step 0..walk_len.
@@ -42,21 +43,54 @@ def random_walks(
     ``starts`` optionally restricts the start set (default: every
     vertex).  Walks never terminate early (the symmetrized view has
     no degree-0 vertices).
+
+    ``weight_col`` names a POSITIVE INTEGER edge weight: transition
+    probability becomes ∝ w.  The draw stays exact — the hash value
+    is reduced modulo the vertex's total strength and the neighbor
+    whose cumulative-weight interval [lo, hi) contains it is taken —
+    so weighted walks keep the bit-identical cross-engine oracle
+    (floating cumulative thresholds would not).
     """
     spark = edges.sparkSession
     n_shuffle = tables.shuffle_partitions(spark)
-    sym = tables.symmetrize(edges)
-    w = Window.partitionBy("src").orderBy("dst")
-    adj = (
-        sym.select(
-            "src",
-            "dst",
-            (F.row_number().over(w) - 1).alias("rn"),
-            F.count("*").over(Window.partitionBy("src")).alias("deg"),
+    if weight_col is not None:
+        fwd = edges.select(
+            "src", "dst", F.col(weight_col).cast("long").alias("w")
         )
-        .repartition(n_shuffle, "src")
-        .persist()
-    )
+        rev = fwd.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+        sym = fwd.unionByName(rev).where(F.col("src") != F.col("dst")).distinct()
+        w_ord = Window.partitionBy("src").orderBy("dst")
+        cum = (
+            F.sum("w")
+            .over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
+        )
+        adj = (
+            sym.select(
+                "src",
+                "dst",
+                F.coalesce(cum, F.lit(0)).alias("lo"),
+                "w",
+                F.sum("w").over(Window.partitionBy("src")).alias("deg"),
+            )
+            .select("src", "dst", "lo", (F.col("lo") + F.col("w")).alias("hi"), "deg")
+            .repartition(n_shuffle, "src")
+            .persist()
+        )
+    else:
+        sym = tables.symmetrize(edges)
+        w = Window.partitionBy("src").orderBy("dst")
+        adj = (
+            sym.select(
+                "src",
+                "dst",
+                (F.row_number().over(w) - 1).alias("rn"),
+                F.count("*").over(Window.partitionBy("src")).alias("deg"),
+            )
+            .repartition(n_shuffle, "src")
+            .persist()
+        )
     adj.count()
 
     verts = tables.vertices(sym)
@@ -79,11 +113,17 @@ def random_walks(
             F.lit(t),
             F.col("vertex"),
         )
-        stepped = (
-            pos.join(
-                adj,
-                (pos.vertex == adj.src) & (adj.rn == h32(key) % adj.deg),
+        if weight_col is not None:
+            draw = h32(key) % adj.deg
+            cond = (
+                (pos.vertex == adj.src)
+                & (draw >= F.col("lo"))
+                & (draw < F.col("hi"))
             )
+        else:
+            cond = (pos.vertex == adj.src) & (adj.rn == h32(key) % adj.deg)
+        stepped = (
+            pos.join(adj, cond)
             .select("start", "walk", F.col("dst").alias("vertex"))
             .localCheckpoint()
         )
@@ -160,6 +200,56 @@ def random_walks_oracle_sql(
     FROM w{t - 1} p JOIN adj a
       ON a.src = p.vertex
      AND a.rn = {h32_sql(key)} % a.deg)"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT start, walk, CAST({t} AS BIGINT) AS step, vertex FROM w{t}"
+        for t in range(walk_len + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+def weighted_walks_oracle_sql(
+    wedges_cte: str,
+    walk_len: int,
+    walks_per_vertex: int,
+    seed: str = "w",
+) -> str:
+    """Unrolled WEIGHTED walks: ``wedges_cte`` defines
+    ``wedges(src, dst, w)`` with positive integer weights; the draw is
+    ``h32(key) mod strength`` landing in a cumulative-weight interval
+    — all-integer, bit-identical across engines."""
+    from gminer_spark.functions import h32_sql
+
+    ctes = [
+        f"{wedges_cte.strip()}",
+        """wsym AS MATERIALIZED (
+    SELECT src, dst, w FROM wedges
+    UNION SELECT dst AS src, src AS dst, w FROM wedges)""",
+        """adj AS MATERIALIZED (
+    SELECT src, dst,
+           COALESCE(SUM(w) OVER (PARTITION BY src ORDER BY dst
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo,
+           COALESCE(SUM(w) OVER (PARTITION BY src ORDER BY dst
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + w AS hi,
+           SUM(w) OVER (PARTITION BY src) AS deg
+    FROM wsym)""",
+        f"""w0 AS MATERIALIZED (
+    SELECT id AS start, wk AS walk, id AS vertex
+    FROM (SELECT DISTINCT src AS id FROM wsym)
+    CROSS JOIN (SELECT UNNEST(range({walks_per_vertex})) AS wk))""",
+    ]
+    for t in range(1, walk_len + 1):
+        key = (
+            f"'{seed}:' || CAST(p.start AS VARCHAR) || ':' || "
+            f"CAST(p.walk AS VARCHAR) || ':{t}:' || CAST(p.vertex AS VARCHAR)"
+        )
+        draw = f"({h32_sql(key)} % a.deg)"
+        ctes.append(
+            f"""w{t} AS MATERIALIZED (
+    SELECT p.start, p.walk, a.dst AS vertex
+    FROM w{t - 1} p JOIN adj a
+      ON a.src = p.vertex
+     AND {draw} >= a.lo AND {draw} < a.hi)"""
         )
     selects = "\nUNION ALL\n".join(
         f"SELECT start, walk, CAST({t} AS BIGINT) AS step, vertex FROM w{t}"

@@ -606,3 +606,48 @@ def test_ppr_batch_matches_per_seed_oracle(spark):
         want = oracle.ppr(pairs, [s], num_iter=30)
         for v, w in want.items():
             assert got[s].get(v, 0.0) == pytest.approx(w, abs=1e-9), (s, v)
+
+
+def test_weighted_walks_match_python_simulation(spark):
+    """Weighted transitions: python replays the cumulative-weight draw
+    (h32 mod strength lands in a neighbor's [lo, hi) interval)."""
+    import hashlib
+
+    from gminer_spark.graph.walks import random_walks
+
+    def h32_py(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    rng = np.random.default_rng(31)
+    pairs = random_graph(n=30, p=0.15, seed=31, directed=False)
+    wpairs = [(s, d, int(rng.integers(1, 5))) for s, d in pairs]
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for s, d, w in wpairs:
+        if s == d:
+            continue
+        adj.setdefault(s, []).append((d, w))
+        adj.setdefault(d, []).append((s, w))
+    adj = {v: sorted(ns) for v, ns in adj.items()}
+
+    def step(start, wk, t, v):
+        total = sum(w for _, w in adj[v])
+        r = h32_py(f"w:{start}:{wk}:{t}:{v}") % total
+        acc = 0
+        for u, w in adj[v]:
+            if acc <= r < acc + w:
+                return u
+            acc += w
+        raise AssertionError
+
+    want = set()
+    for start in adj:
+        v = start
+        want.add((start, 0, 0, v))
+        for t in range(1, 3):
+            v = step(start, 0, t, v)
+            want.add((start, 0, t, v))
+
+    wdf = spark.createDataFrame(wpairs, "src long, dst long, w long")
+    res = random_walks(wdf, walk_len=2, walks_per_vertex=1, weight_col="w")
+    got = {(r["start"], r["walk"], r["step"], r["vertex"]) for r in res.collect()}
+    assert got == want
