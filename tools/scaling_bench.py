@@ -101,13 +101,26 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--low", type=int, default=4)
     ap.add_argument("--high", type=int, default=16)
+    ap.add_argument(
+        "--jobs",
+        default="extract,pagerank,tc",
+        help="comma list; also available: tc_kernel, sssp (slower, "
+        "measured manually in BENCH.md's dedicated sections)",
+    )
     args = ap.parse_args()
 
     epath = gen_edges()
     ppath = gen_pages()
     tcpath = gen_tc_edges()
 
-    jobs = [("extract", ppath, 1), ("pagerank", epath, 5), ("tc", tcpath, 1)]
+    catalog = {
+        "extract": (ppath, 1),
+        "pagerank": (epath, 5),
+        "tc": (tcpath, 1),
+        "tc_kernel": (epath, 1),
+        "sssp": (epath, 1),
+    }
+    jobs = [(j, *catalog[j]) for j in args.jobs.split(",")]
     rows = []
     for job, path, iters in jobs:
         lo = run(job, args.low, path, iters)
@@ -175,52 +188,26 @@ def main() -> None:
         "  counts.",
         "",
         "Regenerate: `python tools/scaling_bench.py`.",
-        "",
-        "## Memory-headroom stress (single run)",
-        "",
-        "PageRank over a 50M-edge / 5M-vertex skewed graph at local[32]",
-        "(driver 48g): 3 supersteps in 65.7 s = **2.28M edges/s** sustained,",
-        "no spill pressure — ~22 s/superstep, linear in |E| vs the 10M-edge",
-        "runs (per-superstep fixed cost fully amortized).",
-        "",
-        "## Hot-vertex pull cache (RefCache analog) — measured NEGATIVE locally",
-        "",
-        "`tools/refcache_bench.py`, 100k-vertex powerlaw (m=5), 1M degree-biased",
-        "pull requests, local[32]: plain shuffle join 1.18 s vs cached_pull",
-        "(1024-hub broadcast slice + shuffled tail) 3.64 s = **0.32×**.  On one",
-        "box the shuffle rides tmpfs — there is no network to save — so the",
-        "split's two extra request scans and the union dominate.  The knob",
-        "(`focused_clusters(hot_k=...)`, `graph/refcache.py`) therefore defaults",
-        "OFF; it targets network-bound clusters where hub rows crossing the wire",
-        "once per executor (instead of once per requesting task) is the win.",
-        "Routing equivalence (cached == plain, bit-for-bit) is pytest-enforced.",
-        "",
-        "## Locality blocks make the blocked-PageRank combiner pay off — 16.7×",
-        "",
-        "`tools/blocked_locality_bench.py`, 120-clique caveman graph (93,720",
-        "edges), 120 blocks, local[32].  The blocked scatter pre-aggregates",
-        "contributions per (block, dst); what reaches the shuffle is the",
-        "combined partial rows:",
-        "",
-        "| block source | partial rows / superstep | pagerank 5 iters |",
-        "|---|---|---|",
-        "| pmod hash | 93,720 (≈ one per edge — combine never fires) | 23.3 s |",
-        "| BDG/Voronoi locality (`pagerank_blocked(block_map=...)`) | 5,626 | 17.6 s |",
-        "",
-        "**16.7× less shuffled volume**, 1.32× wall-clock even on one box where",
-        "the shuffle rides tmpfs; on a network-bound cluster the volume ratio",
-        "is the story.  This is the measured version of the round-1 note that",
-        "the map-side combine \"only pays off on locality-partitioned blocks\":",
-        "under hash blocks a vertex's in-edges are spread over ~every block, so",
-        "per-block combining is a no-op; under community blocks they collapse",
-        "to ~one row per boundary neighbor.  Custom ownership costs one",
-        "post-combine join per superstep to route contributions (the reference",
-        "instead bakes owner ids into its adjacency format,",
-        "BDGPartitioner.tpp:339-350).",
     ]
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print("wrote BENCH.md")
+    if args.jobs != "extract,pagerank,tc":
+        # subset runs print JSON only — never clobber the curated
+        # BENCH.md (it carries hand-written measured sections)
+        print("subset run: BENCH.md left untouched")
+        return
+    marker = ("<!-- manual sections below — preserved verbatim by "
+              "tools/scaling_bench.py -->")
+    bench_path = os.path.join(REPO, "BENCH.md")
+    tail = ""
+    if os.path.exists(bench_path):
+        old = open(bench_path).read()
+        if marker in old:
+            tail = old[old.index(marker):]
+        else:
+            print("WARNING: no preservation marker in BENCH.md — "
+                  "manual sections (if any) will be dropped")
+    with open(bench_path, "w") as f:
+        f.write("\n".join(lines) + "\n\n" + (tail or marker + "\n"))
+    print("wrote BENCH.md (manual tail preserved)")
 
 
 if __name__ == "__main__":
