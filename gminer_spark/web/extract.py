@@ -68,9 +68,12 @@ def normalize_url(href: str, base_url: str | None = None) -> str | None:
     href = href.strip()
     if not href:
         return None
-    if base_url:
-        href = urljoin(base_url, href)
-    parts = urlsplit(href)
+    try:
+        if base_url:
+            href = urljoin(base_url, href)
+        parts = urlsplit(href)
+    except ValueError:  # malformed href (e.g. bad IPv6 bracket) — drop
+        return None
     if parts.scheme not in ("http", "https"):
         return None
     path = parts.path or "/"
