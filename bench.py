@@ -165,6 +165,12 @@ def main() -> None:
     betweenness_sampled(edges, seeds499, max_depth=8).count()
     variants["betweenness"] = round(time.time() - t0, 3)
 
+    from gminer_spark.graph.mis import maximal_independent_set
+
+    t0 = time.time()
+    maximal_independent_set(edges).count()
+    variants["mis"] = round(time.time() - t0, 3)
+
     # "value" stays the round-1 8-query headline total so rounds are
     # comparable; the task-kernel queries are timed separately
     total = round(sum(queries.values()), 3)
