@@ -593,6 +593,45 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["link_features"] = link_features
 
+    def degree_assortativity(s, d):
+        """Degree assortativity (Pearson r of endpoint degrees over the
+        directed sym edge list — Newman 2002).  Every moment is an
+        exact BIGINT sum; only the final ratio is floating, computed
+        in mirrored order on both engines and micro-rounded."""
+        e = _edges(s, d)
+        sym = gt.symmetrize(e)
+        deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+        du = deg.select("src", F.col("deg").alias("x"))
+        dv = deg.select(F.col("src").alias("dst"), F.col("deg").alias("y"))
+        m = (
+            sym.join(du, on="src")
+            .join(dv, on="dst")
+            .agg(
+                F.count("*").cast("long").alias("m"),
+                F.sum("x").cast("long").alias("sx"),
+                F.sum("y").cast("long").alias("sy"),
+                F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+                F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+                F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+            )
+        )
+        num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+            "double"
+        )
+        vx = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+        vy = (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+        return m.select(
+            F.round(num / F.sqrt(vx * vy) * 1e6, 0)
+            .cast("long")
+            .alias("assortativity_micro")
+        )
+
+    q["degree_assortativity"] = degree_assortativity
+
     def feature_agg_2hop(s, d):
         """GNN preprocessing: 2-hop neighbor-sum of an integer vertex
         feature (id % 1000) — A²·x exactly, one shuffle per hop."""
@@ -1519,6 +1558,26 @@ SELECT d.id,
                             / (d.deg * (d.deg - 1)) * 1e6)
                  ELSE 0 END AS BIGINT) AS lcc_micro
 FROM deg d LEFT JOIN tpv t ON d.id = t.id
+"""
+
+    o["degree_assortativity"] = f"""
+WITH {EDGES_CTE.strip()}, {SYM_CTE.strip()},
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+mom AS (
+    SELECT COUNT(*) AS m,
+           SUM(a.deg) AS sx, SUM(b.deg) AS sy,
+           SUM(a.deg * b.deg) AS sxy,
+           SUM(a.deg * a.deg) AS sxx,
+           SUM(b.deg * b.deg) AS syy
+    FROM sym s
+    JOIN deg a ON a.src = s.src
+    JOIN deg b ON b.src = s.dst)
+SELECT CAST(ROUND(
+    CAST(m * sxy - sx * sy AS DOUBLE)
+    / SQRT(CAST(m * sxx - sx * sx AS DOUBLE)
+           * CAST(m * syy - sy * sy AS DOUBLE)) * 1e6) AS BIGINT)
+    AS assortativity_micro
+FROM mom
 """
 
     from gminer_spark.graph.features import feature_propagation_oracle_sql

