@@ -1498,6 +1498,16 @@ SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_vertices
 FROM deg GROUP BY degree
 """
 
+    from gminer_spark.graph.mining import (
+        communities_oracle_sql,
+        max_clique_oracle_sql,
+    )
+
+    # iter caps (measured sf0.01 + margin, same discipline as the peel
+    # oracles): max clique 13 -> 16; max same-brand clique 4 -> 7
+    o["max_clique"] = max_clique_oracle_sql(EDGES_CTE, max_k=16)
+    o["communities"] = communities_oracle_sql(EDGES_CTE, k=4, max_k=7)
+
     from gminer_spark.graph.betweenness import betweenness_oracle_sql
 
     o["betweenness"] = betweenness_oracle_sql(

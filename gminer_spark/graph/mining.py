@@ -113,6 +113,7 @@ def _kernel_max_clique(cands, eg_src, eg_dst, lower_bound: int) -> list[int]:
     order = np.argsort(-adj.sum(1), kind="stable")
     best: list[int] = []
     best_size = max(0, lower_bound - 1)
+    best_sorted: list[int] = []
 
     def coloring_bound(cand_mask: np.ndarray) -> int:
         # greedy coloring class count = clique upper bound (:91-129)
@@ -129,15 +130,30 @@ def _kernel_max_clique(cands, eg_src, eg_dst, lower_bound: int) -> list[int]:
         return colors
 
     def expand(current: list[int], cand_mask: np.ndarray) -> None:
-        nonlocal best, best_size
+        # CANONICAL tie-break: at equal size keep the clique whose
+        # sorted member list is lexicographically smallest.  For a
+        # fixed seed u, comparing sorted inner lists orders exactly
+        # like comparing the full sorted([u] + inner) lists, so the
+        # per-seed result (and hence the global orderBy winner) is the
+        # graph-wide lexicographic-min maximum clique — the value the
+        # DuckDB clique-enumeration oracle computes independently.
+        # Pruning is therefore at `< best_size` (ties must still be
+        # explored), not the strict-improvement `<=`.
+        nonlocal best, best_size, best_sorted
         if not cand_mask.any():
-            if len(current) > best_size:
+            if len(current) > best_size or (
+                best and len(current) == best_size and sorted(current) < best_sorted
+            ):
                 best_size = len(current)
                 best = current[:]
+                best_sorted = sorted(best)
             return
-        if len(current) + int(cand_mask.sum()) <= best_size:
+        # ties are only acceptable once a best exists; before that the
+        # original strict-improvement threshold prunes harder
+        need = best_size if best else best_size + 1
+        if len(current) + int(cand_mask.sum()) < need:
             return
-        if len(current) + coloring_bound(cand_mask) <= best_size:
+        if len(current) + coloring_bound(cand_mask) < need:
             return
         for v in order:
             if not cand_mask[v]:
@@ -255,16 +271,24 @@ def _kernel_attr_clique(
     best: list[int] = []
     best_attrs: set = set()
     best_size = max(0, k - 2)  # inner clique must reach k-1 members
+    best_sorted: list[int] = []
 
     def expand(current: list[int], common: frozenset, mask: np.ndarray) -> None:
-        nonlocal best, best_attrs, best_size
+        # canonical lexicographic-min tie-break (same argument as
+        # _kernel_max_clique): makes the per-seed community the value
+        # an exhaustive SQL clique enumeration would pick
+        nonlocal best, best_attrs, best_size, best_sorted
         if not mask.any():
-            if len(current) > best_size:
+            if len(current) > best_size or (
+                best and len(current) == best_size and sorted(current) < best_sorted
+            ):
                 best_size = len(current)
                 best = current[:]
+                best_sorted = sorted(best)
                 best_attrs = set(common)
             return
-        if len(current) + int(mask.sum()) <= best_size:
+        need = best_size if best else best_size + 1
+        if len(current) + int(mask.sum()) < need:
             return
         for v in order:
             if not mask[v]:
@@ -343,6 +367,135 @@ def attributed_communities(
 
     res = full.mapInPandas(lambda it: (run(pdf) for pdf in it), schema)
     return res.dropDuplicates(["community"])
+
+
+# ---------------------------------------------------------------------------
+# DuckDB witnesses: unrolled clique-extension CTE chains
+# ---------------------------------------------------------------------------
+
+
+def _clique_chain(base: str, cols0: list[str], max_k: int) -> tuple[list[str], dict[int, list[str]]]:
+    """CTE fragments enumerating every id-oriented k-clique of ``base``
+    (a materialized (src,dst) src<dst edge CTE), k = len(cols0)..max_k.
+
+    Level k extends level k-1 on its last member and guards adjacency
+    to every earlier member with EXISTS probes — each k-clique appears
+    exactly once as its id-sorted member tuple.  Returns (fragments,
+    {k: member-columns}).
+    """
+    frags: list[str] = []
+    cols = list(cols0)
+    levels = {len(cols): list(cols)}
+    for k in range(len(cols) + 1, max_k + 1):
+        prev = f"c{k - 1}"
+        ex = " AND ".join(
+            f"EXISTS (SELECT 1 FROM {base} b WHERE b.src = {prev}.{c} AND b.dst = nv.dst)"
+            for c in cols[:-1]
+        )
+        sel = ", ".join(f"{prev}.{c}" for c in cols)
+        frags.append(
+            f"c{k} AS MATERIALIZED (\n"
+            f"    SELECT {sel}, nv.dst AS a{k}\n"
+            f"    FROM {prev} JOIN {base} nv ON nv.src = {prev}.{cols[-1]}\n"
+            f"    WHERE {ex})"
+        )
+        cols.append(f"a{k}")
+        levels[k] = list(cols)
+    return frags, levels
+
+
+def max_clique_oracle_sql(edges_cte: str, max_k: int = 16) -> str:
+    """DuckDB witness for :func:`max_clique` — exhaustive unrolled
+    clique enumeration, then the (size DESC, members ASC) minimum,
+    which is precisely the engine's canonical output (lexicographic-
+    min maximum clique; the reference's checkable printed scalar,
+    apps/maxclique.cpp:280-285).
+
+    ``max_k`` is an iter-cap in the repo's usual measured-plus-margin
+    discipline: the sf0.01 copurchase graph's max clique is 13
+    (k=14 level empty, measured), so 16 leaves a 3-level margin; the
+    empty tail levels cost nothing.  MATERIALIZED keeps DuckDB from
+    re-opening the parquet per CTE reference.
+    """
+    frags, levels = _clique_chain("e", ["a1", "a2"], max_k)
+    unions = [
+        f"SELECT {k} AS clique_size, [{', '.join(cols)}] AS mem FROM c{k}"
+        for k, cols in levels.items()
+    ]
+    return (
+        f"WITH {edges_cte.strip()},\n"
+        "e AS MATERIALIZED (SELECT src, dst FROM edges),\n"
+        "c2 AS MATERIALIZED (SELECT src AS a1, dst AS a2 FROM e),\n"
+        + ",\n".join(frags)
+        + ",\nallc AS (\n    "
+        + "\n    UNION ALL ".join(unions)
+        + "\n)\n"
+        "SELECT CAST(clique_size AS INT) AS clique_size,\n"
+        "       array_to_string(mem, ',') AS members\n"
+        "FROM allc ORDER BY clique_size DESC, mem ASC LIMIT 1"
+    )
+
+
+def communities_oracle_sql(edges_cte: str, k: int = 4, max_k: int = 7) -> str:
+    """DuckDB witness for the CD app contract query
+    (:func:`attributed_communities` over part brands).
+
+    Because every part carries exactly ONE brand, "members share >= 1
+    attribute" collapses to "all members have the same brand", so the
+    search space is the same-brand edge subgraph.  Each community the
+    engine reports is, by construction, the maximum (lex-min on ties)
+    same-brand clique among seed u's degree-oriented candidates — and
+    u is exactly the minimum-(deg<<32|id)-rank member of any clique
+    reported at it.  The witness therefore enumerates ALL same-brand
+    cliques (unrolled CTEs, cap = measured sf0.01 max 4 + margin),
+    tags each with its min-rank member as the seed, and keeps each
+    seed's (size DESC, members ASC) winner of size >= k.
+    Reference scalar: apps/community.cpp:452-468.
+    """
+    frags, levels = _clique_chain("sb", ["a1", "a2"], max_k)
+    unions = [
+        f"SELECT {k_} AS csize, [{', '.join(cols)}] AS mem FROM c{k_}"
+        for k_, cols in levels.items()
+        if k_ >= k
+    ]
+    return (
+        f"WITH {edges_cte.strip()},\n"
+        "sym AS MATERIALIZED (\n"
+        "    SELECT src, dst FROM edges\n"
+        "    UNION SELECT dst, src FROM edges),\n"
+        "deg AS MATERIALIZED (\n"
+        "    SELECT src AS id, COUNT(*) AS d FROM sym GROUP BY src),\n"
+        "brand AS MATERIALIZED (\n"
+        "    SELECT CAST(p_partkey AS BIGINT) AS id, p_brand AS attr FROM part),\n"
+        "sb AS MATERIALIZED (\n"
+        "    SELECT e.src, e.dst FROM edges e\n"
+        "    JOIN brand b1 ON b1.id = e.src\n"
+        "    JOIN brand b2 ON b2.id = e.dst AND b2.attr = b1.attr),\n"
+        "c2 AS MATERIALIZED (SELECT src AS a1, dst AS a2 FROM sb),\n"
+        + ",\n".join(frags)
+        + ",\nallc AS (\n    "
+        + "\n    UNION ALL ".join(unions)
+        + "\n),\n"
+        # seed = member with the smallest (deg<<32 | id) rank key
+        "seeded AS (\n"
+        "    SELECT csize, mem,\n"
+        "           (SELECT m FROM (SELECT UNNEST(mem) AS m) u\n"
+        "            JOIN deg ON deg.id = u.m\n"
+        "            ORDER BY deg.d * 4294967296 + u.m LIMIT 1) AS seed\n"
+        "    FROM allc\n"
+        "),\n"
+        "ranked AS (\n"
+        "    SELECT csize, mem, seed,\n"
+        "           ROW_NUMBER() OVER (PARTITION BY seed\n"
+        "                              ORDER BY csize DESC, mem ASC) AS rk\n"
+        "    FROM seeded\n"
+        ")\n"
+        "SELECT array_to_string(r.mem, ',') AS community,\n"
+        "       b.attr AS shared_attr,\n"
+        "       CAST(r.csize AS INT) AS size\n"
+        "FROM ranked r JOIN brand b ON b.id = r.seed\n"
+        "WHERE r.rk = 1"
+    )
 
 
 # ---------------------------------------------------------------------------
