@@ -615,15 +615,16 @@ def build_queries() -> dict[str, QueryFn]:
                 F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
             )
         )
-        num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-            "double"
-        )
-        vx = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-            "double"
-        )
-        vy = (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
-            "double"
-        )
+        # cast each moment to double BEFORE multiplying: m*sxx in LONG
+        # overflows silently on Spark (non-ANSI) while DuckDB promotes
+        # to HUGEINT — at larger scale factors the two engines would
+        # diverge.  Each moment is < 2^53 long before the products are,
+        # so double-first keeps the arithmetic bit-identical across
+        # engines.
+        md, sxd, syd = (F.col(c).cast("double") for c in ("m", "sx", "sy"))
+        num = md * F.col("sxy").cast("double") - sxd * syd
+        vx = md * F.col("sxx").cast("double") - sxd * sxd
+        vy = md * F.col("syy").cast("double") - syd * syd
         return m.select(
             F.round(num / F.sqrt(vx * vy) * 1e6, 0)
             .cast("long")
@@ -1583,9 +1584,12 @@ mom AS (
     JOIN deg a ON a.src = s.src
     JOIN deg b ON b.src = s.dst)
 SELECT CAST(ROUND(
-    CAST(m * sxy - sx * sy AS DOUBLE)
-    / SQRT(CAST(m * sxx - sx * sx AS DOUBLE)
-           * CAST(m * syy - sy * sy AS DOUBLE)) * 1e6) AS BIGINT)
+    (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / SQRT((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1e6) AS BIGINT)
     AS assortativity_micro
 FROM mom
 """

@@ -28,7 +28,18 @@ def _bfs_levels(sym: DataFrame, sources: DataFrame, max_depth: int) -> list[Data
     """Level-synchronous multi-source BFS: levels[d] = (s, v, sigma)
     rows at distance d from source s, sigma = exact shortest-path
     counts.  One shuffle per level regardless of |sources|."""
-    src_set = sources.select(F.col("id").cast("long").alias("s")).distinct()
+    # restrict to sources that exist in the graph: an id absent from
+    # the edge table must not emit a level-0 (s, s) row (it would show
+    # up as a spurious ecc=0 vertex in eccentricity_sampled)
+    src_set = (
+        sources.select(F.col("id").cast("long").alias("s"))
+        .distinct()
+        .join(
+            sym.select(F.col("src").alias("s")).distinct(),
+            on="s",
+            how="left_semi",
+        )
+    )
     frontier = src_set.select(
         "s", F.col("s").alias("v"), F.lit(1).cast("long").alias("sigma")
     ).localCheckpoint()

@@ -88,7 +88,12 @@ def find(edges: DataFrame, pattern: str) -> DataFrame:
         cols = [F.col("src").alias(a), F.col("dst").alias(b)]
         if evar:
             cols += [F.col(c).alias(f"{evar}_{c}") for c in extra]
-        return base.select(*cols)
+            return base.select(*cols)
+        # no edge variable: the term is purely topological, so dedupe
+        # the projected (a, b) view — edge tables with duplicate
+        # (src, dst) rows differing only in attribute columns must not
+        # multiply match counts
+        return base.select(*cols).distinct()
 
     bindings: DataFrame | None = None
     bound: set[str] = set()

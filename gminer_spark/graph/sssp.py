@@ -141,9 +141,12 @@ def sssp_oracle_sql(
         SELECT src, dst, {w_fwd} FROM edges
         UNION ALL SELECT dst AS src, src AS dst, {w_rev} FROM edges)
     WHERE src <> dst GROUP BY src, dst)""",
+        # alias src -> id FIRST so source_pred applies verbatim — a
+        # textual id->src substitution corrupts predicates where 'id'
+        # appears inside another token
         f"""d0 AS MATERIALIZED (
-    SELECT DISTINCT src AS id, CAST(0 AS BIGINT) AS dist
-    FROM rel WHERE {source_pred.replace('id', 'src')})""",
+    SELECT id, CAST(0 AS BIGINT) AS dist
+    FROM (SELECT DISTINCT src AS id FROM rel) v WHERE {source_pred})""",
     ]
     for i in range(1, iters + 1):
         p = f"d{i - 1}"

@@ -688,3 +688,17 @@ def test_degree_assortativity_matches_numpy(spark):
         * (m * (ys * ys).sum() - ys.sum() ** 2)
     )
     assert num / den == pytest.approx(want, abs=1e-12)  # formula sanity
+
+
+def test_eccentricity_ignores_sources_absent_from_graph(spark):
+    """A source id that does not appear in the edge table must not
+    emit a spurious ecc=0 row (ADVICE r2: _bfs_levels seeded the
+    frontier without intersecting the vertex set)."""
+    from gminer_spark.graph.betweenness import eccentricity_sampled
+
+    src_df = spark.createDataFrame([(1,), (999,)], "id long")
+    got = {
+        r["id"]: r["ecc"]
+        for r in eccentricity_sampled(edges_df(spark, PATH5), src_df).collect()
+    }
+    assert got == {1: 4}

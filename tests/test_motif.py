@@ -140,3 +140,31 @@ def test_motif_plans_stay_join_shaped(spark):
         plan = find(edges, pattern)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, pattern
         assert "BroadcastNestedLoopJoin" not in plan, pattern
+
+
+def test_motif_duplicate_attr_edges_do_not_multiply(spark):
+    """Edge tables with duplicate (src, dst) rows differing only in
+    attribute columns: terms WITHOUT an edge variable are purely
+    topological and must count each binding once."""
+    from gminer_spark.graph.motif import find
+
+    edges = spark.createDataFrame(
+        [(1, 2, "x"), (1, 2, "y"), (2, 3, "x"), (1, 3, "x")],
+        "src long, dst long, label string",
+    )
+    tri = (
+        find(edges, "(a)-(b); (b)-(c); (a)-(c)")
+        .where((F.col("a") < F.col("b")) & (F.col("b") < F.col("c")))
+        .count()
+    )
+    assert tri == 1
+    # negated-term path deduped too: wedge (2)-(1)-(3) is CLOSED by
+    # 2-3, so zero open wedges survive despite the duplicate 1-2 rows
+    open_w = (
+        find(edges, "(a)-(b); (a)-(c); !(b)-(c)")
+        .where(F.col("b") < F.col("c"))
+        .count()
+    )
+    assert open_w == 0
+    # an edge variable still exposes every attribute row
+    assert find(edges, "(a)-[e]->(b)").count() == 4
