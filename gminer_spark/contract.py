@@ -15,6 +15,7 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2063,5 +2064,23 @@ SELECT user_id, session_id,
        COUNT(*) AS n_events
 FROM sess GROUP BY user_id, session_id
 """
+
+    # FocusCO: expand/contract iteration is not SQL-shaped, so the
+    # DuckDB side reads a frozen expectation computed by the NAIVE
+    # literal focusCO.cpp transcription (tests/test_focusco.py) over
+    # the same sf0.01 parquet inputs — an independent second
+    # implementation, regenerated by tools/make_focusco_fixture.py.
+    # Valid at sf0.01 only (the driver's comparison scale).
+    _focusco_fixture = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "..",
+        "tests",
+        "oracle",
+        "focusco_expected_sf001.parquet",
+    )
+    o["focusco"] = (
+        "SELECT cluster, outlier, phi_micro, CAST(size AS INT) AS size "
+        f"FROM read_parquet('{os.path.abspath(_focusco_fixture)}')"
+    )
 
     return o
