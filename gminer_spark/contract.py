@@ -701,6 +701,30 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["random_walks_weighted"] = random_walks_weighted
 
+    def random_walks_node2vec(s, d):
+        """node2vec (p,q)-biased walk corpus with integer ret/in/out
+        biases (4:2:1 ~ p=0.25, q=0.5) — the second-order transition
+        stays an exact integer draw, so the unrolled oracle is
+        bit-identical."""
+        from gminer_spark.graph.walks import random_walks_node2vec as n2v
+
+        res = n2v(
+            _edges(s, d),
+            walk_len=3,
+            walks_per_vertex=1,
+            ret_bias=4,
+            in_bias=2,
+            out_bias=1,
+        )
+        return res.select(
+            "start",
+            F.col("walk").cast("long").alias("walk"),
+            F.col("step").cast("long").alias("step"),
+            "vertex",
+        )
+
+    q["random_walks_node2vec"] = random_walks_node2vec
+
     def walk_skipgrams(s, d):
         """Skip-gram (center, context) pair counts from the walk corpus
         — the DeepWalk training-data stage after sampling."""
@@ -1625,6 +1649,17 @@ wedges AS (
 )"""
     o["random_walks_weighted"] = weighted_walks_oracle_sql(
         _walk_wedges, walk_len=3, walks_per_vertex=1
+    )
+
+    from gminer_spark.graph.walks import node2vec_oracle_sql
+
+    o["random_walks_node2vec"] = node2vec_oracle_sql(
+        EDGES_CTE,
+        walk_len=3,
+        walks_per_vertex=1,
+        ret_bias=4,
+        in_bias=2,
+        out_bias=1,
     )
 
     from gminer_spark.graph.walks import skipgram_pairs_oracle_sql

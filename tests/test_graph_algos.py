@@ -702,3 +702,73 @@ def test_eccentricity_ignores_sources_absent_from_graph(spark):
         for r in eccentricity_sampled(edges_df(spark, PATH5), src_df).collect()
     }
     assert got == {1: 4}
+
+
+def test_node2vec_walks_match_python_simulation(spark):
+    """node2vec second-order transitions (integer ret/in/out biases)
+    must reproduce a literal python simulation step for step."""
+    import hashlib
+
+    from gminer_spark.graph.walks import random_walks_node2vec
+
+    def h32_py(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    pairs = random_graph(n=40, p=0.1, seed=5, directed=False)
+    adj: dict[int, list[int]] = {}
+    nbset: dict[int, set[int]] = {}
+    for s, d in pairs:
+        if s == d:
+            continue
+        nbset.setdefault(s, set()).add(d)
+        nbset.setdefault(d, set()).add(s)
+    adj = {v: sorted(ns) for v, ns in nbset.items()}
+
+    rb, ib, ob = 4, 2, 1
+    walk_len, n_walks = 3, 2
+    want = set()
+    for start in adj:
+        for wk in range(n_walks):
+            v = start
+            want.add((start, wk, 0, v))
+            # step 1: uniform
+            prev, v = v, adj[v][h32_py(f"n2v:{start}:{wk}:1:{v}") % len(adj[v])]
+            want.add((start, wk, 1, v))
+            for t in range(2, walk_len + 1):
+                biases = [
+                    rb if c == prev else (ib if c in nbset[prev] else ob)
+                    for c in adj[v]
+                ]
+                tot = sum(biases)
+                draw = h32_py(f"n2v:{start}:{wk}:{t}:{v}") % tot
+                acc = 0
+                for c, b in zip(adj[v], biases):
+                    if acc <= draw < acc + b:
+                        nxt = c
+                        break
+                    acc += b
+                prev, v = v, nxt
+                want.add((start, wk, t, v))
+
+    res = random_walks_node2vec(
+        edges_df(spark, pairs),
+        walk_len=walk_len,
+        walks_per_vertex=n_walks,
+        ret_bias=rb,
+        in_bias=ib,
+        out_bias=ob,
+    )
+    got = {(r["start"], r["walk"], r["step"], r["vertex"]) for r in res.collect()}
+    assert got == want
+
+
+def test_node2vec_deterministic_under_partitioning(spark):
+    from gminer_spark.graph.walks import random_walks_node2vec
+
+    pairs = random_graph(n=50, p=0.08, seed=13, directed=False)
+    e1 = edges_df(spark, pairs).repartition(1)
+    e2 = edges_df(spark, pairs).repartition(16)
+    kw = dict(walk_len=3, ret_bias=3, in_bias=2, out_bias=1)
+    a = sorted(map(tuple, random_walks_node2vec(e1, **kw).collect()))
+    b = sorted(map(tuple, random_walks_node2vec(e2, **kw).collect()))
+    assert a == b
