@@ -204,7 +204,10 @@ def score_oracle_sql(wedges_cte: str, k: int, iters: int) -> str:
 
 
 def coreness_hindex(
-    edges: DataFrame, num_iter: int | None = None, max_iter: int = 100
+    edges: DataFrame,
+    num_iter: int | None = None,
+    max_iter: int = 100,
+    frontier_frac: float = 0.0,
 ) -> DataFrame:
     """(id, coreness) via the iterated-h-index fixpoint.
 
@@ -216,9 +219,35 @@ def coreness_hindex(
     of :func:`coreness`'s peel loop per k level, each round a single
     window+aggregate on the neighbor key (one shuffle, reused by the
     groupBy).  ``num_iter`` forces a fixed round count (oracle parity;
-    idempotent past the fixpoint), else stops when Σh is unchanged.
+    idempotent past the fixpoint), else stops when no vertex changed.
+
+    DELTA-FRONTIER rounds (``frontier_frac`` > 0): h(v) depends only
+    on the multiset of neighbor h values, so once a round leaves a
+    vertex's neighborhood untouched its next h equals its current one.
+    When the changed set falls under ``frontier_frac`` of the vertex
+    set, rounds restrict the histogram to neighbors of the changed set
+    — bit-identical per-round states either way (hash-verified at
+    sf0.01 and sf0.1), so the unrolled oracle stays exact.
+
+    Default OFF (0.0), by measurement: like the RefCache analog this
+    is a CLUSTER knob, not a local one.  On local[32]/tmpfs at sf0.1
+    the per-round cost is ~85% fixed job overhead, so the frontier's
+    two extra jobs per round lose outright (frac 0.125: 50.6s vs
+    full-rounds 31.7s over the 38-round run).  On a cluster where a
+    round scans O(|E|) across the network, restricting the histogram
+    to the (often tiny — tail rounds here change <1% of vertices)
+    frontier is the difference between 38 full passes and ~12.
+
+    Every state update crosses :func:`tables.plan_barrier`: the round
+    plan references the state twice (neighbor values + carried rows),
+    and Spark 4's localCheckpoint origin chain would otherwise DOUBLE
+    per round (measured geometric 0.5s -> 25s/round by round 16).
+    The barrier is lazy — the changed-count is each round's single
+    materializing action.
     """
     from pyspark.sql import Window
+
+    from gminer_spark.graph.triangles import gated_broadcast
 
     spark = edges.sparkSession
     sym = (
@@ -231,7 +260,7 @@ def coreness_hindex(
         .agg(F.count("*").cast("long").alias("val"))
         .localCheckpoint()
     )
-    prev_total = state.agg(F.sum("val")).first()[0]
+    n_verts = state.count()
     rounds = num_iter if num_iter is not None else max_iter
     # H over a multiset = max over DISTINCT values v of min(v, #{≥v}):
     # aggregate to a per-(id, val) histogram first (map-side combined),
@@ -243,27 +272,58 @@ def coreness_hindex(
         .orderBy(F.desc("val"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    changed = state.select("id")
+    n_changed = n_verts
     for _ in range(rounds):
+        if n_changed == 0:
+            break  # fixpoint; remaining num_iter rounds are no-ops
+        use_frontier = n_changed < frontier_frac * n_verts
+        if use_frontier:
+            frontier = (
+                sym.join(
+                    gated_broadcast(
+                        changed.withColumnRenamed("id", "dst"), n_changed
+                    ),
+                    on="dst",
+                )
+                .select(F.col("src").alias("id"))
+                .distinct()
+                .localCheckpoint()
+            )
+            base = sym.join(
+                gated_broadcast(
+                    frontier.withColumnRenamed("id", "src"), frontier.count()
+                ),
+                on="src",
+            )
+        else:
+            base = sym
         hist = (
-            sym.join(state, sym.dst == state.id)
+            base.join(state, base.dst == state.id)
             .groupBy(F.col("src").alias("id"), "val")
             .agg(F.count("*").alias("cnt"))
         )
-        state = (
+        new_vals = (
             hist.withColumn("cum", F.sum("cnt").over(w))
             .groupBy("id")
             .agg(
                 F.max(F.least(F.col("cum"), F.col("val")))
                 .cast("long")
-                .alias("val")
+                .alias("nv")
             )
-            .localCheckpoint()
         )
-        if num_iter is None:
-            total = state.agg(F.sum("val")).first()[0]
-            if total == prev_total:  # monotone ⇒ fixpoint
-                break
-            prev_total = total
+        how = "left" if use_frontier else "inner"
+        # lazy barrier: the changed-count below is the round's ONE
+        # materializing action (checkpoints the blocks as it scans)
+        merged = tables.plan_barrier(
+            state.withColumnRenamed("val", "old")
+            .join(new_vals, on="id", how=how)
+            .select("id", F.coalesce("nv", "old").alias("val"), "old"),
+            eager=False,
+        )
+        changed = merged.where(F.col("val") != F.col("old")).select("id")
+        n_changed = changed.count()
+        state = merged.select("id", "val")
     sym.unpersist()
     return state.select("id", F.col("val").alias("coreness"))
 

@@ -187,3 +187,41 @@ def sized_partitions(spark: SparkSession, n_rows: int, rows_per_partition: int =
     tuned session keeps its setting for big inputs."""
     want = max(8, -(-n_rows // rows_per_partition))
     return min(shuffle_partitions(spark), want)
+
+
+def plan_barrier(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize ``df`` and return it behind a HARD plan barrier —
+    a ``LogicalRDD`` with NO origin linkage.
+
+    Spark 4's ``Dataset.localCheckpoint`` keeps a reference to the
+    origin plan to rewrite stats and constraints onto the new leaf
+    (``LogicalRDD.rewriteStatsAndConstraints``).  In an iterative loop
+    whose round plan references the running state table TWICE (e.g. a
+    delta-frontier update: once for neighbor values, once to carry
+    unchanged rows), that origin chain forms a tree that DOUBLES per
+    round, and Catalyst analysis (``DeduplicateRelations`` walking the
+    chain) goes geometric — measured 0.5s -> 25s per round by round 16
+    of the coreness loop at sf0.01, with the visible plan constant.
+
+    The barrier routes through ``SparkSession.createDataFrame(JavaRDD
+    [Row], schema)`` entirely JVM-side (no python round-trip) with the
+    underlying RDD locally checkpointed, producing the classic
+    origin-free leaf.  Cost: one Row<->InternalRow re-encode of the
+    table per downstream action — negligible for O(|V|) state tables,
+    which is the only place it should be used.  For single-reference
+    chains (PageRank, CC) plain ``localCheckpoint`` stays preferable
+    (origin chain grows linearly and the encoder hop is avoided).
+
+    ``eager=False`` skips the materializing count: the FIRST downstream
+    action checkpoints the blocks instead, letting a loop fuse the
+    barrier with its convergence-signal action (one Spark job per
+    round instead of two).
+    """
+    spark = df.sparkSession
+    jdf = df._jdf
+    jrdd = jdf.javaRDD()
+    jrdd.rdd().localCheckpoint()
+    out = DataFrame(spark._jsparkSession.createDataFrame(jrdd, jdf.schema()), spark)
+    if eager:
+        out.count()  # materialize the checkpoint blocks now
+    return out
