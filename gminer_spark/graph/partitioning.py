@@ -27,7 +27,7 @@ adopt the MIN neighbor color — identical output at any parallelism.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gminer_spark.functions import h32
@@ -141,8 +141,47 @@ def voronoi_blocks(
     return colored
 
 
+def _block_pair_stats(
+    sym: DataFrame, blocks: DataFrame, top_nbrs: int
+) -> DataFrame:
+    """Inter-block adjacency counts, capped to each block's ``top_nbrs``
+    heaviest neighbor blocks (count desc, block id asc — deterministic).
+
+    The cap bounds what the driver collects to O(blocks × top_nbrs):
+    with many small Voronoi cells (max_vc_size ≪ |V|) the raw
+    block-pair table grows quadratic-ish, and an ungated ``collect``
+    of it is the same driver-OOM shape the broadcast gate guards
+    against elsewhere.  Greedy placement only ever *scores* a block
+    against its strongest neighbors, so the tail pairs it drops are
+    exactly the ones that barely move the objective.
+    """
+    b_src = blocks.withColumnRenamed("id", "src").withColumnRenamed(
+        "block", "b_src"
+    )
+    b_dst = blocks.withColumnRenamed("id", "dst").withColumnRenamed(
+        "block", "b_dst"
+    )
+    pairs = (
+        sym.join(b_src, on="src")
+        .join(b_dst, on="dst")
+        .where(F.col("b_src") != F.col("b_dst"))
+        .groupBy("b_src", "b_dst")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("b_src").orderBy(F.desc("cnt"), F.asc("b_dst"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= int(top_nbrs))
+        .drop("rk")
+    )
+
+
 def assign_blocks(
-    edges: DataFrame, blocks: DataFrame, n_workers: int, eps: float = 0.1
+    edges: DataFrame,
+    blocks: DataFrame,
+    n_workers: int,
+    eps: float = 0.1,
+    top_nbrs: int = 64,
 ) -> DataFrame:
     """(block, wid) — greedy streaming bin-packing (KDD'13 strategy 4).
 
@@ -152,23 +191,14 @@ def assign_blocks(
     blocks in non-increasing size order, each placed on the worker
     maximizing (edges to already-placed neighbor blocks) ×
     (1 - fill/capacity), capacity = (1+eps) · total/n_workers.
+    The collected neighbor stats are capped to ``top_nbrs`` neighbor
+    blocks per block (see :func:`_block_pair_stats`).
     """
     spark = edges.sparkSession
-    b_src = blocks.withColumnRenamed("id", "src").withColumnRenamed(
-        "block", "b_src"
-    )
-    b_dst = blocks.withColumnRenamed("id", "dst").withColumnRenamed(
-        "block", "b_dst"
-    )
     sym = tables.symmetrize(edges)
     pair_counts = {
         (r["b_src"], r["b_dst"]): r["cnt"]
-        for r in sym.join(b_src, on="src")
-        .join(b_dst, on="dst")
-        .where(F.col("b_src") != F.col("b_dst"))
-        .groupBy("b_src", "b_dst")
-        .agg(F.count("*").alias("cnt"))
-        .collect()
+        for r in _block_pair_stats(sym, blocks, top_nbrs).collect()
     }
     sizes = {
         r["block"]: r["sz"]

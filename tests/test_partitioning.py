@@ -90,3 +90,32 @@ def test_voronoi_stop_ratio_knob(spark):
     eager_stop = cc_namespace_count(0.0)
     keep_going = cc_namespace_count(1.0)
     assert eager_stop > keep_going
+
+
+def test_block_pair_stats_collect_is_capped(spark):
+    """Many tiny blocks: the driver-collected neighbor-stat table must
+    stay O(blocks * top_nbrs), not O(blocks^2)."""
+    from tests.conftest import edges_df
+
+    from gminer_spark.graph import tables
+    from gminer_spark.graph.partitioning import _block_pair_stats, assign_blocks
+
+    # 40 singleton blocks over a complete-ish graph -> raw pair table
+    # would be ~40*39 rows
+    pairs = [(a, b) for a in range(40) for b in range(a + 1, 40)]
+    edges = edges_df(spark, pairs)
+    blocks = spark.createDataFrame(
+        [(v, v % 40) for v in range(40)], "id long, block long"
+    )
+    sym = tables.symmetrize(edges)
+    k = 5
+    capped = _block_pair_stats(sym, blocks, top_nbrs=k).collect()
+    assert len(capped) <= 40 * k
+    per_block = {}
+    for r in capped:
+        per_block[r["b_src"]] = per_block.get(r["b_src"], 0) + 1
+    assert max(per_block.values()) <= k
+    # the greedy still produces a full deterministic assignment
+    asg = assign_blocks(edges, blocks, n_workers=4, top_nbrs=k)
+    rows = {r["block"]: r["wid"] for r in asg.collect()}
+    assert len(rows) == 40 and set(rows.values()) <= set(range(4))
