@@ -171,6 +171,14 @@ def main() -> None:
     maximal_independent_set(edges).count()
     variants["mis"] = round(time.time() - t0, 3)
 
+    from gminer_spark.graph.walks import random_walks_node2vec
+
+    t0 = time.time()
+    random_walks_node2vec(
+        edges, walk_len=3, walks_per_vertex=1, ret_bias=4, in_bias=2
+    ).count()
+    variants["node2vec3"] = round(time.time() - t0, 3)
+
     # "value" stays the round-1 8-query headline total so rounds are
     # comparable; the task-kernel queries are timed separately
     total = round(sum(queries.values()), 3)

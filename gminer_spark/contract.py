@@ -645,6 +645,23 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["feature_agg_2hop"] = feature_agg_2hop
 
+    def feature_agg_2hop_minmax(s, d):
+        """GraphSAGE-style min/max pooling variants of the 2-hop
+        aggregation — same superstep plan, different combiner."""
+        from gminer_spark.graph.features import feature_propagation
+
+        e = _edges(s, d)
+        feats = gt.vertices(e).select("id", (F.col("id") % 1000).alias("f"))
+        mn = feature_propagation(e, feats, hops=2, agg="min").withColumnRenamed(
+            "f", "f_min"
+        )
+        mx = feature_propagation(e, feats, hops=2, agg="max").withColumnRenamed(
+            "f", "f_max"
+        )
+        return mn.join(mx, on="id")
+
+    q["feature_agg_2hop_minmax"] = feature_agg_2hop_minmax
+
     def clustering_coeff(s, d):
         """Local clustering coefficient 2T(v)/deg(v)(deg(v)-1) —
         triangles-per-vertex composed with the degree table."""
@@ -1622,6 +1639,12 @@ FROM mom
     from gminer_spark.graph.features import feature_propagation_oracle_sql
 
     o["feature_agg_2hop"] = feature_propagation_oracle_sql(
+        EDGES_CTE, "id % 1000", hops=2
+    )
+
+    from gminer_spark.graph.features import feature_minmax_oracle_sql
+
+    o["feature_agg_2hop_minmax"] = feature_minmax_oracle_sql(
         EDGES_CTE, "id % 1000", hops=2
     )
 

@@ -74,3 +74,32 @@ def feature_propagation_oracle_sql(
     GROUP BY s.src)"""
         )
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, f FROM f{hops}"
+
+
+def feature_minmax_oracle_sql(
+    edges_cte: str, feature_expr: str, hops: int
+) -> str:
+    """Joint MIN/MAX-pooling witness: one CTE chain carrying both
+    aggregates per hop, joined on id at the end."""
+    ctes = [
+        f"{edges_cte.strip()}",
+        """sym AS MATERIALIZED (
+    SELECT src, dst FROM edges
+    UNION SELECT dst AS src, src AS dst FROM edges)""",
+        f"""mm0 AS MATERIALIZED (
+    SELECT id, CAST({feature_expr} AS BIGINT) AS f_min,
+           CAST({feature_expr} AS BIGINT) AS f_max
+    FROM (SELECT DISTINCT src AS id FROM sym))""",
+    ]
+    for k in range(1, hops + 1):
+        ctes.append(
+            f"""mm{k} AS MATERIALIZED (
+    SELECT s.src AS id,
+           CAST(MIN(p.f_min) AS BIGINT) AS f_min,
+           CAST(MAX(p.f_max) AS BIGINT) AS f_max
+    FROM sym s JOIN mm{k - 1} p ON s.dst = p.id
+    GROUP BY s.src)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT id, f_min, f_max FROM mm{hops}"
+    )

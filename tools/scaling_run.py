@@ -4,7 +4,8 @@ parallelism first (python workers, JIT, shuffle service), so the
 measurement is steady-state.
 
 Usage: python tools/scaling_run.py <job> <cores> <input_path> [iters]
-jobs: pagerank | extract | tc | tc_kernel | sssp
+jobs: pagerank | extract | tc | tc_kernel | sssp | coreness | betweenness
+      | focusco
 """
 
 from __future__ import annotations
@@ -112,6 +113,98 @@ def main() -> None:
         sec = min(secs)
         throughput = n_items / sec
         extra = {"triangles": n_tri, "reps_sec": [round(s, 1) for s in secs]}
+    elif job == "coreness":
+        # fixed round count (num_iter) so both parallelism levels do
+        # IDENTICAL work — a fair throughput ratio without waiting for
+        # the (round-count-identical anyway) fixpoint
+        from gminer_spark.graph.kcore import coreness_hindex
+
+        edges = spark.read.parquet(path).persist()
+        n_items = edges.count()
+        coreness_hindex(edges, num_iter=2)  # warm-up
+        secs = []
+        chk = 0
+        for _ in range(REPS):
+            t0 = time.time()
+            res = coreness_hindex(edges, num_iter=iters)
+            chk = res.agg({"coreness": "sum"}).first()[0]
+            secs.append(time.time() - t0)
+        sec = min(secs)
+        throughput = n_items * iters / sec
+        extra = {"coreness_sum": int(chk), "reps_sec": [round(s, 1) for s in secs]}
+    elif job == "betweenness":
+        from pyspark.sql import functions as F
+
+        from gminer_spark.graph.betweenness import betweenness_sampled
+        from gminer_spark.graph.tables import vertices
+
+        edges = spark.read.parquet(path).persist()
+        n_items = edges.count()
+        srcs = vertices(edges).where(F.col("id") % 9973 == 0).localCheckpoint()
+        n_src = srcs.count()
+        betweenness_sampled(edges, srcs, max_depth=2).count()  # warm-up
+        secs = []
+        rows = 0
+        for _ in range(REPS):
+            t0 = time.time()
+            rows = betweenness_sampled(edges, srcs, max_depth=3).count()
+            secs.append(time.time() - t0)
+        sec = min(secs)
+        throughput = n_items * n_src / sec  # source-edge products per sec
+        extra = {
+            "n_sources": n_src,
+            "rows": rows,
+            "reps_sec": [round(s, 1) for s in secs],
+        }
+    elif job == "focusco":
+        # weighted task-parallel engine over the PULL path: weights are
+        # md5-derived integers, the graph stays above the full-graph
+        # broadcast gate, so the measured loop is the batched
+        # pull/kernel round trip that runs on a cluster
+        from pyspark.sql import functions as F
+
+        from gminer_spark.functions import h32
+        from gminer_spark.graph.focusco import FocusCOParams, focused_clusters
+
+        edges = spark.read.parquet(path)
+        wedges = edges.select(
+            "src",
+            "dst",
+            (h32(F.concat_ws(":", "src", "dst")) % 9 + 1)
+            .cast("double")
+            .alias("weight"),
+        ).persist()
+        n_items = wedges.count()
+        seeds = [
+            int(r["src"])
+            for r in wedges.select("src")
+            .distinct()
+            .where(F.col("src") % 9973 == 0)
+            .collect()
+        ]
+        p = FocusCOParams(
+            min_weight=8.0,
+            min_core_size=4,
+            min_result_size=3,
+            diff_ratio=0.05,
+            iter_round_max=2,
+            cand_max_time=3.0,
+        )
+        kw = dict(seeds=seeds, max_spark_rounds=30, full_graph_entries=0)
+        focused_clusters(wedges, p, **kw).count()  # warm-up
+        secs = []
+        rows = 0
+        for _ in range(REPS):
+            t0 = time.time()
+            rows = focused_clusters(wedges, p, **kw).count()
+            secs.append(time.time() - t0)
+        sec = min(secs)
+        throughput = n_items / sec
+        extra = {
+            "n_seeds": len(seeds),
+            "clusters": rows,
+            "reps_sec": [round(s, 1) for s in secs],
+        }
     else:
         raise SystemExit(f"unknown job {job}")
 
