@@ -44,17 +44,22 @@ def maximal_independent_set(
         .persist()
     )
     undecided = tables.vertices(sym).localCheckpoint()
-    live = sym
-    mis = None
+    mis_parts: list[DataFrame] = []
+    # Round shape: map-side scan of the persisted edge table against
+    # the (shrinking) undecided priorities, min-combined pre-shuffle.
+    # No materialized undecided-edge view: restricting the scan's dst
+    # side is free — neighbors outside the undecided set simply have
+    # no row in the priority table, so the left join drops them.  The
+    # shuffle volume is O(undecided edges) either way (same per-round
+    # scan posture as PageRank), and each round runs TWO driver
+    # actions (winners + undecided checkpoints) instead of the
+    # previous five — fixed job overhead dominated the local rounds.
     for _ in range(max_iter):
         if undecided.isEmpty():
             break
-        pri = undecided.select(
-            "id", _priority("id", seed).alias("pri")
-        )
-        # min neighbor priority among undecided neighbors
+        pri = undecided.select("id", _priority("id", seed).alias("pri"))
         nbr_min = (
-            live.join(pri.withColumnRenamed("id", "src"), on="src")
+            sym.join(pri.withColumnRenamed("id", "src"), on="src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("pri").alias("nbr_pri"))
         )
@@ -64,23 +69,21 @@ def maximal_independent_set(
             .select("id")
             .localCheckpoint()
         )
-        mis = winners if mis is None else mis.unionByName(winners).localCheckpoint()
+        mis_parts.append(winners)
         # drop winners and their neighbors from the undecided set
+        # (already-decided neighbors anti-join to nothing — harmless)
         removed = winners.unionByName(
-            live.join(winners.withColumnRenamed("id", "src"), on="src").select(
+            sym.join(winners.withColumnRenamed("id", "src"), on="src").select(
                 F.col("dst").alias("id")
             )
         ).distinct()
         undecided = undecided.join(removed, on="id", how="left_anti").localCheckpoint()
-        live = (
-            live.join(undecided.withColumnRenamed("id", "src"), on="src")
-            .join(undecided.withColumnRenamed("id", "dst"), on="dst")
-            .select("src", "dst")
-            .localCheckpoint()
-        )
     sym.unpersist()
-    if mis is None:
+    if not mis_parts:
         return spark.createDataFrame([], "id long")
+    mis = mis_parts[0]
+    for part in mis_parts[1:]:
+        mis = mis.unionByName(part)
     return mis
 
 
