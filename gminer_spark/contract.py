@@ -1248,6 +1248,37 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["text_fingerprint"] = text_fingerprint
 
+    def corpus_split(s, d):
+        """Deterministic content-keyed train/val/test split (96/2/2):
+        re-runs over a grown corpus never move an old document."""
+        from gminer_spark.textops.corpus import dataset_split
+
+        return dataset_split(_doc(s, d, "documents"))
+
+    q["corpus_split"] = corpus_split
+
+    def corpus_chunks(s, d):
+        """Fixed-size token windows with overlap — the document ->
+        context-window explode of a training pipeline."""
+        from gminer_spark.textops.corpus import chunk_documents
+
+        return chunk_documents(
+            _doc(s, d, "documents"), chunk_tokens=64, overlap=8
+        )
+
+    q["corpus_chunks"] = corpus_chunks
+
+    def corpus_contamination(s, d):
+        """Exact 8-gram overlap of every document against a benchmark
+        subset (doc_id % 50 == 0) — the eval-contamination audit."""
+        from gminer_spark.textops.corpus import contamination
+
+        docs = _doc(s, d, "documents")
+        bench = docs.where(F.col("doc_id") % 50 == 0)
+        return contamination(docs, bench, n=8)
+
+    q["corpus_contamination"] = corpus_contamination
+
     # -- 10. dedup ---------------------------------------------------------------
     def dedup_exact(s, d):
         from gminer_spark.textops.dedup import exact_dup_groups
@@ -1922,6 +1953,18 @@ SELECT d.doc_id,
        COALESCE(fp.fingerprint, {h32_sql("d.text")}) AS fingerprint
 FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
 """
+
+    from gminer_spark.textops.corpus import (
+        chunk_documents_oracle_sql,
+        contamination_oracle_sql,
+        dataset_split_oracle_sql,
+    )
+
+    o["corpus_split"] = dataset_split_oracle_sql()
+    o["corpus_chunks"] = chunk_documents_oracle_sql(chunk_tokens=64, overlap=8)
+    o["corpus_contamination"] = contamination_oracle_sql(
+        n=8, bench_pred="doc_id % 50 = 0"
+    )
 
     o["dedup_exact"] = """
 SELECT MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_dups,

@@ -1,0 +1,260 @@
+"""Corpus-construction operators — the steps between cleaned documents
+and a training shard.
+
+Training-data pipeline ops complementing :mod:`gminer_spark.textops`'s
+dedup/analysis families:
+
+* :func:`dataset_split` — deterministic hash bucketing into
+  train/val/test.  Splits must be REPRODUCIBLE and content-keyed (a
+  re-run over a grown corpus keeps every old document in its old
+  split), which is exactly the engine's md5 idiom
+  (gminer_spark.functions.h32, the modular-hash analog of
+  /root/reference/util/minhash.cpp:30-45).
+* :func:`chunk_documents` — fixed-size token windows with overlap,
+  the document → context-window explode every trainer needs.  Pure
+  built-in SQL (split / sequence / slice), no UDF.
+* :func:`contamination` — exact n-gram-overlap scores of every
+  document against a benchmark set (eval-contamination audit):
+  shingle hashes on both sides, one distinct join, per-doc ratios.
+  The join is on the 32-bit shingle hash, so the shuffle is
+  hash-partitioned and the benchmark side is broadcastable when
+  small.
+
+All three are exact integer/string computations — full DuckDB value
+oracles, no float drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gminer_spark.functions import h32
+
+TOKEN_SPLIT = r"\s+"
+
+
+def _tokens(text_col):
+    """Whitespace tokens with empties dropped — identical semantics to
+    the DuckDB oracle's regexp_split + list_filter."""
+    return F.filter(F.split(text_col, TOKEN_SPLIT), lambda t: t != "")
+
+
+def dataset_split(
+    documents: DataFrame,
+    weights: tuple[int, int, int] = (96, 2, 2),
+    id_col: str = "doc_id",
+    seed: str = "split",
+) -> DataFrame:
+    """(doc_id, bucket, split) — deterministic train/val/test split.
+
+    ``bucket = h32(seed:id) % 100``; buckets fall into train/val/test
+    by the cumulative ``weights`` (must sum to 100).  Content-keyed:
+    re-running over a larger corpus never moves an old document.
+    """
+    if sum(weights) != 100:
+        raise ValueError("weights must sum to 100")
+    train_hi = weights[0]
+    val_hi = weights[0] + weights[1]
+    bucket = h32(F.concat_ws(":", F.lit(seed), F.col(id_col))) % 100
+    return documents.select(
+        F.col(id_col),
+        bucket.alias("bucket"),
+        F.when(bucket < train_hi, F.lit("train"))
+        .when(bucket < val_hi, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, chunk) — fixed-size token windows.
+
+    Chunks start every ``chunk_tokens - overlap`` tokens; the last
+    chunk may be short; a document shorter than one stride still
+    yields chunk 0.  One narrow projection + one explode — Catalyst
+    keeps it a single stage, no shuffle.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = _tokens(F.col(text_col))
+    with_toks = documents.select(
+        F.col(id_col), toks.alias("toks"), F.size(toks).alias("n")
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("n") - 1, F.lit(0)), F.lit(stride)
+    )
+    exploded = with_toks.select(
+        id_col,
+        "toks",
+        F.posexplode(starts).alias("chunk_id", "start"),
+    )
+    piece = F.slice(F.col("toks"), F.col("start") + 1, chunk_tokens)
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.size(piece).alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk"),
+    )
+
+
+def _shingle_hashes(
+    documents: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, sh) — distinct h32 hashes of every n-token shingle
+    (documents shorter than n tokens contribute none)."""
+    toks = _tokens(F.col(text_col))
+    with_toks = documents.select(
+        F.col(id_col), toks.alias("toks"), F.size(toks).alias("nt")
+    )
+    starts = F.sequence(F.lit(0), F.col("nt") - n, F.lit(1))
+    return (
+        with_toks.where(F.col("nt") >= n)
+        .select(id_col, "toks", F.explode(starts).alias("s"))
+        .select(
+            id_col,
+            h32(F.array_join(F.slice("toks", F.col("s") + 1, n), " ")).alias(
+                "sh"
+            ),
+        )
+        .distinct()
+    )
+
+
+def contamination(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_shingles, n_hit, contam_micro) — per-document exact
+    n-gram overlap against the ``benchmark`` corpus.
+
+    ``contam_micro`` = round(1e6 · |doc shingles ∩ benchmark
+    shingles| / |doc shingles|).  The benchmark shingle set is
+    deduplicated across ALL benchmark docs and joined once on the
+    shingle hash; at scale it is the small side (eval suites are
+    tiny vs the corpus) and broadcasts under Spark's threshold.
+    Documents with fewer than ``n`` tokens report 0 shingles, 0 hits.
+    """
+    doc_sh = _shingle_hashes(documents, n, id_col, text_col)
+    bench_sh = _shingle_hashes(benchmark, n, id_col, text_col).select(
+        "sh"
+    ).distinct()
+    hits = (
+        doc_sh.join(bench_sh, on="sh", how="left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit"))
+    )
+    totals = doc_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    base = documents.select(id_col).distinct()
+    return (
+        base.join(totals, on=id_col, how="left")
+        .join(hits, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.when(
+                F.coalesce("n_shingles", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("n_hit", F.lit(0))
+                    / F.col("n_shingles").cast("double")
+                    * 1e6,
+                    0,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("long")
+            .alias("contam_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB witnesses
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = (
+    "list_filter(regexp_split_to_array({col}, '\\s+'), t -> t <> '')"
+)
+
+
+def dataset_split_oracle_sql(
+    weights: tuple[int, int, int] = (96, 2, 2), seed: str = "split"
+) -> str:
+    from gminer_spark.functions import h32_sql
+
+    key = "'" + seed + ":' || CAST(doc_id AS VARCHAR)"
+    bucket = f"{h32_sql(key)} % 100"
+    return f"""
+SELECT doc_id, CAST({bucket} AS BIGINT) AS bucket,
+       CASE WHEN {bucket} < {weights[0]} THEN 'train'
+            WHEN {bucket} < {weights[0] + weights[1]} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def chunk_documents_oracle_sql(chunk_tokens: int = 64, overlap: int = 8) -> str:
+    stride = chunk_tokens - overlap
+    toks = _TOKS_SQL.format(col="text")
+    return f"""
+WITH t AS MATERIALIZED (
+    SELECT doc_id, {toks} AS toks, len({toks}) AS n FROM documents),
+starts AS (
+    SELECT doc_id, toks,
+           UNNEST(range(0, GREATEST(n - 1, 0) + 1, {stride})) AS start
+    FROM t),
+numbered AS (
+    SELECT doc_id, toks, start,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start) - 1
+               AS chunk_id
+    FROM starts)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(len(toks[start + 1 : start + {chunk_tokens}]) AS INT) AS n_tokens,
+       array_to_string(toks[start + 1 : start + {chunk_tokens}], ' ') AS chunk
+FROM numbered
+"""
+
+
+def contamination_oracle_sql(
+    n: int = 8, bench_pred: str = "doc_id % 50 = 0"
+) -> str:
+    from gminer_spark.functions import h32_sql
+
+    toks = _TOKS_SQL.format(col="text")
+    sh = h32_sql("array_to_string(toks[s + 1 : s + " + str(n) + "], ' ')")
+    return f"""
+WITH t AS MATERIALIZED (
+    SELECT doc_id, {toks} AS toks, len({toks}) AS nt FROM documents),
+doc_sh AS MATERIALIZED (
+    SELECT DISTINCT doc_id, {sh} AS sh
+    FROM (SELECT doc_id, toks, UNNEST(range(0, nt - {n} + 1)) AS s
+          FROM t WHERE nt >= {n})),
+bench_sh AS MATERIALIZED (
+    SELECT DISTINCT sh FROM doc_sh WHERE {bench_pred}),
+totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM doc_sh GROUP BY doc_id),
+hits AS (
+    SELECT d.doc_id, COUNT(*) AS n_hit
+    FROM doc_sh d JOIN bench_sh b ON d.sh = b.sh
+    GROUP BY d.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(t.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(CASE WHEN COALESCE(t.n_shingles, 0) > 0
+                 THEN ROUND(COALESCE(h.n_hit, 0)
+                            / CAST(t.n_shingles AS DOUBLE) * 1e6)
+                 ELSE 0 END AS BIGINT) AS contam_micro
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN totals t ON t.doc_id = d.doc_id
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""

@@ -1,0 +1,69 @@
+"""Corpus-construction ops (split / chunking / contamination)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dataset_split_deterministic_and_stable(spark):
+    from gminer_spark.textops.corpus import dataset_split
+
+    d1 = _docs(spark, [(i, "x") for i in range(200)])
+    s1 = {r["doc_id"]: (r["bucket"], r["split"]) for r in dataset_split(d1).collect()}
+    # python replication of the bucketing
+    for i, (b, sp) in s1.items():
+        want_b = int(hashlib.md5(f"split:{i}".encode()).hexdigest()[:8], 16) % 100
+        assert b == want_b
+        assert sp == ("train" if b < 96 else "val" if b < 98 else "test")
+    # growing the corpus never moves an old document
+    d2 = _docs(spark, [(i, "x") for i in range(400)])
+    s2 = {r["doc_id"]: (r["bucket"], r["split"]) for r in dataset_split(d2).collect()}
+    assert all(s2[i] == s1[i] for i in s1)
+
+
+def test_chunk_documents_windows(spark):
+    from gminer_spark.textops.corpus import chunk_documents
+
+    text = " ".join(str(i) for i in range(10))
+    docs = _docs(spark, [(1, text), (2, "solo"), (3, "  a   b  ")])
+    rows = {
+        (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk"])
+        for r in chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    }
+    # doc 1: stride 3, starts 0,3,6,9
+    assert rows[(1, 0)] == (4, "0 1 2 3")
+    assert rows[(1, 1)] == (4, "3 4 5 6")
+    assert rows[(1, 2)] == (4, "6 7 8 9")
+    assert rows[(1, 3)] == (1, "9")
+    assert rows[(2, 0)] == (1, "solo")
+    # whitespace runs collapse; empty tokens dropped
+    assert rows[(3, 0)] == (2, "a b")
+    assert len([k for k in rows if k[0] == 1]) == 4
+
+
+def test_contamination_exact_overlap(spark):
+    from gminer_spark.textops.corpus import contamination
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d e f"),     # shares the bench 4-gram "a b c d"
+            (2, "x y z w v u"),     # disjoint
+            (3, "a b"),             # too short for 4-grams
+        ],
+    )
+    bench = _docs(spark, [(10, "q a b c d")])
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_hit"], r["contam_micro"])
+        for r in contamination(docs, bench, n=4).collect()
+    }
+    # doc1 4-grams: "a b c d", "b c d e", "c d e f" -> 1 hit of 3
+    assert got[1] == (3, 1, 333333)
+    assert got[2] == (3, 0, 0)
+    assert got[3] == (0, 0, 0)
