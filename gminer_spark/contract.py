@@ -594,6 +594,20 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["link_features"] = link_features
 
+    def hits_micro(s, d):
+        """HITS hubs & authorities, 10 L1-normalized iterations —
+        the second classic link-analysis fixpoint next to PageRank."""
+        from gminer_spark.graph.hits import hits
+
+        res = hits(_edges(s, d), num_iter=10)
+        return res.select(
+            "id",
+            F.round(F.col("hub") * 1e6, 0).cast("long").alias("hub_micro"),
+            F.round(F.col("auth") * 1e6, 0).cast("long").alias("auth_micro"),
+        )
+
+    q["hits_micro"] = hits_micro
+
     def degree_assortativity(s, d):
         """Degree assortativity (Pearson r of endpoint degrees over the
         directed sym edge list — Newman 2002).  Every moment is an
@@ -1514,6 +1528,10 @@ corners AS (
 )
 SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id
 """
+
+    from gminer_spark.graph.hits import hits_oracle_sql
+
+    o["hits_micro"] = hits_oracle_sql(EDGES_CTE, iters=10)
 
     o["pagerank_micro"] = pagerank_oracle_sql()
     o["pagerank_blocked_micro"] = pagerank_oracle_sql()

@@ -772,3 +772,32 @@ def test_node2vec_deterministic_under_partitioning(spark):
     a = sorted(map(tuple, random_walks_node2vec(e1, **kw).collect()))
     b = sorted(map(tuple, random_walks_node2vec(e2, **kw).collect()))
     assert a == b
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    """HITS vs a literal numpy replication (same L1 normalization)."""
+    import numpy as np
+
+    from gminer_spark.graph.hits import hits
+
+    pairs = random_graph(n=30, p=0.12, seed=44, directed=True)
+    pairs = [(a, b) for a, b in pairs if a != b]
+    ids = sorted({v for e in pairs for v in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    A = np.zeros((len(ids), len(ids)))
+    for a, b in set(pairs):
+        A[idx[a], idx[b]] = 1.0
+    h = np.ones(len(ids))
+    a = np.ones(len(ids))
+    for _ in range(10):
+        a = A.T @ h
+        a = a / a.sum()
+        h = A @ a
+        h = h / h.sum()
+    got = {
+        r["id"]: (r["hub"], r["auth"])
+        for r in hits(edges_df(spark, pairs), num_iter=10).collect()
+    }
+    for v in ids:
+        assert abs(got[v][0] - h[idx[v]]) < 1e-9
+        assert abs(got[v][1] - a[idx[v]]) < 1e-9
