@@ -1364,6 +1364,26 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["dedup_clusters"] = dedup_clusters
 
+    def dedup_admission(s, d):
+        """Streaming admission twin of dedup_clusters: two
+        deterministic batches (doc_id parity) through a
+        DedupMaintainer — batch 1 admits its cluster canonicals,
+        batch 2 additionally rejects anything colliding with the
+        admitted index.  Output: (doc_id, batch) of admitted docs."""
+        from gminer_spark.textops.dedup import DedupMaintainer
+
+        docs = _doc(s, d, "documents")
+        m = DedupMaintainer(num_hashes=16, bands=4, shingle_n=3)
+        a1 = m.update(docs.where(F.col("doc_id") % 2 == 0)).select(
+            "doc_id", F.lit(1).alias("batch")
+        )
+        a2 = m.update(docs.where(F.col("doc_id") % 2 == 1)).select(
+            "doc_id", F.lit(2).alias("batch")
+        )
+        return a1.unionByName(a2)
+
+    q["dedup_admission"] = dedup_admission
+
     def dedup_simhash(s, d):
         from gminer_spark.textops.dedup import simhash_near_pairs
 
@@ -2078,6 +2098,61 @@ SELECT CAST(id AS BIGINT) AS doc_id,
        CAST(MIN(label) AS BIGINT) AS cluster,
        id = MIN(label) AS is_canonical
 FROM reach GROUP BY id
+"""
+
+    # Streaming admission twin: the same sig/bucket CTEs run TWICE —
+    # phase-1 clusters admit canonicals; phase-2 drops band collisions
+    # with phase-1 admits, then clusters the remainder.
+    o["dedup_admission"] = f"""
+WITH RECURSIVE {WORDS_CTE.strip()},
+{SHINGLES_CTE.strip()},
+sig AS MATERIALIZED (
+    SELECT doc_id,
+           {mh_mins}
+    FROM shingles GROUP BY doc_id),
+buckets AS MATERIALIZED (
+    {bands_union}
+),
+b1 AS MATERIALIZED (SELECT * FROM buckets WHERE doc_id % 2 = 0),
+p1 AS MATERIALIZED (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM b1 a JOIN b1 b
+      ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+p1sym AS MATERIALIZED (
+    SELECT doc_a AS s, doc_b AS d FROM p1
+    UNION SELECT doc_b, doc_a FROM p1),
+reach1(id, label) AS (
+    SELECT doc_id, doc_id FROM documents WHERE doc_id % 2 = 0
+    UNION
+    SELECT p.d, r.label FROM reach1 r JOIN p1sym p ON p.s = r.id),
+adm1 AS MATERIALIZED (
+    SELECT id FROM reach1 GROUP BY id HAVING id = MIN(label)),
+idx1 AS MATERIALIZED (
+    SELECT DISTINCT b.band, b.bsig FROM b1 b JOIN adm1 ON b.doc_id = adm1.id),
+b2 AS MATERIALIZED (SELECT * FROM buckets WHERE doc_id % 2 = 1),
+hit2 AS MATERIALIZED (
+    SELECT DISTINCT b.doc_id
+    FROM b2 b JOIN idx1 i ON b.band = i.band AND b.bsig = i.bsig),
+fresh2 AS MATERIALIZED (
+    SELECT DISTINCT doc_id FROM documents
+    WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM hit2)),
+b2f AS MATERIALIZED (
+    SELECT b.* FROM b2 b JOIN fresh2 f ON b.doc_id = f.doc_id),
+p2 AS MATERIALIZED (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM b2f a JOIN b2f b
+      ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+p2sym AS MATERIALIZED (
+    SELECT doc_a AS s, doc_b AS d FROM p2
+    UNION SELECT doc_b, doc_a FROM p2),
+reach2(id, label) AS (
+    SELECT doc_id, doc_id FROM fresh2
+    UNION
+    SELECT p.d, r.label FROM reach2 r JOIN p2sym p ON p.s = r.id),
+adm2 AS (SELECT id FROM reach2 GROUP BY id HAVING id = MIN(label))
+SELECT CAST(id AS BIGINT) AS doc_id, 1 AS batch FROM adm1
+UNION ALL
+SELECT CAST(id AS BIGINT) AS doc_id, 2 AS batch FROM adm2
 """
 
     # SimHash: 16-bit md5 bit votes; all-pairs oracle (the slice-bucket

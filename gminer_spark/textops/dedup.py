@@ -132,18 +132,14 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(
+def band_buckets(
     documents: DataFrame,
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Candidate near-dup pairs (doc_a, doc_b) from banded MinHash.
-
-    rows-per-band = num_hashes/bands; two docs collide if any band's
-    signature slice matches exactly.  The band bucket join is the
-    LSH: shuffle key = (band_id, band_signature).
-    """
+    """(doc_id, band, bsig) — the banded-MinHash LSH bucket rows; two
+    docs are near-dup candidates iff they share a (band, bsig) key."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(documents, num_hashes, shingle_n)
@@ -160,6 +156,22 @@ def minhash_lsh_pairs(
     buckets = band_rows[0]
     for br in band_rows[1:]:
         buckets = buckets.unionByName(br)
+    return buckets
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (doc_a, doc_b) from banded MinHash.
+
+    rows-per-band = num_hashes/bands; two docs collide if any band's
+    signature slice matches exactly.  The band bucket join is the
+    LSH: shuffle key = (band_id, band_signature).
+    """
+    buckets = band_buckets(documents, num_hashes, bands, shingle_n)
     a = buckets.alias("a")
     b2 = buckets.alias("b")
     return (
@@ -238,3 +250,87 @@ def simhash_near_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+class DedupMaintainer:
+    """Streaming corpus admission: feed document batches (e.g. from a
+    ``foreachBatch`` sink), read back the admitted subset — the
+    incremental twin of the batch near-dup pipeline, same shape as
+    :class:`gminer_spark.graph.cc.CCMaintainer`.
+
+    Per batch: (1) documents whose LSH bands collide with the
+    persistent index of ALREADY-ADMITTED documents are rejected;
+    (2) the remaining fresh documents are clustered among themselves
+    (band-collision pairs -> hash-min CC) and each cluster admits its
+    min-doc_id canonical; (3) admitted documents' bands join the
+    index, lineage truncated per batch.
+
+    Invariant (pytest-enforced): the admitted set is pairwise
+    band-disjoint — no two admitted documents ever share an LSH
+    bucket.  Admission is arrival-order dependent across batches (any
+    online dedup is); within a batch it is deterministic
+    (component-canonical, min doc_id).
+    """
+
+    def __init__(
+        self, num_hashes: int = 16, bands: int = 4, shingle_n: int = 3
+    ) -> None:
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_n = shingle_n
+        self.index: DataFrame | None = None  # (band, bsig) of admitted docs
+
+    def update(self, batch_docs: DataFrame) -> DataFrame:
+        """Process one batch; returns the admitted (doc_id) rows."""
+        from gminer_spark.graph.cc import connected_components
+
+        buckets = band_buckets(
+            batch_docs, self.num_hashes, self.bands, self.shingle_n
+        ).localCheckpoint()
+        ids = batch_docs.select(F.col("doc_id").cast("long").alias("doc_id")).distinct()
+        if self.index is not None:
+            hit = (
+                buckets.join(self.index, on=["band", "bsig"], how="left_semi")
+                .select(F.col("doc_id").cast("long").alias("doc_id"))
+                .distinct()
+            )
+            fresh = ids.join(hit, on="doc_id", how="left_anti")
+        else:
+            fresh = ids
+        fresh_buckets = buckets.join(
+            fresh.select(F.col("doc_id")), on="doc_id", how="left_semi"
+        ).localCheckpoint()
+        a = fresh_buckets.alias("a")
+        b = fresh_buckets.alias("b")
+        edges = (
+            a.join(b, on=["band", "bsig"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").cast("long").alias("src"),
+                F.col("b.doc_id").cast("long").alias("dst"),
+            )
+            .distinct()
+        )
+        if edges.isEmpty():
+            admitted = fresh
+        else:
+            labels = connected_components(edges).state
+            admitted = (
+                fresh.join(labels, fresh.doc_id == labels.id, "left")
+                .where(
+                    F.coalesce(F.col("component"), F.col("doc_id"))
+                    == F.col("doc_id")
+                )
+                .select("doc_id")
+            )
+        admitted = admitted.localCheckpoint()
+        admitted_bands = fresh_buckets.join(
+            admitted, on="doc_id", how="left_semi"
+        ).select("band", "bsig")
+        new_index = (
+            admitted_bands
+            if self.index is None
+            else self.index.unionByName(admitted_bands)
+        )
+        self.index = new_index.distinct().localCheckpoint()
+        return admitted

@@ -218,3 +218,82 @@ def test_cc_maintainer_foreachbatch_matches_batch(spark, tmp_path):
         for r in connected_components(edges).state.collect()
     }
     assert got == want
+
+
+def _dedup_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_maintainer_invariant_and_batch1_semantics(spark):
+    """Batch 1 admits exactly the dedup_clusters canonicals; after any
+    number of batches NO two admitted docs share an LSH band bucket."""
+    from gminer_spark.textops.dedup import DedupMaintainer, band_buckets
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows1 = [
+        (1, base),
+        (2, base),                       # near-dup of 1 -> rejected
+        (3, "one two three four five six seven eight"),
+    ]
+    rows2 = [
+        (4, base),                       # collides with admitted 1 -> rejected
+        (5, "nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+    ]
+    m = DedupMaintainer()
+    a1 = {r["doc_id"] for r in m.update(_dedup_docs(spark, rows1)).collect()}
+    assert a1 == {1, 3}
+    a2 = {r["doc_id"] for r in m.update(_dedup_docs(spark, rows2)).collect()}
+    assert a2 == {5}
+    # pairwise band-disjoint invariant over the admitted union
+    admitted_docs = _dedup_docs(
+        spark, [r for r in rows1 + rows2 if r[0] in a1 | a2]
+    )
+    from pyspark.sql import functions as F
+
+    b = band_buckets(admitted_docs)
+    collisions = (
+        b.alias("x")
+        .join(b.alias("y"), on=["band", "bsig"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .count()
+    )
+    assert collisions == 0
+
+
+def test_dedup_maintainer_foreachbatch_stream(spark, tmp_path):
+    """Document batches through a real readStream/foreachBatch loop:
+    the admitted set equals driving the maintainer by hand."""
+    from gminer_spark.textops.dedup import DedupMaintainer
+
+    rows = [
+        (i, f"word{i} common text body shared tokens run {i % 3}")
+        for i in range(12)
+    ]
+    src = str(tmp_path / "doc_batches")
+    for half in (rows[0::2], rows[1::2]):
+        _dedup_docs(spark, half).coalesce(1).write.mode("append").parquet(src)
+
+    admitted: list[set] = []
+    m = DedupMaintainer()
+
+    def fold(batch, _id):
+        if not batch.isEmpty():
+            admitted.append({r["doc_id"] for r in m.update(batch).collect()})
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = stream.writeStream.foreachBatch(fold).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = set().union(*admitted) if admitted else set()
+    m2 = DedupMaintainer()
+    want = set()
+    for half in (rows[0::2], rows[1::2]):
+        want |= {
+            r["doc_id"] for r in m2.update(_dedup_docs(spark, half)).collect()
+        }
+    assert got == want and got
