@@ -1384,6 +1384,16 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["dedup_admission"] = dedup_admission
 
+    def training_corpus(s, d):
+        """The END-TO-END corpus build: quality filter -> exact-dup
+        canonicals -> near-dup cluster canonicals -> split tag ->
+        token chunks, value-checked as ONE composed pipeline."""
+        from gminer_spark.textops.corpus import build_training_corpus
+
+        return build_training_corpus(_doc(s, d, "documents"))
+
+    q["training_corpus"] = training_corpus
+
     def dedup_simhash(s, d):
         from gminer_spark.textops.dedup import simhash_near_pairs
 
@@ -1997,6 +2007,10 @@ FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
         contamination_oracle_sql,
         dataset_split_oracle_sql,
     )
+
+    from gminer_spark.textops.corpus import training_corpus_oracle_sql
+
+    o["training_corpus"] = training_corpus_oracle_sql()
 
     o["corpus_split"] = dataset_split_oracle_sql()
     o["corpus_chunks"] = chunk_documents_oracle_sql(chunk_tokens=64, overlap=8)

@@ -258,3 +258,166 @@ FROM (SELECT DISTINCT doc_id FROM documents) d
 LEFT JOIN totals t ON t.doc_id = d.doc_id
 LEFT JOIN hits h ON h.doc_id = d.doc_id
 """
+
+
+def build_training_corpus(
+    documents: DataFrame,
+    min_quality: float = 0.5,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    weights: tuple[int, int, int] = (96, 2, 2),
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """End-to-end corpus build — the whole textops family composed:
+
+    quality filter (>= ``min_quality``) → exact-dup canonicals (min
+    doc_id per md5(text)) → near-dup cluster canonicals (banded
+    MinHash pairs → hash-min CC → min doc_id) → deterministic split
+    tag → token chunks.  Returns (doc_id, split, chunk_id, n_tokens,
+    chunk) — what a trainer's shard writer consumes.
+
+    Every stage is the already-oracled operator; the composition
+    itself has a single composed DuckDB witness
+    (:func:`training_corpus_oracle_sql`), so the END-TO-END pipeline
+    is value-checked, not just its pieces.
+    """
+    from gminer_spark.graph.cc import connected_components
+    from gminer_spark.textops.analysis import quality_scores
+    from gminer_spark.textops.dedup import minhash_lsh_pairs
+
+    ok = (
+        quality_scores(documents)
+        .where(F.col("quality") >= min_quality)
+        .select("doc_id")
+    )
+    docs_q = documents.join(ok, on="doc_id", how="left_semi")
+    exact_keep = docs_q.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    docs_e = docs_q.join(
+        exact_keep.select("doc_id"), on="doc_id", how="left_semi"
+    ).localCheckpoint()
+    pairs = minhash_lsh_pairs(docs_e, num_hashes, bands, shingle_n)
+    edges = pairs.select(
+        F.col("doc_a").cast("long").alias("src"),
+        F.col("doc_b").cast("long").alias("dst"),
+    )
+    if edges.isEmpty():
+        kept = docs_e
+    else:
+        labels = connected_components(edges).state
+        kept = (
+            docs_e.join(labels, docs_e.doc_id == labels.id, "left")
+            .where(
+                F.coalesce(F.col("component"), F.col("doc_id"))
+                == F.col("doc_id")
+            )
+            .select(*documents.columns)
+        )
+    split = dataset_split(kept, weights=weights)
+    chunks = chunk_documents(kept, chunk_tokens=chunk_tokens, overlap=overlap)
+    return chunks.join(split.select("doc_id", "split"), on="doc_id").select(
+        "doc_id", "split", "chunk_id", "n_tokens", "chunk"
+    )
+
+
+def training_corpus_oracle_sql(
+    min_quality: float = 0.5,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    weights: tuple[int, int, int] = (96, 2, 2),
+    seed: str = "split",
+) -> str:
+    """Composed witness for :func:`build_training_corpus` (16 hashes /
+    4 bands / 3-word shingles — the contract configuration)."""
+    from gminer_spark.functions import h32_sql
+
+    stride = chunk_tokens - overlap
+    mh_mins = ",\n           ".join(
+        "MIN({h}) AS mh_{i}".format(h=h32_sql(f"'{i}:' || shingle"), i=i)
+        for i in range(16)
+    )
+    band_exprs = []
+    for b in range(4):
+        cols = " || '_' || ".join(
+            f"CAST(mh_{b * 4 + r} AS VARCHAR)" for r in range(4)
+        )
+        band_exprs.append(f"SELECT doc_id, {b} AS band, {cols} AS bsig FROM sig")
+    bands_union = "\n    UNION ALL\n    ".join(band_exprs)
+    key = "'" + seed + ":' || CAST(doc_id AS VARCHAR)"
+    bucket = f"{h32_sql(key)} % 100"
+    toks = _TOKS_SQL.format(col="text")
+    return f"""
+WITH RECURSIVE qual AS MATERIALIZED (
+    SELECT doc_id FROM (
+        SELECT doc_id,
+               ROUND((1.0 - ROUND(len(regexp_extract_all(text, '[.,;:!?]'))
+                                  * 1.0 / GREATEST(length(text), 1), 6))
+                     * LEAST(1.0,
+                             (CASE WHEN trim(text) = '' THEN 0
+                                   ELSE len(regexp_split_to_array(trim(text),
+                                                                  '\\s+'))
+                              END) / 50.0), 6) AS quality
+        FROM documents)
+    WHERE quality >= {min_quality}),
+docs_q AS MATERIALIZED (
+    SELECT d.* FROM documents d JOIN qual q ON d.doc_id = q.doc_id),
+exact_keep AS MATERIALIZED (
+    SELECT MIN(doc_id) AS doc_id FROM docs_q GROUP BY md5(text)),
+de AS MATERIALIZED (
+    SELECT d.* FROM docs_q d JOIN exact_keep e ON d.doc_id = e.doc_id),
+words AS (
+    SELECT doc_id, unnest(l) AS word, unnest(range(1, len(l)+1)) AS pos
+    FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS l
+          FROM de)),
+shingles AS (
+    SELECT DISTINCT doc_id,
+           word || ' ' ||
+           lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' ||
+           lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle
+    FROM words
+    QUALIFY lead(word, 2) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL),
+sig AS MATERIALIZED (
+    SELECT doc_id,
+           {mh_mins}
+    FROM shingles GROUP BY doc_id),
+buckets AS MATERIALIZED (
+    {bands_union}
+),
+pairs AS MATERIALIZED (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+psym AS MATERIALIZED (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION SELECT doc_b, doc_a FROM pairs),
+reach(id, label) AS (
+    SELECT doc_id, doc_id FROM de
+    UNION
+    SELECT p.d, r.label FROM reach r JOIN psym p ON p.s = r.id),
+kept AS MATERIALIZED (
+    SELECT d.* FROM de d
+    JOIN (SELECT id FROM reach GROUP BY id HAVING id = MIN(label)) k
+      ON d.doc_id = k.id),
+t AS MATERIALIZED (
+    SELECT doc_id, {toks} AS tk, len({toks}) AS n,
+           CASE WHEN {bucket} < {weights[0]} THEN 'train'
+                WHEN {bucket} < {weights[0] + weights[1]} THEN 'val'
+                ELSE 'test' END AS split
+    FROM kept),
+starts AS (
+    SELECT doc_id, tk, split,
+           UNNEST(range(0, GREATEST(n - 1, 0) + 1, {stride})) AS start
+    FROM t),
+numbered AS (
+    SELECT doc_id, tk, split, start,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start) - 1
+               AS chunk_id
+    FROM starts)
+SELECT doc_id, split, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(len(tk[start + 1 : start + {chunk_tokens}]) AS INT) AS n_tokens,
+       array_to_string(tk[start + 1 : start + {chunk_tokens}], ' ') AS chunk
+FROM numbered
+"""

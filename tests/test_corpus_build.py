@@ -67,3 +67,34 @@ def test_contamination_exact_overlap(spark):
     assert got[1] == (3, 1, 333333)
     assert got[2] == (3, 0, 0)
     assert got[3] == (0, 0, 0)
+
+
+def test_build_training_corpus_end_to_end(spark):
+    """Composed pipeline: quality gate, exact dup, near dup, split,
+    chunks — each stage's effect visible on a crafted corpus."""
+    from gminer_spark.textops.corpus import build_training_corpus
+
+    long_text = " ".join(f"tok{i}" for i in range(60))
+    near_dup = " ".join(f"tok{i}" for i in range(59)) + " tokX"
+    rows = [
+        (1, long_text),
+        (2, long_text),        # exact dup of 1 -> dropped
+        (3, near_dup),         # near dup of 1 -> dropped by LSH+CC
+        (4, "!!!! ,,,, ;;;;"), # punctuation-only -> quality-gated
+        (5, " ".join(f"zz{i}" for i in range(80))),  # independent doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = build_training_corpus(docs, chunk_tokens=32, overlap=4).collect()
+    kept = {r["doc_id"] for r in out}
+    assert kept == {1, 5}
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 60 tokens, stride 28 -> starts 0,28,56 -> 3 chunks
+    assert len(by_doc[1]) == 3
+    assert sorted(r["chunk_id"] for r in by_doc[1]) == [0, 1, 2]
+    assert all(r["split"] in ("train", "val", "test") for r in out)
+    # chunk text reassembles to the token stream
+    c0 = next(r for r in by_doc[1] if r["chunk_id"] == 0)
+    assert c0["chunk"].split(" ")[:3] == ["tok0", "tok1", "tok2"]
+    assert c0["n_tokens"] == 32
