@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gminer_spark.functions import h32 as h32_spark
 from gminer_spark.functions import h32_sql
 from gminer_spark.graph import tables as gt
 
@@ -607,6 +608,25 @@ def build_queries() -> dict[str, QueryFn]:
         )
 
     q["hits_micro"] = hits_micro
+
+    def bowtie_regions(s, d):
+        """Broder bow-tie decomposition (SCC/IN/OUT/OTHER around the
+        min-id pivot) over a deterministic md5-coin directed view of
+        the co-purchase graph (the canonical src<dst table is acyclic,
+        which would make the decomposition degenerate)."""
+        from gminer_spark.graph.reach import bowtie
+
+        e = _edges(s, d)
+        flip = (
+            h32_spark(F.concat_ws(":", F.lit("dir"), "src", "dst")) % 2 == 0
+        )
+        de = e.select(
+            F.when(flip, F.col("src")).otherwise(F.col("dst")).alias("src"),
+            F.when(flip, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+        )
+        return bowtie(de)
+
+    q["bowtie_regions"] = bowtie_regions
 
     def degree_assortativity(s, d):
         """Degree assortativity (Pearson r of endpoint degrees over the
@@ -1562,6 +1582,20 @@ SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id
     from gminer_spark.graph.hits import hits_oracle_sql
 
     o["hits_micro"] = hits_oracle_sql(EDGES_CTE, iters=10)
+
+    from gminer_spark.graph.reach import bowtie_oracle_sql
+
+    _dir_key = (
+        "'dir:' || CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)"
+    )
+    _dir_edges_cte = f"""{EDGES_CTE.strip()},
+de AS MATERIALIZED (
+    SELECT CASE WHEN {h32_sql(_dir_key)} % 2 = 0 THEN src ELSE dst END AS src,
+           CASE WHEN {h32_sql(_dir_key)} % 2 = 0 THEN dst ELSE src END AS dst
+    FROM edges)"""
+    o["bowtie_regions"] = bowtie_oracle_sql(
+        _dir_edges_cte, "(SELECT MIN(id) FROM dverts)"
+    )
 
     o["pagerank_micro"] = pagerank_oracle_sql()
     o["pagerank_blocked_micro"] = pagerank_oracle_sql()

@@ -801,3 +801,16 @@ def test_hits_matches_numpy_power_iteration(spark):
     for v in ids:
         assert abs(got[v][0] - h[idx[v]]) < 1e-9
         assert abs(got[v][1] - a[idx[v]]) < 1e-9
+
+
+def test_bowtie_hand_graph(spark):
+    """Directed 2-cycle core with an in-tail, out-tail and an isolated
+    edge — every bow-tie class exercised."""
+    from gminer_spark.graph.reach import bowtie
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (0, 1), (2, 3), (8, 9)],
+        "src long, dst long",
+    )
+    got = {r["id"]: r["region"] for r in bowtie(edges, pivot=1).collect()}
+    assert got == {1: "SCC", 2: "SCC", 0: "IN", 3: "OUT", 8: "OTHER", 9: "OTHER"}
