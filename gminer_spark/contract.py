@@ -776,6 +776,29 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["random_walks_node2vec"] = random_walks_node2vec
 
+    def node2vec_skipgrams(s, d):
+        """Skip-gram training pairs over the node2vec corpus — the
+        biased-walk counterpart of walk_skipgrams (embedding trainer
+        input)."""
+        from gminer_spark.graph.walks import random_walks_node2vec as n2v
+        from gminer_spark.graph.walks import skipgram_pairs
+
+        walks = n2v(
+            _edges(s, d),
+            walk_len=3,
+            walks_per_vertex=1,
+            ret_bias=4,
+            in_bias=2,
+            out_bias=1,
+        )
+        return (
+            skipgram_pairs(walks, window=2)
+            .groupBy("center", "context")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+
+    q["node2vec_skipgrams"] = node2vec_skipgrams
+
     def walk_skipgrams(s, d):
         """Skip-gram (center, context) pair counts from the walk corpus
         — the DeepWalk training-data stage after sampling."""
@@ -1797,6 +1820,23 @@ wedges AS (
         in_bias=2,
         out_bias=1,
     )
+
+    _n2v_base = o["random_walks_node2vec"]
+    _n2v_ctes, _, _ = _n2v_base.partition("\nSELECT start, walk, CAST(0")
+    _n2v_corpus = "\nUNION ALL\n".join(
+        f"SELECT start, walk, CAST({t} AS BIGINT) AS step, vertex FROM w{t}"
+        for t in range(4)
+    )
+    o["node2vec_skipgrams"] = f"""{_n2v_ctes},
+corpus AS MATERIALIZED (
+{_n2v_corpus}
+)
+SELECT a.vertex AS center, b.vertex AS context,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM corpus a JOIN corpus b
+  ON a.start = b.start AND a.walk = b.walk
+WHERE a.step <> b.step AND ABS(a.step - b.step) <= 2
+GROUP BY 1, 2"""
 
     from gminer_spark.graph.walks import skipgram_pairs_oracle_sql
 
