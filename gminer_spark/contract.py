@@ -1336,6 +1336,15 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["corpus_contamination"] = corpus_contamination
 
+    def corpus_top_ngrams(s, d):
+        """Top-100 token bigrams (every occurrence counted, total-order
+        tie-break) — the corpus statistic BPE training starts from."""
+        from gminer_spark.textops.corpus import top_ngrams
+
+        return top_ngrams(_doc(s, d, "documents"), n=2, k=100)
+
+    q["corpus_top_ngrams"] = corpus_top_ngrams
+
     # -- 10. dedup ---------------------------------------------------------------
     def dedup_exact(s, d):
         from gminer_spark.textops.dedup import exact_dup_groups
@@ -1478,6 +1487,33 @@ def build_queries() -> dict[str, QueryFn]:
         return embedding_near_dups(_doc(s, d, "embeddings"), threshold=0.35)
 
     q["dedup_embedding"] = dedup_embedding
+
+    def embedding_dedup_clusters(s, d):
+        """Embedding-space near-dup CLUSTERING: cosine>=0.35 pairs ->
+        hash-min CC -> min vec_id canonical — the vector-side twin of
+        dedup_clusters (same 100-TB shape: gated/bucketed pair
+        generation, batch-sized merge graph, one relabel join)."""
+        from gminer_spark.graph.cc import connected_components
+        from gminer_spark.sim.ann import embedding_near_dups
+
+        emb = _doc(s, d, "embeddings")
+        vecs = emb.select(F.col("vec_id").cast("long").alias("vec_id"))
+        pairs = embedding_near_dups(emb, threshold=0.35)
+        edges = pairs.select(
+            F.col("vec_a").cast("long").alias("src"),
+            F.col("vec_b").cast("long").alias("dst"),
+        )
+        labels = connected_components(edges).state
+        return (
+            vecs.join(labels, vecs.vec_id == labels.id, "left")
+            .select(
+                "vec_id",
+                F.coalesce("component", F.col("vec_id")).alias("cluster"),
+            )
+            .withColumn("is_canonical", F.col("vec_id") == F.col("cluster"))
+        )
+
+    q["embedding_dedup_clusters"] = embedding_dedup_clusters
 
     # -- 12. multimodal plumbing ------------------------------------------------
     def multimodal_meta(s, d):
@@ -2092,6 +2128,10 @@ FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
         n=8, bench_pred="doc_id % 50 = 0"
     )
 
+    from gminer_spark.textops.corpus import top_ngrams_oracle_sql
+
+    o["corpus_top_ngrams"] = top_ngrams_oracle_sql(n=2, k=100)
+
     o["dedup_exact"] = """
 SELECT MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_dups,
        md5(text) AS text_md5
@@ -2297,6 +2337,29 @@ pairs AS (
                     * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
     FROM e a JOIN e b ON a.vec_id < b.vec_id)
 SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.35
+"""
+
+    o["embedding_dedup_clusters"] = """
+WITH RECURSIVE e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35),
+psym AS (
+    SELECT DISTINCT s, d FROM (
+        SELECT vec_a AS s, vec_b AS d FROM pairs
+        UNION ALL SELECT vec_b, vec_a FROM pairs)),
+reach(id, label) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT p.d, r.label FROM reach r JOIN psym p ON p.s = r.id)
+SELECT CAST(id AS BIGINT) AS vec_id,
+       CAST(MIN(label) AS BIGINT) AS cluster,
+       id = MIN(label) AS is_canonical
+FROM reach GROUP BY id
 """
 
     o["multimodal_meta"] = """

@@ -421,3 +421,58 @@ SELECT doc_id, split, CAST(chunk_id AS INT) AS chunk_id,
        array_to_string(tk[start + 1 : start + {chunk_tokens}], ' ') AS chunk
 FROM numbered
 """
+
+
+def top_ngrams(
+    documents: DataFrame,
+    n: int = 2,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(rk, ngram, cnt) — the corpus's k most frequent token n-grams
+    (every occurrence counted, not per-doc distinct) with a total-order
+    tie-break (count desc, ngram asc) — the corpus statistic a
+    BPE/tokenizer-training pass starts from.  One explode + one
+    map-side-combined groupBy; the top-k is a single ordered limit.
+    """
+    toks = _tokens(F.col(text_col))
+    with_toks = documents.select(
+        F.col(id_col), toks.alias("toks"), F.size(toks).alias("nt")
+    )
+    starts = F.sequence(F.lit(0), F.col("nt") - n, F.lit(1))
+    grams = (
+        with_toks.where(F.col("nt") >= n)
+        .select(F.explode(starts).alias("s"), "toks")
+        .select(F.array_join(F.slice("toks", F.col("s") + 1, n), " ").alias("ngram"))
+    )
+    counts = grams.groupBy("ngram").agg(F.count("*").alias("cnt"))
+    # TakeOrderedAndProject (distributed partial top-k per partition,
+    # merged on the driver) — NOT a global row_number window, which
+    # would single-partition the full n-gram distribution; the rank
+    # window then runs over only k rows
+    topk = counts.orderBy(F.desc("cnt"), F.asc("ngram")).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("ngram"))
+    return topk.withColumn("rk", F.row_number().over(w)).select(
+        "rk", "ngram", "cnt"
+    )
+
+
+def top_ngrams_oracle_sql(n: int = 2, k: int = 100) -> str:
+    toks = _TOKS_SQL.format(col="text")
+    return f"""
+WITH t AS MATERIALIZED (
+    SELECT doc_id, {toks} AS tk, len({toks}) AS nt FROM documents),
+grams AS (
+    SELECT array_to_string(tk[s + 1 : s + {n}], ' ') AS ngram
+    FROM (SELECT tk, UNNEST(range(0, nt - {n} + 1)) AS s
+          FROM t WHERE nt >= {n})),
+counts AS (SELECT ngram, COUNT(*) AS cnt FROM grams GROUP BY ngram)
+SELECT CAST(rk AS INT) AS rk, ngram, CAST(cnt AS BIGINT) AS cnt FROM (
+    SELECT ngram, cnt,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, ngram ASC) AS rk
+    FROM counts) x
+WHERE rk <= {k}
+"""

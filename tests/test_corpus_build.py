@@ -98,3 +98,19 @@ def test_build_training_corpus_end_to_end(spark):
     c0 = next(r for r in by_doc[1] if r["chunk_id"] == 0)
     assert c0["chunk"].split(" ")[:3] == ["tok0", "tok1", "tok2"]
     assert c0["n_tokens"] == 32
+
+
+def test_top_ngrams_counts_and_plan(spark):
+    from pyspark.sql import functions as F
+
+    from gminer_spark.textops.corpus import top_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x")], "doc_id long, text string"
+    )
+    rows = {r["ngram"]: (r["rk"], r["cnt"]) for r in top_ngrams(docs, n=2, k=3).collect()}
+    # bigrams: doc1: "a b","b a","a b","b c"; doc2: "a b","b x"
+    assert rows["a b"] == (1, 3)
+    assert set(rows) == {"a b", "b a", "b c"}  # ties broken ngram-asc
+    plan = top_ngrams(docs, n=2, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # no global single-partition window
