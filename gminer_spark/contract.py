@@ -585,6 +585,17 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["eccentricity"] = eccentricity
 
+    def distance_histogram(s, d):
+        """Sampled BFS distance distribution (effective-diameter
+        input) over the same shared multi-source BFS."""
+        from gminer_spark.graph.betweenness import distance_histogram as dh
+
+        e = _edges(s, d)
+        srcs = gt.vertices(e).where(F.col("id") % BC_SEED_MOD == 0)
+        return dh(e, srcs, max_depth=BC_DEPTH)
+
+    q["distance_histogram"] = distance_histogram
+
     def link_features(s, d):
         """Per-edge link-prediction features: common neighbors,
         Jaccard, resource allocation (integer-exact / micro-rounded;
@@ -1738,6 +1749,12 @@ FROM deg GROUP BY degree
     from gminer_spark.graph.betweenness import eccentricity_oracle_sql
 
     o["eccentricity"] = eccentricity_oracle_sql(
+        EDGES_CTE, f"id % {BC_SEED_MOD} = 0", depth=BC_DEPTH
+    )
+
+    from gminer_spark.graph.betweenness import distance_histogram_oracle_sql
+
+    o["distance_histogram"] = distance_histogram_oracle_sql(
         EDGES_CTE, f"id % {BC_SEED_MOD} = 0", depth=BC_DEPTH
     )
 

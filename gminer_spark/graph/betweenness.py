@@ -176,6 +176,56 @@ def eccentricity_sampled(
     return allp.groupBy("id").agg(F.max("d").alias("ecc"))
 
 
+def distance_histogram(
+    edges: DataFrame, sources: DataFrame, max_depth: int = 20
+) -> DataFrame:
+    """(d, n_pairs) — count of (source, vertex) pairs at BFS distance d
+    over the source sample, d >= 1.  The sampled distance distribution
+    whose quantiles give the EFFECTIVE DIAMETER estimate (smallest d
+    covering >= 90% of reachable sampled pairs) — the standard
+    small-world headline stat on a crawl graph.  Shares the one-
+    shuffle-per-level multi-source BFS with betweenness/harmonic."""
+    spark = edges.sparkSession
+    sym = (
+        tables.symmetrize(edges)
+        .repartition(tables.shuffle_partitions(spark), "src")
+        .persist()
+    )
+    sym.count()
+    levels = _bfs_levels(sym, sources, max_depth)
+    sym.unpersist()
+    parts = [
+        lvl.select(F.lit(d).cast("long").alias("d"))
+        for d, lvl in enumerate(levels)
+        if d > 0
+    ]
+    if not parts:
+        return spark.createDataFrame([], "d long, n_pairs long")
+    allp = parts[0]
+    for df in parts[1:]:
+        allp = allp.unionByName(df)
+    return allp.groupBy("d").agg(F.count("*").alias("n_pairs"))
+
+
+def distance_histogram_oracle_sql(
+    edges_cte: str, source_pred: str, depth: int
+) -> str:
+    """Per-level pair counts over the unrolled BFS level CTEs."""
+    base = betweenness_oracle_sql(edges_cte, source_pred, depth)
+    ctes = base[: base.index(",\nd" + str(depth) + " AS ")]
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({d} AS BIGINT) AS d FROM l{d}"
+        for d in range(1, depth + 1)
+    )
+    return (
+        ctes
+        + f"""
+SELECT d, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM ({union})
+GROUP BY d"""
+    )
+
+
 def eccentricity_oracle_sql(edges_cte: str, source_pred: str, depth: int) -> str:
     """Max reached BFS level per source over the unrolled level CTEs."""
     base = betweenness_oracle_sql(edges_cte, source_pred, depth)
