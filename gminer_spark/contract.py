@@ -716,6 +716,33 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["clustering_coeff"] = clustering_coeff
 
+    def transitivity(s, d):
+        """Global clustering coefficient 3·triangles / wedges
+        (micro-rounded) — the one-number small-world summary."""
+        from gminer_spark.graph.triangles import triangle_count
+
+        import math
+
+        e = _edges(s, d)
+        tri = triangle_count(e)
+        sym = gt.symmetrize(e)
+        deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+        # 2*wedges as an exact integer; the one float op (6*tri*1e6/w2)
+        # and its half-up rounding mirror the oracle bit for bit
+        w2 = int(
+            deg.agg(
+                F.sum(F.col("deg") * (F.col("deg") - 1)).cast("long")
+            ).first()[0]
+        )
+        val = (
+            int(math.floor(6.0 * tri * 1e6 / w2 + 0.5)) if w2 else 0
+        )
+        return s.createDataFrame(
+            [(val,)], "transitivity_micro long"
+        )
+
+    q["transitivity"] = transitivity
+
     def mis(s, d):
         """Maximal independent set — Luby's rounds derandomized with
         md5 priorities, so the MIS is unique and exactly checkable.
@@ -1779,6 +1806,21 @@ FROM edges e
 LEFT JOIN common c ON c.src = e.src AND c.dst = e.dst
 JOIN deg du ON du.id = e.src
 JOIN deg dv ON dv.id = e.dst
+"""
+
+    o["transitivity"] = f"""
+WITH {EDGES_CTE.strip()}, {SYM_CTE.strip()},
+tri AS (
+    SELECT COUNT(*) AS t
+    FROM edges e1
+    JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+    JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+w2 AS (
+    SELECT SUM(deg * (deg - 1)) AS w FROM (
+        SELECT COUNT(*) AS deg FROM sym GROUP BY src))
+SELECT CAST(ROUND(CAST(6 AS DOUBLE) * tri.t * 1e6 / w2.w) AS BIGINT)
+           AS transitivity_micro
+FROM tri, w2
 """
 
     o["clustering_coeff"] = f"""
