@@ -15,6 +15,7 @@ import json
 import os
 import sys
 import tempfile
+import gc
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -62,6 +63,7 @@ def main() -> None:
         ).parquet(pages_path)
     pages = spark.read.parquet(pages_path)
     pages_to_edges(pages).count()  # warm python workers
+    gc.collect()
     t0 = time.time()
     n_links = pages_to_edges(pages).count()
     queries["extract_100k_pages"] = round(time.time() - t0, 3)
@@ -69,32 +71,39 @@ def main() -> None:
     edges = copurchase_edges(spark, SF_DIR).persist()
     n_edges = edges.count()
 
+    gc.collect()
     t0 = time.time()
     pagerank(edges, num_iter=PR_ITERS)
     queries["pagerank10"] = round(time.time() - t0, 3)
 
+    gc.collect()
     t0 = time.time()
     store = CheckpointStore(spark, tempfile.mkdtemp(prefix="bench_ck_"))
     pagerank(edges, num_iter=5, store=store)
     queries["pagerank5_ckpt"] = round(time.time() - t0, 3)
 
+    gc.collect()
     t0 = time.time()
     n_tri = triangle_count(edges)
     queries["triangles"] = round(time.time() - t0, 3)
 
+    gc.collect()
     t0 = time.time()
     connected_components(edges)
     queries["cc"] = round(time.time() - t0, 3)
 
+    gc.collect()
     t0 = time.time()
     label_propagation(edges, num_iter=3)
     queries["lpa3"] = round(time.time() - t0, 3)
 
+    gc.collect()
     t0 = time.time()
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     minhash_lsh_pairs(docs, num_hashes=16, bands=4).count()
     queries["minhash_lsh"] = round(time.time() - t0, 3)
 
+    gc.collect()
     t0 = time.time()
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     cosine_topk(emb, list(range(10)), k=5).count()
@@ -108,6 +117,7 @@ def main() -> None:
     cq = build_queries()
     mining = {}
     for name in ("max_clique", "communities", "pattern_match", "focusco"):
+        gc.collect()
         t0 = time.time()
         cq[name](spark, SF_DIR).count()
         mining[name] = round(time.time() - t0, 3)
@@ -119,6 +129,7 @@ def main() -> None:
     from gminer_spark.graph.tables import copurchase_weighted_edges
 
     variants = {}
+    gc.collect()
     t0 = time.time()
     seeds = edges.select(F.col("src").alias("id")).distinct().where(
         F.col("id") % 97 == 0
@@ -126,6 +137,7 @@ def main() -> None:
     pagerank(edges, num_iter=PR_ITERS, reset=seeds)
     variants["ppr10"] = round(time.time() - t0, 3)
 
+    gc.collect()
     t0 = time.time()
     pagerank(
         copurchase_weighted_edges(spark, SF_DIR),
@@ -134,10 +146,12 @@ def main() -> None:
     )
     variants["pagerank_weighted10"] = round(time.time() - t0, 3)
 
+    gc.collect()
     t0 = time.time()
     coreness_hindex(edges)
     variants["coreness_hindex"] = round(time.time() - t0, 3)
 
+    gc.collect()
     t0 = time.time()
     half_a = edges.where((F.col("src") + F.col("dst")) % 2 == 0)
     half_b = edges.where((F.col("src") + F.col("dst")) % 2 == 1)
@@ -149,15 +163,18 @@ def main() -> None:
     from gminer_spark.graph.tables import vertices as _verts
     from gminer_spark.graph.walks import random_walks
 
+    gc.collect()
     t0 = time.time()
     seeds97 = _verts(edges).where(F.col("id") % 97 == 0)
     shortest_paths(edges, seeds97).state.count()
     variants["sssp_hops"] = round(time.time() - t0, 3)
 
+    gc.collect()
     t0 = time.time()
     random_walks(edges, walk_len=3, walks_per_vertex=1).count()
     variants["random_walks3"] = round(time.time() - t0, 3)
 
+    gc.collect()
     t0 = time.time()
     # ~40 sources at sf0.1 — keeps the per-round bench snappy while
     # still exercising the simultaneous multi-source BFS path
@@ -167,12 +184,14 @@ def main() -> None:
 
     from gminer_spark.graph.mis import maximal_independent_set
 
+    gc.collect()
     t0 = time.time()
     maximal_independent_set(edges).count()
     variants["mis"] = round(time.time() - t0, 3)
 
     from gminer_spark.graph.walks import random_walks_node2vec
 
+    gc.collect()
     t0 = time.time()
     random_walks_node2vec(
         edges, walk_len=3, walks_per_vertex=1, ret_bias=4, in_bias=2
