@@ -273,16 +273,63 @@ class DedupMaintainer:
     """
 
     def __init__(
-        self, num_hashes: int = 16, bands: int = 4, shingle_n: int = 3
+        self,
+        num_hashes: int = 16,
+        bands: int = 4,
+        shingle_n: int = 3,
+        benchmark: DataFrame | None = None,
+        max_contamination: float = 0.05,
+        contamination_n: int = 8,
     ) -> None:
         self.num_hashes = num_hashes
         self.bands = bands
         self.shingle_n = shingle_n
         self.index: DataFrame | None = None  # (band, bsig) of admitted docs
+        # optional eval-contamination gate: documents whose exact
+        # n-gram overlap with the benchmark corpus exceeds
+        # max_contamination are dropped BEFORE dedup (the streaming
+        # twin of jobs/build_corpus.py's batch gate).  The benchmark
+        # shingle set is computed once and checkpointed.
+        self.max_contamination = max_contamination
+        self._bench_sh: DataFrame | None = None
+        if benchmark is not None:
+            from gminer_spark.textops.corpus import _shingle_hashes
+
+            self._bench_sh = (
+                _shingle_hashes(benchmark, contamination_n, "doc_id", "text")
+                .select("sh")
+                .distinct()
+                .localCheckpoint()
+            )
+            self._contamination_n = contamination_n
 
     def update(self, batch_docs: DataFrame) -> DataFrame:
         """Process one batch; returns the admitted (doc_id) rows."""
         from gminer_spark.graph.cc import connected_components
+
+        if self._bench_sh is not None:
+            from gminer_spark.textops.corpus import _shingle_hashes
+
+            doc_sh = _shingle_hashes(
+                batch_docs, self._contamination_n, "doc_id", "text"
+            )
+            totals = doc_sh.groupBy("doc_id").agg(
+                F.count("*").alias("n_sh")
+            )
+            hits = (
+                doc_sh.join(self._bench_sh, on="sh", how="left_semi")
+                .groupBy("doc_id")
+                .agg(F.count("*").alias("n_hit"))
+            )
+            dirty = (
+                totals.join(hits, on="doc_id")
+                .where(
+                    F.col("n_hit")
+                    > F.col("n_sh") * F.lit(float(self.max_contamination))
+                )
+                .select("doc_id")
+            )
+            batch_docs = batch_docs.join(dirty, on="doc_id", how="left_anti")
 
         buckets = band_buckets(
             batch_docs, self.num_hashes, self.bands, self.shingle_n

@@ -297,3 +297,25 @@ def test_dedup_maintainer_foreachbatch_stream(spark, tmp_path):
             r["doc_id"] for r in m2.update(_dedup_docs(spark, half)).collect()
         }
     assert got == want and got
+
+
+def test_dedup_maintainer_contamination_gate(spark):
+    """With a benchmark corpus attached, documents over the n-gram
+    overlap threshold are dropped before dedup; clean docs still flow."""
+    from gminer_spark.textops.dedup import DedupMaintainer
+
+    bench = _dedup_docs(
+        spark, [(100, "secret eval question one two three four five")]
+    )
+    rows = [
+        # 5 shingles (12 tokens, n=8), 1 contaminated -> ratio 0.2 > 0.05
+        (1, "secret eval question one two three four five plus extra tail words"),
+        (2, "totally clean document body with its own eight plus tokens here"),
+    ]
+    m = DedupMaintainer(benchmark=bench, max_contamination=0.05)
+    a = {r["doc_id"] for r in m.update(_dedup_docs(spark, rows)).collect()}
+    assert a == {2}
+    # without the gate both are admitted (they are not near-dups)
+    m2 = DedupMaintainer()
+    a2 = {r["doc_id"] for r in m2.update(_dedup_docs(spark, rows)).collect()}
+    assert a2 == {1, 2}
