@@ -9,12 +9,28 @@ DIRECTED edge table, each iteration computes
 Spark shape — identical scale posture to the PageRank superstep
 (gminer_spark.graph.pagerank): each half-step is ONE equi-join of the
 persisted edge table against the state (hash-partitioned on the join
-key, map-side partial sums as the combiner), the normalizer is a
-driver-side 1-row aggregate, and lineage is truncated per iteration.
+key, map-side partial sums as the combiner), and the L1 normalizer
+enters the plan as a broadcast 1-row aggregate (the same lazy pattern
+as the PageRank dangling term, pagerank.py) — NOT a driver-side
+``.first()``.  The whole iteration is therefore ONE Spark job: the
+materializing action of the end-of-iteration ``plan_barrier``.  The
+barrier (not ``localCheckpoint``) matters because the iteration plan
+references the intermediate auth state twice (hub sums + carry) —
+exactly the multi-reference shape that builds a 2^rounds Spark-4
+origin tree under ``localCheckpoint`` (see tables.plan_barrier); the
+two references share their shuffle via ReusedExchange.
+
 L1 normalization (not the classic L2) keeps the arithmetic a mirrored
 sum/divide in both engines; the fixpoint direction is identical and
 the unrolled DuckDB oracle matches at micro rounding exactly like
 ``pagerank_micro``.
+
+``tol`` enables delta-based convergence auto-stop (L1 distance of the
+hub vector between iterations); it is OFF by default so fixed-iter
+runs stay bit-comparable with the unrolled oracle.  With ``tol`` set
+the per-iteration action count is still one: the barrier is lazy
+(``eager=False``) and the delta aggregate is the action that
+materializes it.
 
 Vertices with no out-edges keep hub 0; no in-edges keep auth 0 (they
 stay in the output — full vertex coverage).
@@ -28,9 +44,12 @@ from pyspark.sql import functions as F
 from gminer_spark.graph import tables
 
 
-def hits(edges: DataFrame, num_iter: int = 10) -> DataFrame:
+def hits(
+    edges: DataFrame, num_iter: int = 10, tol: float | None = None
+) -> DataFrame:
     """(id, hub, auth) after ``num_iter`` iterations over the directed
-    edge table."""
+    edge table (or earlier, if ``tol`` is set and the hub vector's L1
+    delta drops below it)."""
     spark = edges.sparkSession
     n_shuffle = tables.shuffle_partitions(spark)
     e = (
@@ -40,48 +59,66 @@ def hits(edges: DataFrame, num_iter: int = 10) -> DataFrame:
         .persist()
     )
     verts = tables.vertices(e)
-    state = verts.select(
-        "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
-    ).localCheckpoint()
+    state = tables.plan_barrier(
+        verts.select("id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
+    )
     for _ in range(num_iter):
         auth_raw = (
-            e.join(
-                state.select(F.col("id").alias("src"), "hub"), on="src"
-            )
+            e.join(state.select(F.col("id").alias("src"), "hub"), on="src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("hub").alias("a_raw"))
+        )
+        # normalizers ride the plan as broadcast 1-row aggregates — no
+        # driver action; zero-sum guard only fires on edgeless graphs
+        # (the oracle's graphs always have edges, arithmetic unchanged)
+        a_sum = auth_raw.agg(
+            F.coalesce(F.nullif(F.sum("a_raw"), F.lit(0.0)), F.lit(1.0)).alias(
+                "_asum"
+            )
         )
         a_state = (
             state.select("id", "hub")
             .join(auth_raw, on="id", how="left")
-            .select("id", "hub", F.coalesce("a_raw", F.lit(0.0)).alias("a_raw"))
-            .localCheckpoint()
-        )
-        a_sum = a_state.agg(F.sum("a_raw")).first()[0] or 1.0
-        a_state = a_state.select(
-            "id", "hub", (F.col("a_raw") / F.lit(float(a_sum))).alias("auth")
+            .crossJoin(F.broadcast(a_sum))
+            .select(
+                "id",
+                "hub",
+                (F.coalesce("a_raw", F.lit(0.0)) / F.col("_asum")).alias("auth"),
+            )
         )
         hub_raw = (
-            e.join(
-                a_state.select(F.col("id").alias("dst"), "auth"), on="dst"
-            )
+            e.join(a_state.select(F.col("id").alias("dst"), "auth"), on="dst")
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum("auth").alias("h_raw"))
         )
-        h_state = (
+        h_sum = hub_raw.agg(
+            F.coalesce(F.nullif(F.sum("h_raw"), F.lit(0.0)), F.lit(1.0)).alias(
+                "_hsum"
+            )
+        )
+        new_state = (
             a_state.select("id", "auth")
             .join(hub_raw, on="id", how="left")
+            .crossJoin(F.broadcast(h_sum))
             .select(
-                "id", "auth", F.coalesce("h_raw", F.lit(0.0)).alias("h_raw")
+                "id",
+                (F.coalesce("h_raw", F.lit(0.0)) / F.col("_hsum")).alias("hub"),
+                "auth",
             )
-            .localCheckpoint()
         )
-        h_sum = h_state.agg(F.sum("h_raw")).first()[0] or 1.0
-        state = h_state.select(
-            "id",
-            (F.col("h_raw") / F.lit(float(h_sum))).alias("hub"),
-            "auth",
-        ).localCheckpoint()
+        if tol is None:
+            state = tables.plan_barrier(new_state)
+        else:
+            prev = state
+            state = tables.plan_barrier(new_state, eager=False)
+            delta = (
+                state.select("id", F.col("hub").alias("new_hub"))
+                .join(prev.select("id", "hub"), on="id")
+                .agg(F.sum(F.abs(F.col("new_hub") - F.col("hub"))))
+                .first()[0]
+            )
+            if delta is not None and float(delta) < tol:
+                break
     e.unpersist()
     return state.select("id", "hub", "auth")
 
