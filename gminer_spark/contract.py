@@ -639,6 +639,26 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["bowtie_regions"] = bowtie_regions
 
+    def scc(s, d):
+        """Full strongly-connected-component decomposition (multi-pivot
+        forward-backward peeling with trim + hash-min coloring) over
+        the SAME md5-coin directed view as bowtie_regions — scc_id is
+        the min member id, so the output is algorithm-independent and
+        the witness is a plain transitive-closure recursive CTE."""
+        from gminer_spark.graph.scc import strongly_connected_components
+
+        e = _edges(s, d)
+        flip = (
+            h32_spark(F.concat_ws(":", F.lit("dir"), "src", "dst")) % 2 == 0
+        )
+        de = e.select(
+            F.when(flip, F.col("src")).otherwise(F.col("dst")).alias("src"),
+            F.when(flip, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+        )
+        return strongly_connected_components(de)
+
+    q["scc"] = scc
+
     def degree_assortativity(s, d):
         """Degree assortativity (Pearson r of endpoint degrees over the
         directed sym edge list — Newman 2002).  Every moment is an
@@ -1693,6 +1713,10 @@ de AS MATERIALIZED (
     o["bowtie_regions"] = bowtie_oracle_sql(
         _dir_edges_cte, "(SELECT MIN(id) FROM dverts)"
     )
+
+    from gminer_spark.graph.scc import scc_oracle_sql
+
+    o["scc"] = scc_oracle_sql(_dir_edges_cte)
 
     o["pagerank_micro"] = pagerank_oracle_sql()
     o["pagerank_blocked_micro"] = pagerank_oracle_sql()

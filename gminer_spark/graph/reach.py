@@ -16,6 +16,8 @@ unroll caps: directed reachability is a plain recursive CTE.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -23,14 +25,27 @@ from gminer_spark.graph import tables
 
 
 def reachable(
-    edges: DataFrame, sources: DataFrame, max_iter: int = 100
+    edges: DataFrame, sources: DataFrame, max_iter: int | None = None
 ) -> DataFrame:
     """(id) — vertices reachable from ``sources(id)`` along DIRECTED
-    ``edges(src, dst)``, sources included."""
+    ``edges(src, dst)``, sources included.
+
+    Runs until the frontier is empty (vote-to-halt) — level count is
+    bounded by the graph's directed diameter, so no iteration cap is
+    needed for correctness.  ``max_iter`` is an optional guard for
+    callers that want a hard bound; hitting it warns, because a
+    truncated reach set silently misclassifies bow-tie regions
+    (ADVICE r3)."""
     seen = sources.select(F.col("id").cast("long").alias("id")).distinct().localCheckpoint()
     frontier = seen
-    for _ in range(max_iter):
-        if frontier.isEmpty():
+    level = 0
+    while not frontier.isEmpty():
+        if max_iter is not None and level >= max_iter:
+            warnings.warn(
+                f"reachable(): frontier still non-empty after max_iter="
+                f"{max_iter} levels — reach set is TRUNCATED",
+                stacklevel=2,
+            )
             break
         nxt = (
             edges.join(frontier.withColumnRenamed("id", "src"), on="src")
@@ -41,12 +56,23 @@ def reachable(
         )
         seen = seen.unionByName(nxt).localCheckpoint()
         frontier = nxt
+        level += 1
     return seen
 
 
-def bowtie(edges: DataFrame, pivot: int | None = None) -> DataFrame:
-    """(id, region) — bow-tie classes relative to ``pivot`` (default:
-    the minimum vertex id): SCC / IN / OUT / OTHER."""
+def bowtie(
+    edges: DataFrame,
+    pivot: int | None = None,
+    pivot_strategy: str = "min_id",
+) -> DataFrame:
+    """(id, region) — bow-tie classes relative to ``pivot``: SCC / IN /
+    OUT / OTHER.
+
+    ``pivot_strategy`` (used when ``pivot`` is None): ``"min_id"``
+    (default, oracle-friendly) or ``"max_degree"`` — the vertex with
+    the highest total degree in the directed view (min-id tie-break),
+    which on a web graph almost surely sits inside the giant SCC
+    (Broder's intended anchoring)."""
     spark = edges.sparkSession
     e = (
         edges.select("src", "dst")
@@ -56,7 +82,21 @@ def bowtie(edges: DataFrame, pivot: int | None = None) -> DataFrame:
     )
     verts = tables.vertices(e).localCheckpoint()
     if pivot is None:
-        pivot = verts.agg(F.min("id")).first()[0]
+        if pivot_strategy == "max_degree":
+            deg = (
+                e.select(F.col("src").alias("id"))
+                .unionAll(e.select(F.col("dst").alias("id")))
+                .groupBy("id")
+                .agg(F.count("*").alias("deg"))
+            )
+            pivot = (
+                deg.orderBy(F.col("deg").desc(), F.col("id").asc())
+                .first()["id"]
+            )
+        elif pivot_strategy == "min_id":
+            pivot = verts.agg(F.min("id")).first()[0]
+        else:
+            raise ValueError(f"unknown pivot_strategy: {pivot_strategy!r}")
     src_df = spark.createDataFrame([(int(pivot),)], "id long")
     fwd = reachable(e, src_df).withColumn("f", F.lit(True))
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

