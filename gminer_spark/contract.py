@@ -2313,7 +2313,11 @@ FROM reach GROUP BY id
 
     # Streaming admission twin: the same sig/bucket CTEs run TWICE —
     # phase-1 clusters admit canonicals; phase-2 drops band collisions
-    # with phase-1 admits, then clusters the remainder.
+    # with phase-1 admits, then clusters the remainder.  Sub-shingle
+    # docs (no sig row) take the exact md5(text) path: min doc_id per
+    # hash within a batch, cross-batch rejection via the admitted-hash
+    # index — mirroring DedupMaintainer's exact_index (unexercised at
+    # sf0.01: every document has >= shingle_n tokens).
     o["dedup_admission"] = f"""
 WITH RECURSIVE {WORDS_CTE.strip()},
 {SHINGLES_CTE.strip()},
@@ -2324,6 +2328,17 @@ sig AS MATERIALIZED (
 buckets AS MATERIALIZED (
     {bands_union}
 ),
+sh1 AS MATERIALIZED (
+    SELECT doc_id, {h32_sql('text')} AS th FROM documents
+    WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT doc_id FROM sig)),
+adm1s AS MATERIALIZED (
+    SELECT MIN(doc_id) AS id, th FROM sh1 GROUP BY th),
+sh2 AS MATERIALIZED (
+    SELECT doc_id, {h32_sql('text')} AS th FROM documents
+    WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM sig)),
+adm2s AS MATERIALIZED (
+    SELECT MIN(doc_id) AS id FROM sh2
+    WHERE th NOT IN (SELECT th FROM adm1s) GROUP BY th),
 b1 AS MATERIALIZED (SELECT * FROM buckets WHERE doc_id % 2 = 0),
 p1 AS MATERIALIZED (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -2333,7 +2348,8 @@ p1sym AS MATERIALIZED (
     SELECT doc_a AS s, doc_b AS d FROM p1
     UNION SELECT doc_b, doc_a FROM p1),
 reach1(id, label) AS (
-    SELECT doc_id, doc_id FROM documents WHERE doc_id % 2 = 0
+    SELECT doc_id, doc_id FROM documents
+    WHERE doc_id % 2 = 0 AND doc_id IN (SELECT doc_id FROM sig)
     UNION
     SELECT p.d, r.label FROM reach1 r JOIN p1sym p ON p.s = r.id),
 adm1 AS MATERIALIZED (
@@ -2346,7 +2362,8 @@ hit2 AS MATERIALIZED (
     FROM b2 b JOIN idx1 i ON b.band = i.band AND b.bsig = i.bsig),
 fresh2 AS MATERIALIZED (
     SELECT DISTINCT doc_id FROM documents
-    WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM hit2)),
+    WHERE doc_id % 2 = 1 AND doc_id IN (SELECT doc_id FROM sig)
+      AND doc_id NOT IN (SELECT doc_id FROM hit2)),
 b2f AS MATERIALIZED (
     SELECT b.* FROM b2 b JOIN fresh2 f ON b.doc_id = f.doc_id),
 p2 AS MATERIALIZED (
@@ -2363,7 +2380,11 @@ reach2(id, label) AS (
 adm2 AS (SELECT id FROM reach2 GROUP BY id HAVING id = MIN(label))
 SELECT CAST(id AS BIGINT) AS doc_id, 1 AS batch FROM adm1
 UNION ALL
+SELECT CAST(id AS BIGINT) AS doc_id, 1 AS batch FROM adm1s
+UNION ALL
 SELECT CAST(id AS BIGINT) AS doc_id, 2 AS batch FROM adm2
+UNION ALL
+SELECT CAST(id AS BIGINT) AS doc_id, 2 AS batch FROM adm2s
 """
 
     # SimHash: 16-bit md5 bit votes; all-pairs oracle (the slice-bucket

@@ -270,6 +270,12 @@ class DedupMaintainer:
     bucket.  Admission is arrival-order dependent across batches (any
     online dedup is); within a batch it is deterministic
     (component-canonical, min doc_id).
+
+    Sub-shingle documents (fewer than ``shingle_n`` tokens) produce no
+    MinHash signature and hence no band buckets, so the LSH gate can
+    never reject them (ADVICE r3).  They take an EXACT path instead:
+    md5(text) dedup against both the current batch (min doc_id per
+    hash) and a persistent index of already-admitted short-doc hashes.
     """
 
     def __init__(
@@ -285,6 +291,7 @@ class DedupMaintainer:
         self.bands = bands
         self.shingle_n = shingle_n
         self.index: DataFrame | None = None  # (band, bsig) of admitted docs
+        self.exact_index: DataFrame | None = None  # (th,) of admitted short docs
         # optional eval-contamination gate: documents whose exact
         # n-gram overlap with the benchmark corpus exceeds
         # max_contamination are dropped BEFORE dedup (the streaming
@@ -331,10 +338,28 @@ class DedupMaintainer:
             )
             batch_docs = batch_docs.join(dirty, on="doc_id", how="left_anti")
 
+        from gminer_spark.functions import h32
+
         buckets = band_buckets(
             batch_docs, self.num_hashes, self.bands, self.shingle_n
         ).localCheckpoint()
-        ids = batch_docs.select(F.col("doc_id").cast("long").alias("doc_id")).distinct()
+        shingled = buckets.select(
+            F.col("doc_id").cast("long").alias("doc_id")
+        ).distinct()
+        # --- exact path: sub-shingle docs have no buckets ------------
+        short = (
+            batch_docs.select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                h32(F.col("text")).alias("th"),
+            )
+            .distinct()
+            .join(shingled, on="doc_id", how="left_anti")
+        )
+        if self.exact_index is not None:
+            short = short.join(self.exact_index, on="th", how="left_anti")
+        short_adm = short.groupBy("th").agg(F.min("doc_id").alias("doc_id"))
+        # --- band path: shingled docs only ---------------------------
+        ids = shingled
         if self.index is not None:
             hit = (
                 buckets.join(self.index, on=["band", "bsig"], how="left_semi")
@@ -370,7 +395,9 @@ class DedupMaintainer:
                 )
                 .select("doc_id")
             )
-        admitted = admitted.localCheckpoint()
+        admitted = admitted.unionByName(
+            short_adm.select("doc_id")
+        ).localCheckpoint()
         admitted_bands = fresh_buckets.join(
             admitted, on="doc_id", how="left_semi"
         ).select("band", "bsig")
@@ -380,4 +407,10 @@ class DedupMaintainer:
             else self.index.unionByName(admitted_bands)
         )
         self.index = new_index.distinct().localCheckpoint()
+        new_th = short_adm.select("th")
+        self.exact_index = (
+            new_th
+            if self.exact_index is None
+            else self.exact_index.unionByName(new_th)
+        ).distinct().localCheckpoint()
         return admitted

@@ -299,6 +299,32 @@ def test_dedup_maintainer_foreachbatch_stream(spark, tmp_path):
     assert got == want and got
 
 
+def test_dedup_maintainer_short_doc_exact_path(spark):
+    """Sub-shingle documents (< shingle_n tokens, so no LSH buckets)
+    dedup by exact md5(text): min doc_id wins within a batch, and the
+    admitted-hash index rejects repeats in later batches (ADVICE r3).
+    Distinct short texts and normal long docs are unaffected."""
+    from gminer_spark.textops.dedup import DedupMaintainer
+
+    long_doc = "alpha beta gamma delta epsilon zeta eta theta"
+    rows1 = [
+        (3, "hi there"),       # short, dup of 7 -> min id 3 admitted
+        (7, "hi there"),
+        (4, "bye"),            # short, unique -> admitted
+        (9, long_doc),         # long path untouched
+    ]
+    rows2 = [
+        (11, "hi there"),      # exact index hit -> rejected
+        (12, "new words"),     # short, fresh -> admitted
+        (13, "bye"),           # exact index hit -> rejected
+    ]
+    m = DedupMaintainer(shingle_n=3)
+    a1 = {r["doc_id"] for r in m.update(_dedup_docs(spark, rows1)).collect()}
+    assert a1 == {3, 4, 9}
+    a2 = {r["doc_id"] for r in m.update(_dedup_docs(spark, rows2)).collect()}
+    assert a2 == {12}
+
+
 def test_dedup_maintainer_contamination_gate(spark):
     """With a benchmark corpus attached, documents over the n-gram
     overlap threshold are dropped before dedup; clean docs still flow."""
