@@ -34,9 +34,24 @@ def _priority(col: str, seed: str):
 
 
 def maximal_independent_set(
-    edges: DataFrame, seed: str = "mis", max_iter: int = 100
+    edges: DataFrame,
+    seed: str = "mis",
+    max_iter: int = 100,
+    frontier_frac: float = 0.25,
 ) -> DataFrame:
-    """(id) — the unique MIS selected by md5-derived priorities."""
+    """(id) — the unique MIS selected by md5-derived priorities.
+
+    ``frontier_frac``: once ``|undecided| < frontier_frac · |V|``, the
+    scanned edge table is re-materialized restricted to
+    undecided×undecided endpoints (and again on every further 4×
+    shrink).  The restriction is a correctness no-op — the priority
+    joins already enforce both endpoints undecided (src via the pri
+    join, dst via the left join; decided winner-neighbors anti-join
+    to nothing) — but it caps the tail rounds, which otherwise
+    map-scan the FULL persisted edge table for near-empty work on a
+    100× graph.  Set ``frontier_frac=0`` to disable (always full
+    scan — fewer actions, fine for small graphs).
+    """
     spark = edges.sparkSession
     sym = (
         tables.symmetrize(edges)
@@ -44,22 +59,37 @@ def maximal_independent_set(
         .persist()
     )
     undecided = tables.vertices(sym).localCheckpoint()
+    n_total = undecided.count()
+    cur_edges = sym  # shrinks to the undecided-restricted view at the tail
+    last_restrict_n = None  # |undecided| at the last restriction
     mis_parts: list[DataFrame] = []
-    # Round shape: map-side scan of the persisted edge table against
-    # the (shrinking) undecided priorities, min-combined pre-shuffle.
-    # No materialized undecided-edge view: restricting the scan's dst
-    # side is free — neighbors outside the undecided set simply have
-    # no row in the priority table, so the left join drops them.  The
-    # shuffle volume is O(undecided edges) either way (same per-round
-    # scan posture as PageRank), and each round runs TWO driver
-    # actions (winners + undecided checkpoints) instead of the
-    # previous five — fixed job overhead dominated the local rounds.
+    # Round shape: map-side scan of the (possibly restricted) edge
+    # table against the shrinking undecided priorities, min-combined
+    # pre-shuffle.  The shuffle volume is O(undecided edges) either
+    # way (same per-round scan posture as PageRank); each round runs
+    # two driver actions (winners + undecided checkpoints) plus a
+    # count on the tiny checkpointed undecided table, and one extra
+    # checkpoint per edge-restriction event (O(log n) of them).
     for _ in range(max_iter):
-        if undecided.isEmpty():
+        n_und = undecided.count()
+        if n_und == 0:
             break
+        want_restrict = frontier_frac > 0 and (
+            (last_restrict_n is None and n_und < frontier_frac * n_total)
+            or (last_restrict_n is not None and n_und * 4 < last_restrict_n)
+        )
+        if want_restrict:
+            u_src = undecided.withColumnRenamed("id", "src")
+            u_dst = undecided.withColumnRenamed("id", "dst")
+            cur_edges = (
+                cur_edges.join(u_src, on="src", how="left_semi")
+                .join(u_dst, on="dst", how="left_semi")
+                .localCheckpoint()
+            )
+            last_restrict_n = n_und
         pri = undecided.select("id", _priority("id", seed).alias("pri"))
         nbr_min = (
-            sym.join(pri.withColumnRenamed("id", "src"), on="src")
+            cur_edges.join(pri.withColumnRenamed("id", "src"), on="src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("pri").alias("nbr_pri"))
         )
@@ -73,7 +103,7 @@ def maximal_independent_set(
         # drop winners and their neighbors from the undecided set
         # (already-decided neighbors anti-join to nothing — harmless)
         removed = winners.unionByName(
-            sym.join(winners.withColumnRenamed("id", "src"), on="src").select(
+            cur_edges.join(winners.withColumnRenamed("id", "src"), on="src").select(
                 F.col("dst").alias("id")
             )
         ).distinct()

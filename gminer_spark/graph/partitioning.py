@@ -144,16 +144,20 @@ def voronoi_blocks(
 def _block_pair_stats(
     sym: DataFrame, blocks: DataFrame, top_nbrs: int
 ) -> DataFrame:
-    """Inter-block adjacency counts, capped to each block's ``top_nbrs``
-    heaviest neighbor blocks (count desc, block id asc — deterministic).
+    """Inter-block adjacency counts, capped to pairs that rank in
+    EITHER endpoint's ``top_nbrs`` heaviest neighbors (count desc,
+    block id asc — deterministic).
 
-    The cap bounds what the driver collects to O(blocks × top_nbrs):
-    with many small Voronoi cells (max_vc_size ≪ |V|) the raw
-    block-pair table grows quadratic-ish, and an ungated ``collect``
-    of it is the same driver-OOM shape the broadcast gate guards
-    against elsewhere.  Greedy placement only ever *scores* a block
-    against its strongest neighbors, so the tail pairs it drops are
-    exactly the ones that barely move the objective.
+    The cap bounds what the driver collects to O(blocks × top_nbrs)
+    (≤2× with the union of directions): with many small Voronoi cells
+    (max_vc_size ≪ |V|) the raw block-pair table grows quadratic-ish,
+    and an ungated ``collect`` of it is the same driver-OOM shape the
+    broadcast gate guards against elsewhere.  The union matters
+    because the greedy scorer reads only the *placing* block's
+    outgoing map: a one-sided cap could drop (B,A) while keeping
+    (A,B), so a block placed later would not see its heaviest
+    already-placed neighbor (ADVICE r3).  ``sym`` is symmetric, so
+    the union is just "top rows ∪ their mirrors".
     """
     b_src = blocks.withColumnRenamed("id", "src").withColumnRenamed(
         "block", "b_src"
@@ -169,11 +173,19 @@ def _block_pair_stats(
         .agg(F.count("*").alias("cnt"))
     )
     w = Window.partitionBy("b_src").orderBy(F.desc("cnt"), F.asc("b_dst"))
-    return (
+    top = (
         pairs.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= int(top_nbrs))
         .drop("rk")
     )
+    # pairs is symmetric (cnt(A,B) == cnt(B,A)), so "in either
+    # endpoint's top-k" = top ∪ mirror(top), deduped.
+    mirror = top.select(
+        F.col("b_dst").alias("b_src"),
+        F.col("b_src").alias("b_dst"),
+        "cnt",
+    )
+    return top.unionByName(mirror).distinct()
 
 
 def assign_blocks(

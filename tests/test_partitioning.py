@@ -110,11 +110,17 @@ def test_block_pair_stats_collect_is_capped(spark):
     sym = tables.symmetrize(edges)
     k = 5
     capped = _block_pair_stats(sym, blocks, top_nbrs=k).collect()
-    assert len(capped) <= 40 * k
-    per_block = {}
+    # union of both directions: the GLOBAL collect stays O(blocks * k)
+    # (a popular block may appear in many others' top-k, so per-block
+    # fan-in is unbounded — the driver-OOM guard is the global total)
+    assert len(capped) <= 2 * 40 * k
+    kept = set()
     for r in capped:
-        per_block[r["b_src"]] = per_block.get(r["b_src"], 0) + 1
-    assert max(per_block.values()) <= k
+        kept.add((r["b_src"], r["b_dst"]))
+    # ADVICE r3: a kept pair must be visible from BOTH endpoints, so a
+    # block placed later always sees its heaviest already-placed
+    # neighbor in its own outgoing map
+    assert all((b, a) in kept for (a, b) in kept)
     # the greedy still produces a full deterministic assignment
     asg = assign_blocks(edges, blocks, n_workers=4, top_nbrs=k)
     rows = {r["block"]: r["wid"] for r in asg.collect()}
