@@ -287,4 +287,11 @@ def test_focusco_full_graph_path_equals_pull_loop(spark, gseed):
     pull = _engine_rows(
         focused_clusters(_wdf(spark, wedges), p, full_graph_entries=0)
     )
-    assert fast == pull and fast
+    # delta pulls (held-adjacency carry) must also be bit-identical —
+    # extra held keys only widen the exact elision loop's coverage
+    full_pull = _engine_rows(
+        focused_clusters(
+            _wdf(spark, wedges), p, full_graph_entries=0, delta_pull=False
+        )
+    )
+    assert fast == pull == full_pull and fast

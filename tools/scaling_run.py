@@ -5,7 +5,7 @@ measurement is steady-state.
 
 Usage: python tools/scaling_run.py <job> <cores> <input_path> [iters]
 jobs: pagerank | extract | tc | tc_kernel | sssp | coreness | betweenness
-      | focusco
+      | focusco | hits | node2vec
 """
 
 from __future__ import annotations
@@ -190,7 +190,12 @@ def main() -> None:
             iter_round_max=2,
             cand_max_time=3.0,
         )
-        kw = dict(seeds=seeds, max_spark_rounds=30, full_graph_entries=0)
+        kw = dict(
+            seeds=seeds,
+            max_spark_rounds=30,
+            full_graph_entries=0,
+            delta_pull=os.environ.get("FOCUSCO_DELTA", "1") == "1",
+        )
         focused_clusters(wedges, p, **kw).count()  # warm-up
         secs = []
         rows = 0
@@ -205,6 +210,45 @@ def main() -> None:
             "clusters": rows,
             "reps_sec": [round(s, 1) for s in secs],
         }
+    elif job == "hits":
+        from gminer_spark.graph.hits import hits
+
+        edges = spark.read.parquet(path)
+        n_items = edges.count()
+        hits(edges, num_iter=1)  # warm-up
+        secs = []
+        for _ in range(REPS):
+            t0 = time.time()
+            hits(edges, num_iter=iters)
+            secs.append(time.time() - t0)
+        sec = min(secs)
+        throughput = n_items * iters / sec
+        extra = {"reps_sec": [round(s, 1) for s in secs]}
+    elif job == "node2vec":
+        # the training-corpus hot path: one adjacency join + one
+        # edge-existence join per step; iters = walk_len
+        from pyspark.sql import functions as F
+
+        from gminer_spark.graph.walks import random_walks_node2vec
+
+        edges = spark.read.parquet(path)
+        n_items = edges.count()
+        starts = (
+            edges.select(F.col("src").alias("id"))
+            .distinct()
+            .where(F.col("id") % 7 == 0)
+        ).localCheckpoint()
+        kw = dict(ret_bias=4, in_bias=2, out_bias=1, starts=starts)
+        random_walks_node2vec(edges, walk_len=2, **kw).count()  # warm-up
+        secs = []
+        rows = 0
+        for _ in range(REPS):
+            t0 = time.time()
+            rows = random_walks_node2vec(edges, walk_len=iters, **kw).count()
+            secs.append(time.time() - t0)
+        sec = min(secs)
+        throughput = n_items * iters / sec
+        extra = {"walks": rows, "reps_sec": [round(s, 1) for s in secs]}
     else:
         raise SystemExit(f"unknown job {job}")
 
