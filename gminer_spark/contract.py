@@ -1403,6 +1403,31 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["corpus_top_ngrams"] = corpus_top_ngrams
 
+    def corpus_pack(s, d):
+        """Concatenate-and-slice sequence packing: shard -> hash-pinned
+        token stream -> fixed 128-token packs, boundary docs split
+        across consecutive packs — the GPT-style training layout."""
+        from gminer_spark.textops.corpus import pack_token_stream
+
+        return pack_token_stream(
+            _doc(s, d, "documents"), ctx_len=128, n_shards=8
+        )
+
+    q["corpus_pack"] = corpus_pack
+
+    def corpus_stratified_sample(s, d):
+        """Deterministic per-stratum downsampling (language-mix
+        rebalance): keep iff h32(seed:doc_id) % 1000 < rate[lang]."""
+        from gminer_spark.textops.corpus import stratified_sample
+
+        return stratified_sample(
+            _doc(s, d, "documents"),
+            rates={"en": 250, "zh": 1000},
+            default_permille=500,
+        )
+
+    q["corpus_stratified_sample"] = corpus_stratified_sample
+
     # -- 10. dedup ---------------------------------------------------------------
     def dedup_exact(s, d):
         from gminer_spark.textops.dedup import exact_dup_groups
@@ -2214,6 +2239,16 @@ FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
     from gminer_spark.textops.corpus import top_ngrams_oracle_sql
 
     o["corpus_top_ngrams"] = top_ngrams_oracle_sql(n=2, k=100)
+
+    from gminer_spark.textops.corpus import (
+        pack_token_stream_oracle_sql,
+        stratified_sample_oracle_sql,
+    )
+
+    o["corpus_pack"] = pack_token_stream_oracle_sql(ctx_len=128, n_shards=8)
+    o["corpus_stratified_sample"] = stratified_sample_oracle_sql(
+        rates={"en": 250, "zh": 1000}, default_permille=500
+    )
 
     o["dedup_exact"] = """
 SELECT MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_dups,

@@ -476,3 +476,207 @@ SELECT CAST(rk AS INT) AS rk, ngram, CAST(cnt AS BIGINT) AS cnt FROM (
     FROM counts) x
 WHERE rk <= {k}
 """
+
+
+def pack_token_stream(
+    documents: DataFrame,
+    ctx_len: int = 2048,
+    n_shards: int = 32,
+    seed: str = "pack",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(shard, pack_id, doc_id, seg_id, doc_start, pack_start,
+    n_tokens, piece) — concatenate-and-slice sequence packing, the
+    GPT-style training layout: shard documents deterministically,
+    concatenate each shard's token stream in a hash-pinned order, and
+    slice the stream into ``ctx_len``-token packs.  A document
+    straddling a pack boundary is split across consecutive packs
+    (``seg_id`` numbers its segments; ``doc_start``/``pack_start``
+    are the segment's token offsets in the document / in the pack).
+
+    Unlike :func:`chunk_documents` (per-document windows, short tails
+    padded at train time), packing wastes zero tokens: every pack
+    except each shard's last is exactly full.
+
+    Scale shape: ONE hash-partitioned window per shard (running token
+    count) + an explode — no joins, no driver state.  A shard is an
+    independent token stream, so ``n_shards`` is the parallelism AND
+    skew knob: at 100 TB raise it so each shard's window partition
+    stays executor-sized; results are deterministic for a given
+    (seed, n_shards).  Empty documents (0 tokens) are dropped — they
+    contribute nothing to the stream.
+
+    Reference analog: GMiner materializes per-partition adjacency
+    blocks sized to worker memory (/root/reference/partition/
+    BDGPartitioner.tpp:139-235 bin-packing); packing is the text-
+    pipeline counterpart — fixed-budget bins over a deterministic
+    stream.
+    """
+    from pyspark.sql import Window
+
+    toks = _tokens(F.col(text_col))
+    t = documents.select(
+        F.col(id_col),
+        toks.alias("toks"),
+        F.size(toks).cast("long").alias("n"),
+        F.pmod(
+            h32(F.concat_ws(":", F.lit(seed), F.lit("shard"), F.col(id_col))),
+            F.lit(n_shards),
+        )
+        .cast("int")
+        .alias("shard"),
+        h32(
+            F.concat_ws(":", F.lit(seed), F.lit("ord"), F.col(id_col))
+        ).alias("ho"),
+    ).where(F.col("n") > 0)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("ho", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = t.select(
+        "shard",
+        id_col,
+        "toks",
+        "n",
+        (F.sum("n").over(w) - F.col("n")).alias("start"),
+    )
+    p0 = F.expr(f"start DIV {int(ctx_len)}")
+    p1 = F.expr(f"(start + n - 1) DIV {int(ctx_len)}")
+    segs = spans.select(
+        "shard",
+        id_col,
+        "toks",
+        "n",
+        "start",
+        F.explode(F.sequence(p0, p1)).alias("pack_id"),
+    )
+    seg_start = F.greatest(F.col("start"), F.col("pack_id") * ctx_len)
+    seg_end = F.least(
+        F.col("start") + F.col("n"), (F.col("pack_id") + 1) * ctx_len
+    )
+    doc_start = (seg_start - F.col("start")).alias("doc_start")
+    return segs.select(
+        "shard",
+        F.col("pack_id").cast("long").alias("pack_id"),
+        id_col,
+        (F.col("pack_id") - p0).cast("int").alias("seg_id"),
+        doc_start,
+        (seg_start - F.col("pack_id") * ctx_len).alias("pack_start"),
+        (seg_end - seg_start).alias("n_tokens"),
+        F.array_join(
+            F.slice("toks", (seg_start - F.col("start") + 1).cast("int"),
+                    (seg_end - seg_start).cast("int")),
+            " ",
+        ).alias("piece"),
+    )
+
+
+def pack_token_stream_oracle_sql(
+    ctx_len: int = 2048, n_shards: int = 32, seed: str = "pack"
+) -> str:
+    from gminer_spark.functions import h32_sql
+
+    toks = _TOKS_SQL.format(col="text")
+    shard_key = f"'{seed}:shard:' || CAST(doc_id AS VARCHAR)"
+    ord_key = f"'{seed}:ord:' || CAST(doc_id AS VARCHAR)"
+    return f"""
+WITH t AS MATERIALIZED (
+    SELECT doc_id, {toks} AS tk, len({toks}) AS n,
+           {h32_sql(shard_key)} % {n_shards} AS shard,
+           {h32_sql(ord_key)} AS ho
+    FROM documents),
+spans AS MATERIALIZED (
+    -- CAST: DuckDB window SUM(BIGINT) -> HUGEINT, Spark stays long
+    SELECT shard, doc_id, tk, n,
+           CAST(SUM(n) OVER (PARTITION BY shard ORDER BY ho, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)
+                - n AS BIGINT) AS start
+    FROM t WHERE n > 0),
+segs AS (
+    SELECT shard, doc_id, tk, n, start,
+           UNNEST(range(start // {ctx_len}, (start + n - 1) // {ctx_len} + 1))
+               AS pack_id
+    FROM spans)
+SELECT CAST(shard AS INT) AS shard,
+       CAST(pack_id AS BIGINT) AS pack_id,
+       doc_id,
+       CAST(pack_id - start // {ctx_len} AS INT) AS seg_id,
+       CAST(GREATEST(start, pack_id * {ctx_len}) - start AS BIGINT)
+           AS doc_start,
+       CAST(GREATEST(start, pack_id * {ctx_len}) - pack_id * {ctx_len}
+            AS BIGINT) AS pack_start,
+       CAST(LEAST(start + n, (pack_id + 1) * {ctx_len})
+            - GREATEST(start, pack_id * {ctx_len}) AS BIGINT) AS n_tokens,
+       array_to_string(
+           tk[GREATEST(start, pack_id * {ctx_len}) - start + 1 :
+              LEAST(start + n, (pack_id + 1) * {ctx_len}) - start],
+           ' ') AS piece
+FROM segs
+"""
+
+
+def stratified_sample(
+    documents: DataFrame,
+    rates: dict[str, int],
+    strata_col: str = "lang",
+    default_permille: int = 1000,
+    seed: str = "strat",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, stratum, coin) — deterministic per-stratum
+    downsampling, the domain/language-mix rebalance step of a corpus
+    build: a document is kept iff ``h32(seed:id) % 1000 <
+    rates[stratum]`` (``default_permille`` for unlisted strata, 1000
+    = keep all).  Content-keyed like :func:`dataset_split`: re-runs
+    over a grown corpus never flip an old document's fate, and the
+    realized rate converges to the requested per-mille per stratum.
+    Pure JVM expression — a filter over one md5, no shuffle at all.
+    """
+    coin = F.pmod(
+        h32(F.concat_ws(":", F.lit(seed), F.col(id_col))), F.lit(1000)
+    )
+    rate = None
+    for k, v in sorted(rates.items()):
+        cond = F.col(strata_col) == k
+        rate = (
+            F.when(cond, int(v)) if rate is None else rate.when(cond, int(v))
+        )
+    rate = (
+        rate.otherwise(int(default_permille))
+        if rate is not None
+        else F.lit(int(default_permille))
+    )
+    return (
+        documents.select(
+            F.col(id_col),
+            F.col(strata_col).alias("stratum"),
+            coin.cast("long").alias("coin"),
+            rate.alias("_rate"),
+        )
+        .where(F.col("coin") < F.col("_rate"))
+        .drop("_rate")
+    )
+
+
+def stratified_sample_oracle_sql(
+    rates: dict[str, int],
+    strata_col: str = "lang",
+    default_permille: int = 1000,
+    seed: str = "strat",
+) -> str:
+    from gminer_spark.functions import h32_sql
+
+    key = f"'{seed}:' || CAST(doc_id AS VARCHAR)"
+    coin = f"{h32_sql(key)} % 1000"
+    whens = " ".join(
+        f"WHEN '{k}' THEN {int(v)}" for k, v in sorted(rates.items())
+    )
+    rate = f"CASE {strata_col} {whens} ELSE {int(default_permille)} END"
+    return f"""
+SELECT doc_id, {strata_col} AS stratum, CAST({coin} AS BIGINT) AS coin
+FROM documents
+WHERE {coin} < {rate}
+"""

@@ -114,3 +114,71 @@ def test_top_ngrams_counts_and_plan(spark):
     assert set(rows) == {"a b", "b a", "b c"}  # ties broken ngram-asc
     plan = top_ngrams(docs, n=2, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # no global single-partition window
+
+
+def test_pack_token_stream_tiles_exactly(spark):
+    from gminer_spark.textops.corpus import pack_token_stream
+
+    docs = _docs(
+        spark,
+        [(i, " ".join(f"t{i}_{j}" for j in range(7 + (i * 3) % 11)))
+         for i in range(60)]
+        + [(99, "")],  # empty doc is dropped
+    )
+    rows = pack_token_stream(docs, ctx_len=16, n_shards=4).collect()
+    assert all(r["doc_id"] != 99 for r in rows)
+    # each shard's packs tile the stream: every pack except the last
+    # is exactly full, and segments tile [0, ctx_len) without gaps
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault((r["shard"], r["pack_id"]), []).append(r)
+    for (shard, pid), segs in by_pack.items():
+        segs.sort(key=lambda r: r["pack_start"])
+        pos = 0
+        for s in segs:
+            assert s["pack_start"] == pos
+            assert s["n_tokens"] >= 1
+            pos += s["n_tokens"]
+        last_pid = max(p for (sh, p) in by_pack if sh == shard)
+        if pid < last_pid:
+            assert pos == 16
+        else:
+            assert 0 < pos <= 16
+    # a document's segments reassemble to its token stream
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i in range(60):
+        segs = sorted(by_doc[i], key=lambda r: r["seg_id"])
+        assert segs[0]["doc_start"] == 0
+        toks = []
+        for s in segs:
+            assert s["doc_start"] == len(toks)
+            toks.extend(s["piece"].split(" "))
+        assert toks == [f"t{i}_{j}" for j in range(7 + (i * 3) % 11)]
+
+
+def test_stratified_sample_rates_and_stability(spark):
+    import hashlib
+
+    from gminer_spark.textops.corpus import stratified_sample
+
+    def mk(n):
+        return spark.createDataFrame(
+            [(i, "x", "en" if i % 2 == 0 else "zh") for i in range(n)],
+            "doc_id long, text string, lang string",
+        )
+
+    rates = {"en": 300, "zh": 1000}
+    got = {r["doc_id"]: r for r in stratified_sample(mk(500), rates).collect()}
+    for i in range(500):
+        coin = int(hashlib.md5(f"strat:{i}".encode()).hexdigest()[:8], 16) % 1000
+        keep = coin < (300 if i % 2 == 0 else 1000)
+        assert (i in got) == keep
+        if keep:
+            assert got[i]["coin"] == coin
+    # all zh kept, ~30% en kept
+    assert sum(1 for i in got if i % 2 == 1) == 250
+    # content-keyed: growing the corpus never flips an old document
+    g2 = {r["doc_id"] for r in stratified_sample(mk(1000), rates).collect()}
+    assert {i for i in g2 if i < 500} == set(got)
