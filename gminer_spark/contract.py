@@ -363,6 +363,33 @@ def build_queries() -> dict[str, QueryFn]:
     q["graph_edges"] = lambda s, d: _edges(s, d)
     q["graph_degrees"] = lambda s, d: gt.degrees(_edges(s, d))
 
+    def web_host_graph(s, d):
+        """Domain-level link-graph rollup: synthesize a deterministic
+        links(src_url, dst_url) table from lineitem (supplier-host
+        pages linking part-host items), then aggregate cross-host
+        pairs with link + distinct-page counts."""
+        from gminer_spark.graph.tables import load_table
+        from gminer_spark.web.edges import host_graph
+
+        li = load_table(s, d, "lineitem")
+        links = li.select(
+            F.concat(
+                F.lit("https://s"),
+                (F.col("l_suppkey") % 101).cast("string"),
+                F.lit(".example.com/page/"),
+                F.col("l_orderkey").cast("string"),
+            ).alias("src_url"),
+            F.concat(
+                F.lit("https://p"),
+                (F.col("l_partkey") % 137).cast("string"),
+                F.lit(".example.com/item/"),
+                F.col("l_partkey").cast("string"),
+            ).alias("dst_url"),
+        )
+        return host_graph(links)
+
+    q["web_host_graph"] = web_host_graph
+
     # -- 2. triangle counting (SURVEY §2.10 TC) ----------------------------
     def tc_global(s, d):
         from gminer_spark.graph.triangles import _wedge_closed
@@ -1363,6 +1390,15 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["text_fingerprint"] = text_fingerprint
 
+    def text_repetition(s, d):
+        """Gopher-style intra-document repetition signals: dup-token
+        fraction, top-token share, top-bigram share."""
+        from gminer_spark.textops.analysis import repetition_stats
+
+        return repetition_stats(_doc(s, d, "documents"))
+
+    q["text_repetition"] = text_repetition
+
     def corpus_split(s, d):
         """Deterministic content-keyed train/val/test split (96/2/2):
         re-runs over a grown corpus never move an old document."""
@@ -1687,6 +1723,19 @@ def build_oracles() -> dict[str, str]:
     o: dict[str, str] = {}
 
     o["graph_edges"] = f"WITH {EDGES_CTE.strip()} SELECT src, dst FROM edges"
+
+    from gminer_spark.web.edges import host_graph_oracle_sql
+
+    o["web_host_graph"] = host_graph_oracle_sql(
+        """links AS (
+    SELECT 'https://s' || CAST(l_suppkey % 101 AS VARCHAR)
+               || '.example.com/page/' || CAST(l_orderkey AS VARCHAR)
+               AS src_url,
+           'https://p' || CAST(l_partkey % 137 AS VARCHAR)
+               || '.example.com/item/' || CAST(l_partkey AS VARCHAR)
+               AS dst_url
+    FROM lineitem)"""
+    )
 
     o["graph_degrees"] = f"""
 WITH {EDGES_CTE.strip()},
@@ -2219,6 +2268,10 @@ SELECT d.doc_id,
        COALESCE(fp.fingerprint, {h32_sql("d.text")}) AS fingerprint
 FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
 """
+
+    from gminer_spark.textops.analysis import repetition_stats_oracle_sql
+
+    o["text_repetition"] = repetition_stats_oracle_sql()
 
     from gminer_spark.textops.corpus import (
         chunk_documents_oracle_sql,

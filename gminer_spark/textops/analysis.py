@@ -106,3 +106,110 @@ def fingerprints(documents: DataFrame, shingle_words: int = 3) -> DataFrame:
         fallback.join(fp, on="doc_id", how="left")
         .select("doc_id", F.coalesce("fingerprint", "fb").alias("fingerprint"))
     )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, dup_token_frac, top_token_share,
+    top_bigram_share) — intra-document repetition signals in the
+    spirit of Gopher's repetition filters (dup-ngram fractions):
+    boilerplate / spam / degenerate pages repeat themselves, prose
+    does not.
+
+    - ``dup_token_frac``  = 1 - distinct_tokens / tokens
+    - ``top_token_share`` = count of the most frequent token / tokens
+    - ``top_bigram_share``= count of the most frequent bigram /
+      bigrams (0.0 for single-token docs)
+
+    Zero-token documents are dropped.  Scale shape: explode + two
+    hash aggregations keyed by (doc_id, gram) — fully map-side
+    combinable, no windows, no skew (keys are per-document).
+    """
+    from gminer_spark.textops.corpus import _tokens
+
+    toks = _tokens(F.lower(F.col("text")))
+    base = documents.select("doc_id", toks.alias("tk")).where(
+        F.size("tk") > 0
+    )
+    words = base.select("doc_id", F.explode("tk").alias("wrd"))
+    tok = (
+        words.groupBy("doc_id", "wrd")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.max("c").cast("long").alias("top_cnt"),
+        )
+    )
+    bigs = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
+                " (x, i) -> concat(x, ' ', tk[i + 1]))"
+            )
+        ).alias("bg"),
+    )
+    bga = (
+        bigs.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("nb"), F.max("c").alias("top_big"))
+    )
+    return (
+        tok.join(bga, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_distinct").cast("double") / F.col("n_tokens"),
+                6,
+            ).alias("dup_token_frac"),
+            F.round(
+                F.col("top_cnt").cast("double") / F.col("n_tokens"), 6
+            ).alias("top_token_share"),
+            F.coalesce(
+                F.round(
+                    F.col("top_big").cast("double") / F.col("nb"), 6
+                ),
+                F.lit(0.0),
+            ).alias("top_bigram_share"),
+        )
+    )
+
+
+def repetition_stats_oracle_sql() -> str:
+    from gminer_spark.textops.corpus import _TOKS_SQL
+
+    toks = _TOKS_SQL.format(col="lower(text)")
+    return f"""
+WITH t AS MATERIALIZED (
+    SELECT doc_id, {toks} AS tk FROM documents),
+base AS MATERIALIZED (
+    SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0),
+wc AS (
+    SELECT doc_id, wrd, COUNT(*) AS c
+    FROM (SELECT doc_id, UNNEST(tk) AS wrd FROM base)
+    GROUP BY doc_id, wrd),
+tok AS (
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_distinct, MAX(c) AS top_cnt
+    FROM wc GROUP BY doc_id),
+bgc AS (
+    SELECT doc_id, bg, COUNT(*) AS c
+    FROM (SELECT doc_id, tk[s + 1] || ' ' || tk[s + 2] AS bg
+          FROM (SELECT doc_id, tk, UNNEST(range(0, n - 1)) AS s
+                FROM base WHERE n >= 2))
+    GROUP BY doc_id, bg),
+bga AS (
+    SELECT doc_id, SUM(c) AS nb, MAX(c) AS top_big FROM bgc
+    GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       ROUND(1 - CAST(n_distinct AS DOUBLE) / n_tokens, 6)
+           AS dup_token_frac,
+       ROUND(CAST(top_cnt AS DOUBLE) / n_tokens, 6) AS top_token_share,
+       COALESCE(ROUND(CAST(top_big AS DOUBLE) / nb, 6),
+                CAST(0 AS DOUBLE)) AS top_bigram_share
+FROM tok LEFT JOIN bga USING (doc_id)
+"""

@@ -52,3 +52,58 @@ def edges_from_links(
 def pages_to_edges(pages: DataFrame, canonicalize: bool = False) -> DataFrame:
     """Full spine: pages → links → edges."""
     return edges_from_links(links_table(pages), canonicalize=canonicalize)
+
+
+def host_of(url_col):
+    """Lowercased host of an http(s) url — one JVM regexp, no UDF."""
+    return F.lower(F.regexp_extract(url_col, "^https?://([^/?#]+)", 1))
+
+
+def host_graph(links: DataFrame) -> DataFrame:
+    """(src_host, dst_host, n_links, n_src_pages) — the domain-level
+    link graph: cross-host links rolled up per host pair, with the
+    count of distinct linking pages.  Same-host (navigation) links and
+    non-http(s) rows are dropped.
+
+    This is the web-structure rollup run before host-level ranking /
+    spam analysis: the page graph is O(trillions) of edges at 100 TB,
+    the host graph O(millions) — the aggregation is a single
+    map-side-combinable groupBy keyed by (src_host, dst_host), and the
+    distinct-page count rides the same shuffle (partial distinct).
+    Reference analog: GMiner aggregates per-block edge stats the same
+    way before bin-packing (/root/reference/partition/
+    BDGPartitioner.tpp:139-235).
+    """
+    h = links.select(
+        host_of(F.col("src_url")).alias("src_host"),
+        host_of(F.col("dst_url")).alias("dst_host"),
+        "src_url",
+    )
+    return (
+        h.where(
+            (F.col("src_host") != "")
+            & (F.col("dst_host") != "")
+            & (F.col("src_host") != F.col("dst_host"))
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.count("*").cast("long").alias("n_links"),
+            F.countDistinct("src_url").cast("long").alias("n_src_pages"),
+        )
+    )
+
+
+def host_graph_oracle_sql(links_cte: str) -> str:
+    """DuckDB witness over any CTE named ``links(src_url, dst_url)``."""
+    hs = "lower(regexp_extract(src_url, '^https?://([^/?#]+)', 1))"
+    hd = "lower(regexp_extract(dst_url, '^https?://([^/?#]+)', 1))"
+    return f"""
+WITH {links_cte},
+h AS (SELECT {hs} AS src_host, {hd} AS dst_host, src_url FROM links)
+SELECT src_host, dst_host,
+       CAST(COUNT(*) AS BIGINT) AS n_links,
+       CAST(COUNT(DISTINCT src_url) AS BIGINT) AS n_src_pages
+FROM h
+WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+GROUP BY src_host, dst_host
+"""

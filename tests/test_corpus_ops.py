@@ -277,3 +277,25 @@ def test_ann_ivf_recall_and_determinism(spark):
     ).collect()
     norm = lambda rows: {(r["query_id"], r["neighbor_id"], r["cos"]) for r in rows}
     assert norm(rows1) == norm(rows2)
+
+
+def test_repetition_stats(spark):
+    from gminer_spark.textops.analysis import repetition_stats
+
+    d = docs_df(
+        spark,
+        [
+            "a a a a",            # 1 distinct / 4 tokens, all bigrams "a a"
+            "w x y z",            # no repetition at all
+            "spam spam ham spam", # top token 3/4; top bigram "spam spam" 1/3
+            "solo",               # single token: no bigrams
+            "",                   # zero tokens: dropped
+        ],
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(d).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0]["dup_token_frac"] == 0.75 and got[0]["top_bigram_share"] == 1.0
+    assert got[1]["dup_token_frac"] == 0.0 and got[1]["top_token_share"] == 0.25
+    assert got[2]["top_token_share"] == 0.75
+    assert round(got[2]["top_bigram_share"], 6) == round(1 / 3, 6)
+    assert got[3]["n_tokens"] == 1 and got[3]["top_bigram_share"] == 0.0

@@ -123,3 +123,27 @@ def test_powerlaw_generator_deterministic():
     for s, d in e1:
         degs[d] = degs.get(d, 0) + 1
     assert max(degs.values()) > 20  # skewed
+
+
+def test_host_graph_rollup(spark):
+    from gminer_spark.web.edges import host_graph
+
+    links = spark.createDataFrame(
+        [
+            ("https://a.com/1", "https://b.com/x"),
+            ("https://a.com/1", "https://b.com/y"),   # same pair, same page
+            ("https://a.com/2", "https://b.com/x"),   # same pair, new page
+            ("https://A.COM/3", "https://b.com/z"),   # host case-folds
+            ("https://a.com/4", "https://a.com/5"),   # same-host: dropped
+            ("ftp://a.com/5", "https://b.com/x"),     # non-http src: dropped
+            ("https://c.com:8080/1", "https://b.com/x"),  # port kept in host
+        ],
+        "src_url string, dst_url string",
+    )
+    rows = {
+        (r["src_host"], r["dst_host"]): (r["n_links"], r["n_src_pages"])
+        for r in host_graph(links).collect()
+    }
+    assert rows[("a.com", "b.com")] == (4, 3)
+    assert rows[("c.com:8080", "b.com")] == (1, 1)
+    assert len(rows) == 2
