@@ -1464,6 +1464,17 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["corpus_stratified_sample"] = corpus_stratified_sample
 
+    def corpus_token_budget(s, d):
+        """Greedy quality-first selection under a 10k-token budget —
+        bucketed-prefix cumsum, no global document sort."""
+        from gminer_spark.textops.corpus import select_by_token_budget
+
+        return select_by_token_budget(
+            _doc(s, d, "documents"), budget_tokens=10_000
+        )
+
+    q["corpus_token_budget"] = corpus_token_budget
+
     # -- 10. dedup ---------------------------------------------------------------
     def dedup_exact(s, d):
         from gminer_spark.textops.dedup import exact_dup_groups
@@ -2301,6 +2312,12 @@ FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
     o["corpus_pack"] = pack_token_stream_oracle_sql(ctx_len=128, n_shards=8)
     o["corpus_stratified_sample"] = stratified_sample_oracle_sql(
         rates={"en": 250, "zh": 1000}, default_permille=500
+    )
+
+    from gminer_spark.textops.corpus import select_by_token_budget_oracle_sql
+
+    o["corpus_token_budget"] = select_by_token_budget_oracle_sql(
+        budget_tokens=10_000
     )
 
     o["dedup_exact"] = """

@@ -680,3 +680,112 @@ SELECT doc_id, {strata_col} AS stratum, CAST({coin} AS BIGINT) AS coin
 FROM documents
 WHERE {coin} < {rate}
 """
+
+
+def select_by_token_budget(
+    documents: DataFrame, budget_tokens: int
+) -> DataFrame:
+    """(doc_id, quality_micro, n_tokens, cum_tokens) — greedy
+    quality-first corpus selection under a token budget: documents
+    ranked by (quality desc, doc_id asc) are taken while the tokens
+    already taken are below ``budget_tokens`` (the boundary document
+    may overshoot).  The "give me the best N-token corpus" step of a
+    training-data build.
+
+    Scale shape: the naive form is one GLOBAL ordered cumsum — a
+    single-partition sort of every document.  Instead quality is
+    bucketed (micro-int, 1e6 distinct values max): a tiny bucket
+    histogram gets the only unpartitioned window (|distinct quality|
+    rows), every document then computes its running total inside its
+    own quality bucket (window PARTITIONED by bucket) and offsets it
+    by the broadcast bucket prefix.  Degenerate corpora where most
+    documents share one quality value re-concentrate the window; real
+    quality scores do not.
+
+    Quality/token definitions are exactly
+    :func:`gminer_spark.textops.analysis.quality_scores` /
+    :func:`token_stats` (frozen formulas).
+    """
+    from pyspark.sql import Window
+
+    from gminer_spark.textops.analysis import quality_scores, token_stats
+
+    s = (
+        quality_scores(documents)
+        .select(
+            "doc_id",
+            F.round(F.col("quality") * 1e6, 0)
+            .cast("long")
+            .alias("quality_micro"),
+        )
+        .join(
+            token_stats(documents).select(
+                "doc_id", F.col("n_ws_tokens").alias("n_tokens")
+            ),
+            on="doc_id",
+        )
+    )
+    buckets = s.groupBy("quality_micro").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    wb = Window.orderBy(F.desc("quality_micro")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    buckets = buckets.withColumn(
+        "bucket_before",
+        F.coalesce(F.sum("bucket_tokens").over(wb), F.lit(0)),
+    ).drop("bucket_tokens")
+    wd = (
+        Window.partitionBy("quality_micro")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        s.join(F.broadcast(buckets), on="quality_micro")
+        .withColumn(
+            "taken_before",
+            F.col("bucket_before")
+            + F.coalesce(F.sum("n_tokens").over(wd), F.lit(0)),
+        )
+        .where(F.col("taken_before") < int(budget_tokens))
+        .select(
+            "doc_id",
+            "quality_micro",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("taken_before") + F.col("n_tokens"))
+            .cast("long")
+            .alias("cum_tokens"),
+        )
+    )
+
+
+def select_by_token_budget_oracle_sql(budget_tokens: int) -> str:
+    # the witness does the single global ordered cumsum directly —
+    # bucketed prefix + in-bucket running total is the same sum
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+               AS n_tokens,
+           len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+    FROM documents),
+scored AS (
+    SELECT doc_id, n_tokens,
+           CAST(ROUND(ROUND((1.0 - ROUND(n_punct * 1.0
+                    / GREATEST(n_chars, 1), 6))
+                * LEAST(1.0, n_tokens / 50.0), 6) * 1000000, 0)
+               AS BIGINT) AS quality_micro
+    FROM base),
+sel AS (
+    SELECT doc_id, quality_micro, n_tokens,
+           COALESCE(CAST(SUM(n_tokens) OVER (
+                ORDER BY quality_micro DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS BIGINT), 0) AS taken_before
+    FROM scored)
+SELECT doc_id, quality_micro, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(taken_before + n_tokens AS BIGINT) AS cum_tokens
+FROM sel WHERE taken_before < {int(budget_tokens)}
+"""

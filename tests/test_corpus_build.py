@@ -182,3 +182,26 @@ def test_stratified_sample_rates_and_stability(spark):
     # content-keyed: growing the corpus never flips an old document
     g2 = {r["doc_id"] for r in stratified_sample(mk(1000), rates).collect()}
     assert {i for i in g2 if i < 500} == set(got)
+
+
+def test_select_by_token_budget_greedy(spark):
+    from gminer_spark.textops.corpus import select_by_token_budget
+
+    # no punctuation -> quality = min(1, n_tokens/50); ties by doc_id
+    def words(n):
+        return " ".join(f"w{j}" for j in range(n))
+
+    docs = _docs(
+        spark, [(0, words(60)), (1, words(60)), (2, words(25)), (3, words(10))]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in select_by_token_budget(docs, budget_tokens=130).collect()
+    }
+    # greedy order (quality desc, doc_id): 0 (cum 60), 1 (120), 2 taken
+    # at 120 < 130 (cum 145, overshoot allowed), 3 rejected at 145
+    assert set(rows) == {0, 1, 2}
+    assert rows[0]["cum_tokens"] == 60 and rows[1]["cum_tokens"] == 120
+    assert rows[2]["cum_tokens"] == 145
+    assert rows[0]["quality_micro"] == 1_000_000
+    assert rows[2]["quality_micro"] == 500_000
