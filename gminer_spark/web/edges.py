@@ -93,6 +93,81 @@ def host_graph(links: DataFrame) -> DataFrame:
     )
 
 
+def anchor_stats(anchors: DataFrame) -> DataFrame:
+    """Per-target anchor-text rollup over ``anchors(src_url, dst_url,
+    anchor)`` → (dst_url, n_anchors, n_unique_anchors, n_src_pages,
+    top_anchor, top_anchor_n).
+
+    ``top_anchor`` is the most frequent anchor text pointing at the
+    target, tie-broken lexicographically (a total order — determinism
+    under any partitioning).  Anchor text describes the TARGET page,
+    so this is aggregated per ``dst_url``: the classic signal for
+    ranking features and for training-corpus text on pages whose own
+    extraction is poor (link-graph ∩ webtext).
+
+    Scale posture: both aggregates shuffle on ``dst_url`` (map-side
+    combinable counts; the distincts ride partial aggregation), the
+    window partition is one target's DISTINCT anchor set (bounded by
+    vocabulary, not in-degree — a hub with 10^6 in-links but 40
+    distinct anchor strings sorts 40 rows), and the final join is
+    co-partitioned on the shared ``dst_url`` key.
+    """
+    from pyspark.sql import Window
+
+    per_pair = anchors.groupBy("dst_url", "anchor").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("dst_url").orderBy(
+        F.col("cnt").desc(), F.col("anchor").asc()
+    )
+    top = (
+        per_pair.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "dst_url",
+            F.col("anchor").alias("top_anchor"),
+            F.col("cnt").alias("top_anchor_n"),
+        )
+    )
+    tot = anchors.groupBy("dst_url").agg(
+        F.count("*").cast("long").alias("n_anchors"),
+        F.countDistinct("anchor").cast("long").alias("n_unique_anchors"),
+        F.countDistinct("src_url").cast("long").alias("n_src_pages"),
+    )
+    return tot.join(top, on="dst_url").select(
+        "dst_url",
+        "n_anchors",
+        "n_unique_anchors",
+        "n_src_pages",
+        "top_anchor",
+        "top_anchor_n",
+    )
+
+
+def anchor_stats_oracle_sql(anchors_cte: str) -> str:
+    """DuckDB witness over any CTE ``anchors(src_url, dst_url, anchor)``."""
+    return f"""
+WITH {anchors_cte},
+per_pair AS (
+    SELECT dst_url, anchor, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM anchors GROUP BY dst_url, anchor),
+top AS (
+    SELECT dst_url, anchor AS top_anchor, cnt AS top_anchor_n,
+           ROW_NUMBER() OVER (PARTITION BY dst_url
+                              ORDER BY cnt DESC, anchor ASC) AS rn
+    FROM per_pair),
+tot AS (
+    SELECT dst_url,
+           CAST(COUNT(*) AS BIGINT) AS n_anchors,
+           CAST(COUNT(DISTINCT anchor) AS BIGINT) AS n_unique_anchors,
+           CAST(COUNT(DISTINCT src_url) AS BIGINT) AS n_src_pages
+    FROM anchors GROUP BY dst_url)
+SELECT t.dst_url, t.n_anchors, t.n_unique_anchors, t.n_src_pages,
+       p.top_anchor, p.top_anchor_n
+FROM tot t JOIN top p ON p.dst_url = t.dst_url AND p.rn = 1
+"""
+
+
 def host_graph_oracle_sql(links_cte: str) -> str:
     """DuckDB witness over any CTE named ``links(src_url, dst_url)``."""
     hs = "lower(regexp_extract(src_url, '^https?://([^/?#]+)', 1))"

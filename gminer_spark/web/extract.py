@@ -38,6 +38,10 @@ _WS_RE = re.compile(r"\s+")
 _HREF_RE = re.compile(
     rb"<a\s[^>]*?href\s*=\s*[\"']([^\"']*)[\"']", re.IGNORECASE | re.DOTALL
 )
+_ANCHOR_RE = re.compile(
+    rb"<a\s[^>]*?href\s*=\s*[\"']([^\"']*)[\"'][^>]*>(.*?)</a>",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def _clean(raw: bytes) -> str:
@@ -143,6 +147,64 @@ def links_table(pages: DataFrame) -> DataFrame:
         _links_udf(F.col("html"), F.col("url")).alias("links"),
     )
     return ex.select("src_url", F.explode("links").alias("dst_url"))
+
+
+def extract_anchors(html: bytes, base_url: str) -> list[tuple[str, str]]:
+    """(dst_url, anchor_text) pairs — one per ``<a href>…</a>`` tag, in
+    document order, with dups.  The url is normalized exactly like
+    :func:`extract_links`; the anchor text is the tag body cleaned with
+    the same frozen ``_clean`` rules the text extractor uses (nested
+    tags stripped, whitespace collapsed).  Anchors whose href doesn't
+    normalize (mailto:, javascript:, …) are dropped; empty anchor text
+    (image links) is kept as "".
+
+    Anchor text is the classic web-corpus signal the reference-era
+    engines aggregate per target page (it describes the TARGET, not the
+    source) — used for ranking features and as training-data text for
+    pages that themselves extract poorly.
+    """
+    if html is None:
+        return []
+    out: list[tuple[str, str]] = []
+    for m in _ANCHOR_RE.finditer(html):
+        u = normalize_url(m.group(1).decode("utf-8", errors="replace"), base_url)
+        if u is not None:
+            out.append((u, _clean(m.group(2))))
+    return out
+
+
+_ANCHOR_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("dst_url", T.StringType()),
+            T.StructField("anchor", T.StringType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(_ANCHOR_SCHEMA)
+def _anchors_udf(html: pd.Series, url: pd.Series) -> pd.Series:
+    return pd.Series([extract_anchors(h, u) for h, u in zip(html, url)])
+
+
+_anchors_udf = _anchors_udf.asNondeterministic()
+
+
+def anchors_table(pages: DataFrame) -> DataFrame:
+    """(src_url, dst_url, anchor) — one row per anchor tag.
+
+    Reads only (url, html); Arrow-batched, single-purpose UDF (the
+    same anti-cloning discipline as ``_links_udf``).
+    """
+    ex = pages.select(
+        normalize_url_col(F.col("url")).alias("src_url"),
+        _anchors_udf(F.col("html"), F.col("url")).alias("anchors"),
+    )
+    return ex.select(
+        "src_url",
+        F.explode("anchors").alias("a"),
+    ).select("src_url", F.col("a.dst_url").alias("dst_url"), F.col("a.anchor").alias("anchor"))
 
 
 @F.pandas_udf(T.StringType())

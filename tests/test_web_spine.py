@@ -147,3 +147,67 @@ def test_host_graph_rollup(spark):
     assert rows[("a.com", "b.com")] == (4, 3)
     assert rows[("c.com:8080", "b.com")] == (1, 1)
     assert len(rows) == 2
+
+
+def test_extract_anchors_rules():
+    """Anchor pairs: document order, normalized urls, frozen _clean text
+    rules (nested tags stripped, whitespace collapsed), non-http dropped,
+    empty anchor text kept."""
+    from gminer_spark.web.extract import extract_anchors
+
+    html = (
+        b'<html><body>'
+        b'<a href="/rel/x">First  link</a>'
+        b'<a class="z" href="https://Other.COM/a/">a <b>bold</b>\n  text</a>'
+        b'<a href="mailto:x@y.z">write us</a>'
+        b'<a href="https://img.example.com/i"><img src="p.png"/></a>'
+        b'</body></html>'
+    )
+    pairs = extract_anchors(html, "https://site.example/rel/p0")
+    assert pairs == [
+        ("https://site.example/rel/x", "First link"),
+        ("https://other.com/a", "a bold text"),
+        ("https://img.example.com/i", ""),
+    ]
+    assert extract_anchors(None, "https://x.y/") == []
+
+
+def test_anchor_stats_rollup(spark):
+    """Totals ride dst_url; top_anchor tie-breaks (count desc, lex asc)."""
+    from gminer_spark.web.edges import anchor_stats
+
+    anchors = spark.createDataFrame(
+        [
+            ("https://a.com/1", "https://t.com/x", "zebra"),
+            ("https://a.com/1", "https://t.com/x", "apple"),
+            ("https://a.com/2", "https://t.com/x", "zebra"),
+            ("https://b.com/1", "https://t.com/x", "apple"),  # 2-2 tie
+            ("https://b.com/1", "https://t.com/y", "only"),
+        ],
+        "src_url string, dst_url string, anchor string",
+    )
+    rows = {r["dst_url"]: r for r in anchor_stats(anchors).collect()}
+    x = rows["https://t.com/x"]
+    assert (x["n_anchors"], x["n_unique_anchors"], x["n_src_pages"]) == (4, 2, 3)
+    assert (x["top_anchor"], x["top_anchor_n"]) == ("apple", 2)  # lex tie-break
+    y = rows["https://t.com/y"]
+    assert (y["n_anchors"], y["top_anchor"], y["top_anchor_n"]) == (1, "only", 1)
+
+
+def test_anchors_table_spine(spark):
+    """anchors_table over rendered pages: every href with its cleaned text."""
+    from gminer_spark.web.extract import anchors_table
+    from gminer_spark.web.fixtures import pages_df
+
+    pages = pages_df(spark, PATH5, namespace="anch")
+    tbl = anchors_table(pages)
+    assert tbl.columns == ["src_url", "dst_url", "anchor"]
+    rows = tbl.collect()
+    assert len(rows) > 0
+    # every anchor pair's dst must also appear in the href-only links table
+    from gminer_spark.web.extract import links_table
+
+    link_pairs = {
+        (r["src_url"], r["dst_url"]) for r in links_table(pages).collect()
+    }
+    assert {(r["src_url"], r["dst_url"]) for r in rows} <= link_pairs
