@@ -201,14 +201,41 @@ def strongly_connected_components(
     return out.select("id", "scc_id")
 
 
-def scc_oracle_sql(dir_edges_cte: str) -> str:
-    """Full value witness — algorithm-independent: transitive closure
-    by recursive CTE, mutual-reachability join, min-id per class.
-    ``dir_edges_cte`` must define ``de(src, dst)``.  No unroll caps:
-    the recursion depth is the directed diameter and the closure is
-    O(reachable pairs) — fine at oracle scale (sf0.01)."""
-    return f"""
-WITH RECURSIVE {dir_edges_cte.strip()},
+def condensation(edges: DataFrame, scc: DataFrame | None = None) -> DataFrame:
+    """The condensation DAG: contract every SCC to one vertex and keep
+    the distinct cross-component edges → ``(src_scc, dst_scc)``.
+
+    This is WHY a web-graph user wants full SCC decomposition (module
+    docstring): cycles contracted, the remaining DAG is what
+    topological analyses (dead-end mass flow, crawl tiering, bow-tie
+    sizing) run on.  Pass a precomputed ``scc`` map ``(id, scc_id)``
+    to reuse it; otherwise one is computed here.
+
+    Scale posture: two hash joins of the edge table against the
+    (|V|-sized) component map — both keyed on a vertex id, both
+    AQE-eligible — then a map-side-combinable distinct on the
+    contracted pairs.  The output is bounded by the condensation's
+    edge count (tiny on web graphs: giant SCC + tendrils).
+    """
+    if scc is None:
+        scc = strongly_connected_components(edges)
+    src_map = scc.select(F.col("id").alias("src"), F.col("scc_id").alias("src_scc"))
+    dst_map = scc.select(F.col("id").alias("dst"), F.col("scc_id").alias("dst_scc"))
+    return (
+        edges.select("src", "dst")
+        .join(src_map, on="src")
+        .join(dst_map, on="dst")
+        .where(F.col("src_scc") != F.col("dst_scc"))
+        .select("src_scc", "dst_scc")
+        .distinct()
+    )
+
+
+# shared witness plumbing: transitive closure by recursive CTE,
+# mutual-reachability join, min-id per class.  No unroll caps: the
+# recursion depth is the directed diameter and the closure is
+# O(reachable pairs) — fine at oracle scale (sf0.01).
+_SCC_CTES = """
 dverts AS MATERIALIZED (
     -- explicit outer DISTINCT: under WITH RECURSIVE, DuckDB's
     -- MATERIALIZED CTEs lose a bare UNION's dedup (observed 4.x)
@@ -220,9 +247,33 @@ tc(a, b) AS (
     SELECT t.a, e.dst FROM tc t JOIN de e ON e.src = t.b),
 mutual AS MATERIALIZED (
     SELECT DISTINCT t1.a, t1.b
-    FROM tc t1 JOIN tc t2 ON t1.a = t2.b AND t1.b = t2.a)
-SELECT v.id,
-       LEAST(v.id, COALESCE(MIN(m.b), v.id)) AS scc_id
-FROM dverts v LEFT JOIN mutual m ON m.a = v.id
-GROUP BY v.id
+    FROM tc t1 JOIN tc t2 ON t1.a = t2.b AND t1.b = t2.a),
+comp AS MATERIALIZED (
+    SELECT v.id,
+           LEAST(v.id, COALESCE(MIN(m.b), v.id)) AS scc_id
+    FROM dverts v LEFT JOIN mutual m ON m.a = v.id
+    GROUP BY v.id)
+""".strip()
+
+
+def scc_oracle_sql(dir_edges_cte: str) -> str:
+    """Full value witness — algorithm-independent (see ``_SCC_CTES``).
+    ``dir_edges_cte`` must define ``de(src, dst)``."""
+    return f"""
+WITH RECURSIVE {dir_edges_cte.strip()},
+{_SCC_CTES}
+SELECT id, scc_id FROM comp
+"""
+
+
+def condensation_oracle_sql(dir_edges_cte: str) -> str:
+    """DuckDB witness: the SCC witness CTEs + two joins + distinct."""
+    return f"""
+WITH RECURSIVE {dir_edges_cte.strip()},
+{_SCC_CTES}
+SELECT DISTINCT cs.scc_id AS src_scc, cd.scc_id AS dst_scc
+FROM de e
+JOIN comp cs ON cs.id = e.src
+JOIN comp cd ON cd.id = e.dst
+WHERE cs.scc_id <> cd.scc_id
 """

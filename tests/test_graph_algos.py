@@ -958,3 +958,43 @@ def test_scc_deterministic_under_partitioning(spark):
     a = sorted(map(tuple, strongly_connected_components(e1).collect()))
     b = sorted(map(tuple, strongly_connected_components(e2).collect()))
     assert a == b
+
+
+def test_condensation_dag(spark):
+    """Condensation of the hand graph: SCCs contracted to min ids,
+    cross-component edges deduped, result acyclic."""
+    from gminer_spark.graph.scc import condensation
+
+    pairs = [
+        (1, 2), (2, 1),          # SCC {1,2}
+        (2, 3), (3, 4), (4, 5),  # chain
+        (5, 6), (6, 5),          # SCC {5,6}
+        (1, 3),                  # duplicate contracted edge 1->3
+        (7, 8),
+    ]
+    got = sorted(
+        (r["src_scc"], r["dst_scc"])
+        for r in condensation(edges_df(spark, pairs)).collect()
+    )
+    assert got == [(1, 3), (3, 4), (4, 5), (7, 8)]
+    # acyclic: Kahn peeling consumes every vertex
+    verts = {v for e in got for v in e}
+    edges = set(got)
+    while True:
+        sinks = {v for v in verts if not any(s == v for s, _ in edges)}
+        if not sinks:
+            break
+        verts -= sinks
+        edges = {(s, d) for s, d in edges if d not in sinks}
+    assert not verts
+
+
+def test_condensation_reuses_precomputed_scc(spark):
+    from gminer_spark.graph.scc import condensation, strongly_connected_components
+
+    pairs = random_graph(n=40, p=0.08, seed=21, directed=True)
+    e = edges_df(spark, pairs)
+    scc = strongly_connected_components(e).localCheckpoint()
+    a = sorted(map(tuple, condensation(e, scc=scc).collect()))
+    b = sorted(map(tuple, condensation(e).collect()))
+    assert a == b and len(a) > 0
