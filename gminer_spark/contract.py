@@ -255,6 +255,86 @@ def ppr_oracle_sql(iters: int = PR_ITERS, damping: float = 0.85) -> str:
     )
 
 
+def spam_mass_oracle_sql(iters: int = PR_ITERS, damping: float = 0.85) -> str:
+    """TrustRank spam mass (Gyöngyi/Garcia-Molina/Pedersen 2004):
+    global PageRank and trusted-seed personalized PageRank as TWO
+    unrolled chains over SHARED edges/verts/deg CTEs, then
+    ``(pr - trust) / pr`` per vertex.  Each chain's per-step
+    expression shape is copied verbatim from the value-green
+    ``pagerank_oracle_sql`` / ``ppr_oracle_sql`` so the micro-rounding
+    stays cross-engine identical."""
+    ctes = [
+        _materialize(EDGES_CTE.strip()),
+        _materialize(SYM_CTE.strip()),
+        _materialize(VERTS_CTE.strip()),
+        _materialize("n AS (SELECT COUNT(*) AS cnt FROM verts)"),
+        _materialize(
+            f"ns AS (SELECT COUNT(*) AS cnt FROM verts WHERE id % {PPR_SEED_MOD} = 0)"
+        ),
+        _materialize(f"""deg AS (
+    SELECT v.id, COALESCE(o.c, 0) AS out_deg,
+           CASE WHEN v.id % {PPR_SEED_MOD} = 0
+                THEN 1.0/(SELECT cnt FROM ns) ELSE 0.0 END AS reset
+    FROM verts v LEFT JOIN (
+        SELECT src, COUNT(*) AS c FROM edges GROUP BY src) o
+    ON v.id = o.src
+)"""),
+        _materialize(
+            "g0 AS (SELECT d.id, 1.0/(SELECT cnt FROM n) AS rank, d.out_deg FROM deg d)"
+        ),
+        _materialize("t0 AS (SELECT id, reset AS rank, out_deg, reset FROM deg)"),
+    ]
+    for k in range(1, iters + 1):
+        p = f"g{k - 1}"
+        ctes.append(
+            f"""g{k} AS MATERIALIZED (
+    SELECT d.id,
+           (1.0 - {damping})/(SELECT cnt FROM n)
+           + {damping} * (
+               COALESCE(c.contrib, 0.0)
+               + (SELECT COALESCE(SUM(rank), 0.0) FROM {p} WHERE out_deg = 0)
+                 / (SELECT cnt FROM n)
+           ) AS rank,
+           d.out_deg
+    FROM deg d LEFT JOIN (
+        SELECT e.dst, SUM(r.rank / r.out_deg) AS contrib
+        FROM edges e JOIN {p} r ON e.src = r.id
+        GROUP BY e.dst) c
+    ON d.id = c.dst
+)"""
+        )
+        p = f"t{k - 1}"
+        ctes.append(
+            f"""t{k} AS MATERIALIZED (
+    SELECT d.id,
+           (1.0 - {damping}) * d.reset
+           + {damping} * (
+               COALESCE(c.contrib, 0.0)
+               + (SELECT COALESCE(SUM(rank), 0.0) FROM {p} WHERE out_deg = 0)
+                 * d.reset
+           ) AS rank,
+           d.out_deg, d.reset
+    FROM deg d LEFT JOIN (
+        SELECT e.dst, SUM(r.rank / r.out_deg) AS contrib
+        FROM edges e JOIN {p} r ON e.src = r.id
+        GROUP BY e.dst) c
+    ON d.id = c.dst
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT g.id,
+       CAST(ROUND(g.rank * 1e6) AS BIGINT) AS pr_micro,
+       CAST(ROUND(t.rank * 1e6) AS BIGINT) AS trust_micro,
+       CAST(ROUND((g.rank - t.rank) / g.rank * 1e6) AS BIGINT)
+           AS spam_mass_micro
+FROM g{iters} g JOIN t{iters} t ON t.id = g.id
+"""
+    )
+
+
 def lpa_oracle_sql(iters: int = LPA_ITERS) -> str:
     """Unrolled sync LPA: mode-of-neighbor-labels, tie (cnt desc, label asc)."""
     ctes = [
@@ -390,6 +470,36 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["web_host_graph"] = web_host_graph
 
+    def web_anchor_stats(s, d):
+        """Per-target anchor-text rollup: synthesize a deterministic
+        anchors(src_url, dst_url, anchor) table from lineitem (anchor
+        text keyed off the part), then aggregate per dst_url with a
+        total-order top-anchor tie-break."""
+        from gminer_spark.graph.tables import load_table
+        from gminer_spark.web.edges import anchor_stats
+
+        li = load_table(s, d, "lineitem")
+        anchors = li.select(
+            F.concat(
+                F.lit("https://s"),
+                (F.col("l_suppkey") % 101).cast("string"),
+                F.lit(".example.com/page/"),
+                F.col("l_orderkey").cast("string"),
+            ).alias("src_url"),
+            F.concat(
+                F.lit("https://p"),
+                (F.col("l_partkey") % 137).cast("string"),
+                F.lit(".example.com/item/"),
+                F.col("l_partkey").cast("string"),
+            ).alias("dst_url"),
+            F.concat(
+                F.lit("buy part "), (F.col("l_partkey") % 7).cast("string")
+            ).alias("anchor"),
+        )
+        return anchor_stats(anchors)
+
+    q["web_anchor_stats"] = web_anchor_stats
+
     # -- 2. triangle counting (SURVEY §2.10 TC) ----------------------------
     def tc_global(s, d):
         from gminer_spark.graph.triangles import _wedge_closed
@@ -445,6 +555,33 @@ def build_queries() -> dict[str, QueryFn]:
         )
 
     q["ppr_micro"] = ppr_micro
+
+    def spam_mass(s, d):
+        """TrustRank spam mass (Gyöngyi et al. 2004): global PageRank
+        and trusted-seed PPR over the SAME edges, then
+        ``(pr - trust) / pr`` per vertex — high mass ⇒ rank earned
+        without trusted provenance.  Both chains are the already
+        value-green engines; one co-partitioned id join at the end."""
+        from gminer_spark.graph.pagerank import pagerank
+
+        e = _edges(s, d)
+        pr = pagerank(e, num_iter=PR_ITERS).state.select(
+            "id", F.col("rank").alias("pr")
+        )
+        seeds = gt.vertices(e).where(F.col("id") % PPR_SEED_MOD == 0)
+        tr = pagerank(e, num_iter=PR_ITERS, reset=seeds).state.select(
+            "id", F.col("rank").alias("trust")
+        )
+        return pr.join(tr, on="id").select(
+            "id",
+            F.round(F.col("pr") * 1e6, 0).cast("long").alias("pr_micro"),
+            F.round(F.col("trust") * 1e6, 0).cast("long").alias("trust_micro"),
+            F.round((F.col("pr") - F.col("trust")) / F.col("pr") * 1e6, 0)
+            .cast("long")
+            .alias("spam_mass_micro"),
+        )
+
+    q["spam_mass"] = spam_mass
 
     def ppr_batch_micro(s, d):
         """BATCHED personalized PageRank: one rank vector PER seed
@@ -685,6 +822,35 @@ def build_queries() -> dict[str, QueryFn]:
         return strongly_connected_components(de)
 
     q["scc"] = scc
+
+    def scc_condensation(s, d):
+        """The condensation DAG: every SCC contracted to its min-id
+        vertex, distinct cross-component edges kept — what cycle-free
+        analyses (dead-end mass flow, crawl tiering) run on.
+
+        Runs over a DAG-biased sparse view (10% of edges kept, low→high
+        orientation, 1-in-20 flipped back) rather than the bowtie/scc
+        md5-coin view: the coin view at oracle scale is ONE giant SCC,
+        whose condensation is vacuously empty.  This view yields a
+        giant core + singleton periphery (≈312 components, ≈573
+        condensation edges at sf0.01) — a real bow-tie shape, so the
+        witness actually checks contraction + cross-edge dedup."""
+        from gminer_spark.graph.scc import condensation
+
+        e = _edges(s, d)
+        kept = e.where(
+            h32_spark(F.concat_ws(":", F.lit("keep"), "src", "dst")) % 10 == 0
+        )
+        flip = (
+            h32_spark(F.concat_ws(":", F.lit("dirb"), "src", "dst")) % 20 == 0
+        )
+        de = kept.select(
+            F.when(flip, F.col("dst")).otherwise(F.col("src")).alias("src"),
+            F.when(flip, F.col("src")).otherwise(F.col("dst")).alias("dst"),
+        )
+        return condensation(de)
+
+    q["scc_condensation"] = scc_condensation
 
     def degree_assortativity(s, d):
         """Degree assortativity (Pearson r of endpoint degrees over the
@@ -1748,6 +1914,20 @@ def build_oracles() -> dict[str, str]:
     FROM lineitem)"""
     )
 
+    from gminer_spark.web.edges import anchor_stats_oracle_sql
+
+    o["web_anchor_stats"] = anchor_stats_oracle_sql(
+        """anchors AS (
+    SELECT 'https://s' || CAST(l_suppkey % 101 AS VARCHAR)
+               || '.example.com/page/' || CAST(l_orderkey AS VARCHAR)
+               AS src_url,
+           'https://p' || CAST(l_partkey % 137 AS VARCHAR)
+               || '.example.com/item/' || CAST(l_partkey AS VARCHAR)
+               AS dst_url,
+           'buy part ' || CAST(l_partkey % 7 AS VARCHAR) AS anchor
+    FROM lineitem)"""
+    )
+
     o["graph_degrees"] = f"""
 WITH {EDGES_CTE.strip()},
 outd AS (SELECT src AS id, COUNT(*) AS out_deg FROM edges GROUP BY src),
@@ -1803,11 +1983,28 @@ de AS MATERIALIZED (
 
     o["scc"] = scc_oracle_sql(_dir_edges_cte)
 
+    from gminer_spark.graph.scc import condensation_oracle_sql
+
+    _dirb_key = (
+        "'dirb:' || CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)"
+    )
+    _keep_key = (
+        "'keep:' || CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)"
+    )
+    _sparse_dir_edges_cte = f"""{EDGES_CTE.strip()},
+de AS MATERIALIZED (
+    SELECT CASE WHEN {h32_sql(_dirb_key)} % 20 = 0 THEN dst ELSE src END AS src,
+           CASE WHEN {h32_sql(_dirb_key)} % 20 = 0 THEN src ELSE dst END AS dst
+    FROM edges
+    WHERE {h32_sql(_keep_key)} % 10 = 0)"""
+    o["scc_condensation"] = condensation_oracle_sql(_sparse_dir_edges_cte)
+
     o["pagerank_micro"] = pagerank_oracle_sql()
     o["pagerank_blocked_micro"] = pagerank_oracle_sql()
     o["pagerank_locality_micro"] = pagerank_oracle_sql()
     o["pagerank_weighted_micro"] = pagerank_weighted_oracle_sql()
     o["ppr_micro"] = ppr_oracle_sql()
+    o["spam_mass"] = spam_mass_oracle_sql()
 
     from gminer_spark.graph.pagerank import ppr_batch_oracle_sql
 
