@@ -400,7 +400,7 @@ def focused_clusters(
     hot_k: int = 0,
     task_batch_size: int | None = 512,
     full_graph_entries: int = 2_000_000,
-    delta_pull: bool = True,
+    delta_pull: bool = False,
 ) -> DataFrame:
     """All-seeds focused clustering -> (cluster, outlier, phi) rows.
 
@@ -526,9 +526,14 @@ def focused_clusters(
         # candidates, so the per-round pull shuffle shrinks from
         # O(Σ|subg ∪ cand|·deg) to O(Σ|new|·deg) — and AQE broadcasts
         # the (small) delta side, leaving the held state unshuffled.
-        # On a network-shuffle cluster that is the scale path; local
-        # tmpfs shuffle makes re-pulling nearly free, so the knob can
-        # be turned off to skip the blob carry.
+        # Default OFF (measured, BENCH.md focusco A/B): the carried
+        # blob crosses JVM↔python TWICE per round (emit + next round's
+        # input) plus a pickle each way, where a full re-pull ships the
+        # same bytes ONCE as the nbhd collect — on tmpfs shuffle the
+        # saved adjacency join is far cheaper than the extra crossing
+        # (10M edges, 100 seeds: 40.2→109.5 s at 4 cores, 40.6→78.3 s
+        # at 16).  It is a knob for network-shuffle clusters where the
+        # re-pull join, not serialization, is the bottleneck.
         if delta_pull:
             live = live.withColumn(
                 "held_vids", F.lit(None).cast("array<long>")

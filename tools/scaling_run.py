@@ -194,7 +194,7 @@ def main() -> None:
             seeds=seeds,
             max_spark_rounds=30,
             full_graph_entries=0,
-            delta_pull=os.environ.get("FOCUSCO_DELTA", "1") == "1",
+            delta_pull=os.environ.get("FOCUSCO_DELTA", "0") == "1",
         )
         focused_clusters(wedges, p, **kw).count()  # warm-up
         secs = []
