@@ -205,6 +205,74 @@ def pagerank_weighted_oracle_sql(iters: int = PR_ITERS, damping: float = 0.85) -
     )
 
 
+def host_pagerank_oracle_sql(
+    links_cte: str, iters: int = PR_ITERS, damping: float = 0.85
+) -> str:
+    """Weighted PageRank over the DOMAIN-level host graph: roll page
+    links up to cross-host (src_host, dst_host, w=link-count) edges,
+    hash hosts to h32 ids (cross-engine md5), then run the exact
+    weighted chain of ``pagerank_weighted_oracle_sql`` and join the
+    host string back at the end.  ``links_cte`` must define
+    ``links(src_url, dst_url)``."""
+    hs = "lower(regexp_extract(src_url, '^https?://([^/?#]+)', 1))"
+    hd = "lower(regexp_extract(dst_url, '^https?://([^/?#]+)', 1))"
+    ctes = [
+        _materialize(links_cte.strip()),
+        _materialize(f"""hedges AS (
+    SELECT src_host, dst_host, CAST(COUNT(*) AS DOUBLE) AS w
+    FROM (SELECT {hs} AS src_host, {hd} AS dst_host FROM links)
+    WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+    GROUP BY src_host, dst_host
+)"""),
+        _materialize(f"""hverts AS (
+    SELECT DISTINCT host, {h32_sql("host")} AS id
+    FROM (SELECT src_host AS host FROM hedges
+          UNION ALL SELECT dst_host AS host FROM hedges)
+)"""),
+        _materialize(f"""wid AS (
+    SELECT {h32_sql("src_host")} AS src, {h32_sql("dst_host")} AS dst, w
+    FROM hedges
+)"""),
+        _materialize("""deg AS (
+    SELECT v.id, COALESCE(o.s, 0.0) AS out_deg
+    FROM hverts v LEFT JOIN (
+        SELECT src, SUM(w) AS s FROM wid GROUP BY src) o
+    ON v.id = o.src
+)"""),
+        _materialize("n AS (SELECT COUNT(*) AS cnt FROM hverts)"),
+        _materialize(
+            "r0 AS (SELECT d.id, 1.0/(SELECT cnt FROM n) AS rank, d.out_deg FROM deg d)"
+        ),
+    ]
+    for k in range(1, iters + 1):
+        p = f"r{k - 1}"
+        ctes.append(
+            f"""r{k} AS MATERIALIZED (
+    SELECT d.id,
+           (1.0 - {damping})/(SELECT cnt FROM n)
+           + {damping} * (
+               COALESCE(c.contrib, 0.0)
+               + (SELECT COALESCE(SUM(rank), 0.0) FROM {p} WHERE out_deg = 0)
+                 / (SELECT cnt FROM n)
+           ) AS rank,
+           d.out_deg
+    FROM deg d LEFT JOIN (
+        SELECT e.dst, SUM(r.rank * e.w / r.out_deg) AS contrib
+        FROM wid e JOIN {p} r ON e.src = r.id
+        GROUP BY e.dst) c
+    ON d.id = c.dst
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT v.host, CAST(ROUND(r.rank * 1e6) AS BIGINT) AS rank_micro
+FROM r{iters} r JOIN hverts v ON v.id = r.id
+"""
+    )
+
+
 PPR_SEED_MOD = 97
 
 
@@ -499,6 +567,96 @@ def build_queries() -> dict[str, QueryFn]:
         return anchor_stats(anchors)
 
     q["web_anchor_stats"] = web_anchor_stats
+
+    def host_pagerank(s, d):
+        """Domain-level weighted PageRank — the host-authority signal
+        run after the host-graph rollup (page graph is O(trillions) at
+        100 TB, host graph O(millions), so rank at host grain first).
+        Synthesizes a two-direction links table (supplier pages → part
+        items, plus back-links for every third lineitem), rolls up to
+        weighted host edges, hashes hosts to h32 ids, and runs the
+        value-green weighted PageRank engine; host strings joined back
+        at the end."""
+        from gminer_spark.graph.pagerank import pagerank
+        from gminer_spark.graph.tables import load_table
+        from gminer_spark.web.edges import host_graph
+
+        li = load_table(s, d, "lineitem")
+        s_page = F.concat(
+            F.lit("https://s"),
+            (F.col("l_suppkey") % 101).cast("string"),
+            F.lit(".example.com/page/"),
+            F.col("l_orderkey").cast("string"),
+        )
+        p_item = F.concat(
+            F.lit("https://p"),
+            (F.col("l_partkey") % 137).cast("string"),
+            F.lit(".example.com/item/"),
+            F.col("l_partkey").cast("string"),
+        )
+        links = li.select(
+            s_page.alias("src_url"), p_item.alias("dst_url")
+        ).unionByName(
+            li.where(F.col("l_linenumber") % 3 == 0).select(
+                p_item.alias("src_url"), s_page.alias("dst_url")
+            )
+        )
+        hg = host_graph(links)
+        hedges = hg.select(
+            h32_spark(F.col("src_host")).alias("src"),
+            h32_spark(F.col("dst_host")).alias("dst"),
+            F.col("n_links").cast("double").alias("w"),
+        )
+        hosts = (
+            hg.select(F.col("src_host").alias("host"))
+            .unionByName(hg.select(F.col("dst_host").alias("host")))
+            .distinct()
+        )
+        res = pagerank(hedges, num_iter=PR_ITERS, weight_col="w")
+        return res.state.join(
+            hosts.select(h32_spark(F.col("host")).alias("id"), "host"),
+            on="id",
+        ).select(
+            "host",
+            F.round(F.col("rank") * 1e6, 0).cast("long").alias("rank_micro"),
+        )
+
+    q["host_pagerank"] = host_pagerank
+
+    def redirect_resolution(s, d):
+        """Redirect-chain resolution (crawl url normalization):
+        synthesize deterministic variable-depth chains from orders
+        (per order, urls r/<key>/0 → … → r/<key>/L with
+        L = h32(key) % 7 + 1), then resolve every source to its
+        terminal target by pointer doubling — ⌈log₂ depth⌉ rounds."""
+        from gminer_spark.graph.tables import load_table
+        from gminer_spark.web.edges import resolve_redirects
+
+        ords = load_table(s, d, "orders").select("o_orderkey")
+        n = (
+            h32_spark(F.concat_ws(":", F.lit("chain"), F.col("o_orderkey")))
+            % 7
+        )
+        chain = ords.select(
+            "o_orderkey", F.explode(F.sequence(F.lit(0), n)).alias("i")
+        )
+        redirects = chain.select(
+            F.concat(
+                F.lit("https://r.example.com/"),
+                F.col("o_orderkey").cast("string"),
+                F.lit("/"),
+                F.col("i").cast("string"),
+            ).alias("src_url"),
+            F.concat(
+                F.lit("https://r.example.com/"),
+                F.col("o_orderkey").cast("string"),
+                F.lit("/"),
+                (F.col("i") + 1).cast("string"),
+            ).alias("dst_url"),
+        )
+        return resolve_redirects(redirects)
+
+    q["redirect_resolution"] = redirect_resolution
 
     # -- 2. triangle counting (SURVEY §2.10 TC) ----------------------------
     def tc_global(s, d):
@@ -1926,6 +2084,39 @@ def build_oracles() -> dict[str, str]:
                AS dst_url,
            'buy part ' || CAST(l_partkey % 7 AS VARCHAR) AS anchor
     FROM lineitem)"""
+    )
+
+    o["host_pagerank"] = host_pagerank_oracle_sql(
+        """links AS (
+    SELECT 'https://s' || CAST(l_suppkey % 101 AS VARCHAR)
+               || '.example.com/page/' || CAST(l_orderkey AS VARCHAR)
+               AS src_url,
+           'https://p' || CAST(l_partkey % 137 AS VARCHAR)
+               || '.example.com/item/' || CAST(l_partkey AS VARCHAR)
+               AS dst_url
+    FROM lineitem
+    UNION ALL
+    SELECT 'https://p' || CAST(l_partkey % 137 AS VARCHAR)
+               || '.example.com/item/' || CAST(l_partkey AS VARCHAR)
+               AS src_url,
+           'https://s' || CAST(l_suppkey % 101 AS VARCHAR)
+               || '.example.com/page/' || CAST(l_orderkey AS VARCHAR)
+               AS dst_url
+    FROM lineitem WHERE l_linenumber % 3 = 0)"""
+    )
+
+    from gminer_spark.web.edges import resolve_redirects_oracle_sql
+
+    _chain_key = "'chain:' || CAST(o_orderkey AS VARCHAR)"
+    o["redirect_resolution"] = resolve_redirects_oracle_sql(
+        f"""redirects AS (
+    SELECT 'https://r.example.com/' || CAST(o_orderkey AS VARCHAR)
+               || '/' || CAST(i AS VARCHAR) AS src_url,
+           'https://r.example.com/' || CAST(o_orderkey AS VARCHAR)
+               || '/' || CAST(i + 1 AS VARCHAR) AS dst_url
+    FROM (SELECT o_orderkey,
+                 UNNEST(generate_series(0, {h32_sql(_chain_key)} % 7)) AS i
+          FROM orders))"""
     )
 
     o["graph_degrees"] = f"""

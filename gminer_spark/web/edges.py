@@ -168,6 +168,99 @@ FROM tot t JOIN top p ON p.dst_url = t.dst_url AND p.rn = 1
 """
 
 
+def resolve_redirects(redirects: DataFrame, max_rounds: int = 32) -> DataFrame:
+    """Resolve every redirect source to its terminal target →
+    ``(src_url, final_url, hops)``, one row per redirect source.
+
+    The crawl-normalization primitive: before link extraction and
+    dedup, every url that 30x-redirects must be replaced by its final
+    target or the edge table splits one logical page across aliases.
+    Input is any ``(src_url, dst_url)`` table; it is normalized to a
+    FUNCTION first (min dst per src — a deterministic total-order pick
+    if the crawl recorded conflicting redirects) and self-redirects
+    are dropped.
+
+    Pointer doubling (path halving): each round composes the map with
+    itself, so a chain of depth d resolves in ⌈log₂ d⌉ rounds — at
+    web scale that is ~5 joins for depth-32 chains instead of 32
+    sequential ones.  Each round is ONE self-join shuffled on the
+    pointer key plus ONE fused action (lazy plan barrier +
+    convergence count, the coreness discipline); the state is
+    multi-referenced per round, hence :func:`plan_barrier` instead of
+    ``localCheckpoint`` (Spark-4 origin-chain growth).
+
+    Redirect CYCLES never converge; the loop stops at ``max_rounds``
+    (covers chains of depth 2**max_rounds) and warns — rows still
+    moving then sit on a cycle and carry whatever pointer the last
+    doubling left.
+    """
+    import warnings
+
+    from gminer_spark.graph.tables import plan_barrier
+
+    f = (
+        redirects.where(F.col("src_url") != F.col("dst_url"))
+        .groupBy(F.col("src_url").alias("src"))
+        .agg(F.min("dst_url").alias("nxt"))
+        .select("src", "nxt", F.lit(1).cast("long").alias("hops"))
+    )
+    moved = None
+    for _ in range(max_rounds):
+        nxt_map = f.select(
+            F.col("src").alias("nxt"),
+            F.col("nxt").alias("nxt2"),
+            F.col("hops").alias("h2"),
+        )
+        stepped = plan_barrier(
+            f.join(nxt_map, on="nxt", how="left").select(
+                "src",
+                F.coalesce("nxt2", "nxt").alias("nxt"),
+                (F.col("hops") + F.coalesce("h2", F.lit(0))).alias("hops"),
+                F.col("nxt2").isNotNull().alias("moved"),
+            ),
+            eager=False,
+        )
+        moved = stepped.where(F.col("moved")).count()
+        f = stepped.drop("moved")
+        if moved == 0:
+            break
+    else:
+        if moved:
+            warnings.warn(
+                f"resolve_redirects(): {moved} sources still moving after "
+                f"max_rounds={max_rounds} doublings — redirect cycle or "
+                f"chain deeper than 2**{max_rounds}; their final_url is "
+                "NOT terminal",
+                stacklevel=2,
+            )
+    return f.select(
+        F.col("src").alias("src_url"),
+        F.col("nxt").alias("final_url"),
+        "hops",
+    )
+
+
+def resolve_redirects_oracle_sql(redirects_cte: str) -> str:
+    """DuckDB witness over any CTE ``redirects(src_url, dst_url)``:
+    single-step recursive walk to the terminal target (input must be
+    acyclic — the witness, unlike the engine, would not terminate on a
+    cycle, so contract inputs are chains by construction)."""
+    return f"""
+WITH RECURSIVE {redirects_cte.strip()},
+reds AS MATERIALIZED (
+    SELECT src_url AS src, MIN(dst_url) AS nxt
+    FROM redirects WHERE src_url <> dst_url GROUP BY src_url),
+walk(src, cur, hops) AS (
+    SELECT src, nxt, CAST(1 AS BIGINT) FROM reds
+    UNION ALL
+    SELECT w.src, r.nxt, w.hops + 1
+    FROM walk w JOIN reds r ON r.src = w.cur)
+SELECT w.src AS src_url, w.cur AS final_url, w.hops AS hops
+FROM walk w
+WHERE NOT EXISTS (SELECT 1 FROM reds r WHERE r.src = w.cur)
+"""
+
+
 def host_graph_oracle_sql(links_cte: str) -> str:
     """DuckDB witness over any CTE named ``links(src_url, dst_url)``."""
     hs = "lower(regexp_extract(src_url, '^https?://([^/?#]+)', 1))"

@@ -211,3 +211,62 @@ def test_anchors_table_spine(spark):
         (r["src_url"], r["dst_url"]) for r in links_table(pages).collect()
     }
     assert {(r["src_url"], r["dst_url"]) for r in rows} <= link_pairs
+
+
+def test_resolve_redirects_chains(spark):
+    """Pointer doubling resolves chains to the terminal url with exact
+    hop counts; conflicting redirects pick min dst; self-redirects
+    dropped."""
+    from gminer_spark.web.edges import resolve_redirects
+
+    redirects = spark.createDataFrame(
+        [
+            # depth-4 chain a0->a1->a2->a3->a4
+            ("https://r/a0", "https://r/a1"),
+            ("https://r/a1", "https://r/a2"),
+            ("https://r/a2", "https://r/a3"),
+            ("https://r/a3", "https://r/a4"),
+            # conflicting: b -> {z, y} => min pick y
+            ("https://r/b", "https://r/z"),
+            ("https://r/b", "https://r/y"),
+            # self-redirect only: dropped entirely
+            ("https://r/self", "https://r/self"),
+        ],
+        "src_url string, dst_url string",
+    )
+    rows = {
+        r["src_url"]: (r["final_url"], r["hops"])
+        for r in resolve_redirects(redirects).collect()
+    }
+    assert rows["https://r/a0"] == ("https://r/a4", 4)
+    assert rows["https://r/a1"] == ("https://r/a4", 3)
+    assert rows["https://r/a3"] == ("https://r/a4", 1)
+    assert rows["https://r/b"] == ("https://r/y", 1)
+    assert "https://r/self" not in rows
+    assert len(rows) == 5
+
+
+def test_resolve_redirects_cycle_warns(spark):
+    """A 2-cycle never terminates — the loop stops at max_rounds and
+    warns; chain rows that already converged are still exact."""
+    import warnings
+
+    from gminer_spark.web.edges import resolve_redirects
+
+    redirects = spark.createDataFrame(
+        [
+            ("https://r/c1", "https://r/c2"),
+            ("https://r/c2", "https://r/c1"),
+            ("https://r/ok", "https://r/done"),
+        ],
+        "src_url string, dst_url string",
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        rows = {
+            r["src_url"]: (r["final_url"], r["hops"])
+            for r in resolve_redirects(redirects, max_rounds=3).collect()
+        }
+    assert any("cycle" in str(x.message) for x in w)
+    assert rows["https://r/ok"] == ("https://r/done", 1)
+    assert len(rows) == 3
