@@ -658,6 +658,66 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["redirect_resolution"] = redirect_resolution
 
+    def mirror_hosts_q(s, d):
+        """Mirror-host detection over the documents table: every doc
+        lives on host h<k> (k = h32(doc_id) % 17); every third doc is
+        also mirrored onto m<k> — so (h<k>, m<k>) pairs share ~1/3 of
+        their page fingerprints and clear the 0.1 Jaccard floor."""
+        from gminer_spark.graph.tables import load_table
+        from gminer_spark.web.mirrors import mirror_hosts
+
+        docs = load_table(s, d, "documents")
+        k = (h32_spark(F.col("doc_id").cast("string")) % 17).cast("string")
+        base = docs.select(
+            F.concat(F.lit("h"), k).alias("host"),
+            h32_spark(F.col("text")).alias("fp"),
+        )
+        mirrored = docs.where(
+            h32_spark(F.concat(F.lit("m:"), F.col("doc_id").cast("string")))
+            % 3
+            == 0
+        ).select(
+            F.concat(F.lit("m"), k).alias("host"),
+            h32_spark(F.col("text")).alias("fp"),
+        )
+        return mirror_hosts(
+            base.unionByName(mirrored), min_jaccard=0.1, max_df=1000
+        )
+
+    q["mirror_hosts"] = mirror_hosts_q
+
+    def crawl_frontier_q(s, d):
+        """Discovery-frontier scoring: supplier pages link to part
+        items (the host_pagerank synthetic link table, forward
+        direction); the crawled set is every supplier page plus the
+        part items with partkey % 4 == 0 — the frontier is the
+        remaining part items ranked by in-link evidence."""
+        from gminer_spark.graph.tables import load_table
+        from gminer_spark.web.edges import crawl_frontier
+
+        li = load_table(s, d, "lineitem")
+        s_page = F.concat(
+            F.lit("https://s"),
+            (F.col("l_suppkey") % 101).cast("string"),
+            F.lit(".example.com/page/"),
+            F.col("l_orderkey").cast("string"),
+        )
+        p_item = F.concat(
+            F.lit("https://p"),
+            (F.col("l_partkey") % 137).cast("string"),
+            F.lit(".example.com/item/"),
+            F.col("l_partkey").cast("string"),
+        )
+        links = li.select(
+            s_page.alias("src_url"), p_item.alias("dst_url")
+        )
+        crawled = li.select(s_page.alias("url")).unionByName(
+            li.where(F.col("l_partkey") % 4 == 0).select(p_item.alias("url"))
+        )
+        return crawl_frontier(links, crawled)
+
+    q["crawl_frontier"] = crawl_frontier_q
+
     # -- 2. triangle counting (SURVEY §2.10 TC) ----------------------------
     def tc_global(s, d):
         from gminer_spark.graph.triangles import _wedge_closed
@@ -2117,6 +2177,34 @@ def build_oracles() -> dict[str, str]:
     FROM (SELECT o_orderkey,
                  UNNEST(generate_series(0, {h32_sql(_chain_key)} % 7)) AS i
           FROM orders))"""
+    )
+
+    from gminer_spark.web.mirrors import (
+        doc_mirror_pagefps_sql,
+        mirror_hosts_oracle_sql,
+    )
+
+    o["mirror_hosts"] = mirror_hosts_oracle_sql(
+        doc_mirror_pagefps_sql(), min_jaccard=0.1, max_df=1000
+    )
+
+    from gminer_spark.web.edges import crawl_frontier_oracle_sql
+
+    _s_page = (
+        "'https://s' || CAST(l_suppkey % 101 AS VARCHAR)"
+        " || '.example.com/page/' || CAST(l_orderkey AS VARCHAR)"
+    )
+    _p_item = (
+        "'https://p' || CAST(l_partkey % 137 AS VARCHAR)"
+        " || '.example.com/item/' || CAST(l_partkey AS VARCHAR)"
+    )
+    o["crawl_frontier"] = crawl_frontier_oracle_sql(
+        f"""links AS (
+    SELECT {_s_page} AS src_url, {_p_item} AS dst_url FROM lineitem)""",
+        f"""crawled AS (
+    SELECT {_s_page} AS url FROM lineitem
+    UNION ALL
+    SELECT {_p_item} AS url FROM lineitem WHERE l_partkey % 4 = 0)""",
     )
 
     o["graph_degrees"] = f"""

@@ -275,3 +275,53 @@ FROM h
 WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
 GROUP BY src_host, dst_host
 """
+
+
+def crawl_frontier(links: DataFrame, crawled: DataFrame) -> DataFrame:
+    """Rank the discovery frontier: urls that appear as link targets
+    but have not been crawled, scored by in-link evidence →
+    ``(url, n_inlinks, n_src_pages, n_src_hosts)``.
+
+    The crawl-scheduling primitive: at web scale the frontier is
+    billions of candidate urls and the scheduler needs them scored by
+    how much of the already-crawled web points at them (total links,
+    distinct linking pages, distinct linking hosts — the host count is
+    the spam-resistant signal, one domain cannot vote twice).
+
+    Plan shape: one left-anti join against the crawled set (shuffle
+    keyed by url, or broadcast when the crawled set is the small side
+    of an incremental recrawl), then a single map-side-combinable
+    groupBy — no UDFs, fully whole-stage-codegen.
+    """
+    cand = links.join(
+        crawled.select(F.col("url").alias("dst_url")).distinct(),
+        on="dst_url",
+        how="left_anti",
+    )
+    return (
+        cand.groupBy(F.col("dst_url").alias("url"))
+        .agg(
+            F.count("*").cast("long").alias("n_inlinks"),
+            F.countDistinct("src_url").cast("long").alias("n_src_pages"),
+            F.countDistinct(host_of(F.col("src_url")))
+            .cast("long")
+            .alias("n_src_hosts"),
+        )
+    )
+
+
+def crawl_frontier_oracle_sql(links_cte: str, crawled_cte: str) -> str:
+    """DuckDB witness over CTEs ``links(src_url, dst_url)`` and
+    ``crawled(url)``."""
+    hs = "lower(regexp_extract(src_url, '^https?://([^/?#]+)', 1))"
+    return f"""
+WITH {links_cte.strip()},
+{crawled_cte.strip()}
+SELECT l.dst_url AS url,
+       CAST(COUNT(*) AS BIGINT) AS n_inlinks,
+       CAST(COUNT(DISTINCT l.src_url) AS BIGINT) AS n_src_pages,
+       CAST(COUNT(DISTINCT {hs}) AS BIGINT) AS n_src_hosts
+FROM links l
+WHERE NOT EXISTS (SELECT 1 FROM crawled c WHERE c.url = l.dst_url)
+GROUP BY l.dst_url
+"""

@@ -270,3 +270,54 @@ def test_resolve_redirects_cycle_warns(spark):
     assert any("cycle" in str(x.message) for x in w)
     assert rows["https://r/ok"] == ("https://r/done", 1)
     assert len(rows) == 3
+
+
+def test_mirror_hosts_jaccard_and_df_cut(spark):
+    """Jaccard math on a known overlap; boilerplate fingerprint shared
+    by >max_df hosts is excluded from pairing but still counts toward
+    set sizes (true denominators)."""
+    from gminer_spark.web.mirrors import mirror_hosts
+
+    rows = []
+    # hosts a and b: 4 fps each, 3 shared -> J = 3/5
+    for fp in [1, 2, 3, 10]:
+        rows.append(("a", fp))
+    for fp in [1, 2, 3, 20]:
+        rows.append(("b", fp))
+    # boilerplate fp 99 on a, b, c, d (df=4 > max_df=3): never pairs
+    for h in ["a", "b", "c", "d"]:
+        rows.append((h, 99))
+    pagefps = spark.createDataFrame(rows, "host string, fp long")
+    out = {
+        (r["host_a"], r["host_b"]): r
+        for r in mirror_hosts(pagefps, min_jaccard=0.3, max_df=3).collect()
+    }
+    assert set(out) == {("a", "b")}
+    r = out[("a", "b")]
+    # sizes include the boilerplate fp (5 each); shared excludes it (3)
+    assert (r["n_shared"], r["n_a"], r["n_b"]) == (3, 5, 5)
+    assert r["jaccard_micro"] == round(3 / 7 * 1e6)  # 3/(5+5-3)
+
+
+def test_crawl_frontier_anti_join(spark):
+    """Only uncrawled targets appear; host count is distinct linking
+    hosts, page count distinct linking pages."""
+    from gminer_spark.web.edges import crawl_frontier
+
+    links = spark.createDataFrame(
+        [
+            ("https://a.com/1", "https://t.com/new"),
+            ("https://a.com/1", "https://t.com/new"),  # dup link, same page
+            ("https://a.com/2", "https://t.com/new"),
+            ("https://b.com/1", "https://t.com/new"),
+            ("https://a.com/1", "https://t.com/seen"),
+        ],
+        "src_url string, dst_url string",
+    )
+    crawled = spark.createDataFrame(
+        [("https://t.com/seen",)], "url string"
+    )
+    rows = {r["url"]: r for r in crawl_frontier(links, crawled).collect()}
+    assert set(rows) == {"https://t.com/new"}
+    r = rows["https://t.com/new"]
+    assert (r["n_inlinks"], r["n_src_pages"], r["n_src_hosts"]) == (4, 3, 2)
