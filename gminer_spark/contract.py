@@ -718,6 +718,41 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["crawl_frontier"] = crawl_frontier_q
 
+    def _directed_edges(s, d):
+        """Directed bipartite-ish graph for the structure statistics:
+        supplier node → part node for every lineitem, plus the reverse
+        edge for every third line — so reciprocity is ~1/3, not the
+        degenerate 0 of the src<dst copurchase table."""
+        from gminer_spark.graph.tables import load_table
+
+        li = load_table(s, d, "lineitem")
+        sn = (F.lit(100000) + F.col("l_suppkey") % 101).cast("long")
+        pn = (F.lit(200000) + F.col("l_partkey") % 137).cast("long")
+        return li.select(sn.alias("src"), pn.alias("dst")).unionByName(
+            li.where(F.col("l_linenumber") % 3 == 0).select(
+                pn.alias("src"), sn.alias("dst")
+            )
+        )
+
+    def edge_reciprocity(s, d):
+        """Fraction of distinct directed edges whose reverse exists."""
+        from gminer_spark.graph.structure import reciprocity
+
+        return reciprocity(_directed_edges(s, d))
+
+    q["edge_reciprocity"] = edge_reciprocity
+
+    def directed_assortativity(s, d):
+        """Directed out-in degree assortativity (Pearson of out_deg(src)
+        vs in_deg(dst) over directed edges — the web-graph variant;
+        the existing ``degree_assortativity`` query is the undirected
+        Newman statistic over the sym copurchase graph)."""
+        from gminer_spark.graph.structure import degree_assortativity
+
+        return degree_assortativity(_directed_edges(s, d))
+
+    q["directed_assortativity"] = directed_assortativity
+
     # -- 2. triangle counting (SURVEY §2.10 TC) ----------------------------
     def tc_global(s, d):
         from gminer_spark.graph.triangles import _wedge_closed
@@ -2206,6 +2241,22 @@ def build_oracles() -> dict[str, str]:
     UNION ALL
     SELECT {_p_item} AS url FROM lineitem WHERE l_partkey % 4 = 0)""",
     )
+
+    from gminer_spark.graph.structure import (
+        degree_assortativity_oracle_sql,
+        reciprocity_oracle_sql,
+    )
+
+    _dedges_cte = """edges AS (
+    SELECT CAST(100000 + l_suppkey % 101 AS BIGINT) AS src,
+           CAST(200000 + l_partkey % 137 AS BIGINT) AS dst
+    FROM lineitem
+    UNION ALL
+    SELECT CAST(200000 + l_partkey % 137 AS BIGINT) AS src,
+           CAST(100000 + l_suppkey % 101 AS BIGINT) AS dst
+    FROM lineitem WHERE l_linenumber % 3 = 0)"""
+    o["edge_reciprocity"] = reciprocity_oracle_sql(_dedges_cte)
+    o["directed_assortativity"] = degree_assortativity_oracle_sql(_dedges_cte)
 
     o["graph_degrees"] = f"""
 WITH {EDGES_CTE.strip()},

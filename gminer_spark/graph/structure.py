@@ -1,0 +1,157 @@
+"""Global web-structure statistics over the directed edge table:
+reciprocity and degree assortativity.
+
+Both are single-pass aggregate queries — the cheap "shape of the web"
+numbers run on every crawl snapshot before the iterative algorithms.
+Reference analog: GMiner's global scalar aggregators (master-side
+reduction in `system/aggregator.hpp`); here each is one or two
+shuffles ending in a 1-row result.
+
+Cross-engine exactness discipline: every statistic is assembled from
+EXACT integer sums (counts, degree sums, degree products) and only the
+final ratio is computed in IEEE double, rounded to 1e-6 — the same
+micro-int contract as PageRank.  The assortativity combination
+(n·Σxy − Σx·Σy, …) runs in DECIMAL(38,0) so it stays exact even when
+BIGINT products would overflow at web scale (Σx ~ 1e15 on a trillion
+edges squares to 1e30).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """1-row ``(n_edges, n_reciprocal, reciprocity_micro)`` — the
+    fraction of distinct directed edges (src≠dst) whose reverse edge
+    also exists.  High reciprocity separates social-ish link exchanges
+    from the strongly asymmetric authority links of the open web.
+
+    One distinct, one self-join on the reversed key (shuffle keyed by
+    (src,dst) both times), both counts fused into a single global
+    aggregate — the whole statistic is one lazy plan / one action.
+    """
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.lit(1).alias("has_rev"),
+    )
+    return (
+        e.join(rev, on=["src", "dst"], how="left")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.count("has_rev").alias("n_reciprocal"),
+        )
+        .select(
+            "n_edges",
+            "n_reciprocal",
+            F.round(F.col("n_reciprocal") / F.col("n_edges") * 1e6, 0)
+            .cast("long")
+            .alias("reciprocity_micro"),
+        )
+    )
+
+
+def reciprocity_oracle_sql(edges_cte: str) -> str:
+    """DuckDB witness over any CTE ``edges(src, dst)``."""
+    return f"""
+WITH {edges_cte.strip()},
+e AS MATERIALIZED (
+    SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e),
+r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reciprocal
+      FROM e a WHERE EXISTS (
+          SELECT 1 FROM e b WHERE b.src = a.dst AND b.dst = a.src))
+SELECT n.n_edges, r.n_reciprocal,
+       CAST(ROUND(CAST(r.n_reciprocal AS DOUBLE) / n.n_edges * 1e6)
+            AS BIGINT) AS reciprocity_micro
+FROM n, r
+"""
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """1-row ``(n_edges, assortativity_micro)`` — Pearson correlation,
+    over distinct directed edges (src≠dst), of the source's
+    out-degree with the target's in-degree (the standard directed
+    out-in assortativity; the web is famously disassortative).
+
+    Plan: degree tables are two map-side-combinable groupBys; each
+    edge picks up (x=out_deg(src), y=in_deg(dst)) via two joins (both
+    degree tables are broadcastable at host grain); the five moment
+    sums reduce in one pass.  Sums are exact BIGINTs, the Pearson
+    combination runs in DECIMAL(38,0), only the final division is
+    double.
+    """
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    outd = e.groupBy("src").agg(F.count("*").alias("x"))
+    ind = e.groupBy("dst").agg(F.count("*").alias("y"))
+    xy = e.join(outd, on="src").join(ind, on="dst")
+    s = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d = F.col  # noqa: E741 - brevity below
+    dec = "decimal(38,0)"
+    num = d("n").cast(dec) * d("sxy").cast(dec) - d("sx").cast(dec) * d(
+        "sy"
+    ).cast(dec)
+    vx = d("n").cast(dec) * d("sxx").cast(dec) - d("sx").cast(dec) * d(
+        "sx"
+    ).cast(dec)
+    vy = d("n").cast(dec) * d("syy").cast(dec) - d("sy").cast(dec) * d(
+        "sy"
+    ).cast(dec)
+    return s.select(
+        d("n").alias("n_edges"),
+        F.round(
+            num.cast("double")
+            / F.sqrt(vx.cast("double") * vy.cast("double"))
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("assortativity_micro"),
+    )
+
+
+def degree_assortativity_oracle_sql(edges_cte: str) -> str:
+    """DuckDB witness: identical integer moments (HUGEINT combination
+    is exact), identical final double division."""
+    return f"""
+WITH {edges_cte.strip()},
+e AS MATERIALIZED (
+    SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+outd AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS x FROM e GROUP BY src),
+ind  AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS y FROM e GROUP BY dst),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o.x) AS BIGINT) AS sx, CAST(SUM(i.y) AS BIGINT) AS sy,
+           CAST(SUM(o.x * i.y) AS BIGINT) AS sxy,
+           CAST(SUM(o.x * o.x) AS BIGINT) AS sxx,
+           CAST(SUM(i.y * i.y) AS BIGINT) AS syy
+    FROM e JOIN outd o ON e.src = o.src JOIN ind i ON e.dst = i.dst)
+SELECT n AS n_edges,
+       CAST(ROUND(
+           CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                AS DOUBLE)
+           / SQRT(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                       AS DOUBLE)
+                  * CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+                         AS DOUBLE))
+           * 1e6) AS BIGINT) AS assortativity_micro
+FROM m
+"""

@@ -998,3 +998,36 @@ def test_condensation_reuses_precomputed_scc(spark):
     a = sorted(map(tuple, condensation(e, scc=scc).collect()))
     b = sorted(map(tuple, condensation(e).collect()))
     assert a == b and len(a) > 0
+
+
+def test_reciprocity_known(spark):
+    """(1,2),(2,1) reciprocal; (1,3) not; dup rows and self-loop
+    collapse/drop before counting."""
+    from gminer_spark.graph.structure import reciprocity
+
+    e = edges_df(
+        spark, [(1, 2), (2, 1), (1, 3), (1, 3), (4, 4)]
+    )
+    r = reciprocity(e).collect()[0]
+    assert (r["n_edges"], r["n_reciprocal"]) == (3, 2)
+    assert r["reciprocity_micro"] == round(2 / 3 * 1e6)
+
+
+def test_degree_assortativity_known(spark):
+    """Matches a numpy Pearson over (out_deg(src), in_deg(dst)) pairs."""
+    import numpy as np
+
+    from gminer_spark.graph.structure import degree_assortativity
+
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 1), (4, 2), (2, 4)]
+    outd: dict[int, int] = {}
+    ind: dict[int, int] = {}
+    for s, d in pairs:
+        outd[s] = outd.get(s, 0) + 1
+        ind[d] = ind.get(d, 0) + 1
+    x = np.array([outd[s] for s, _ in pairs], dtype=float)
+    y = np.array([ind[d] for _, d in pairs], dtype=float)
+    expect = np.corrcoef(x, y)[0, 1]
+    r = degree_assortativity(edges_df(spark, pairs)).collect()[0]
+    assert r["n_edges"] == len(pairs)
+    assert r["assortativity_micro"] == round(expect * 1e6)

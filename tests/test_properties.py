@@ -99,3 +99,19 @@ def test_spark_triangles_property(spark, pairs):
     if not pairs:
         return
     assert triangle_count(edges_df(spark, pairs)) == oracle.triangles(pairs)
+
+
+def test_contract_registry_keys_unique():
+    """q[...] / o[...] assignments in contract.py must be unique —
+    a duplicate key silently overrides the earlier query (later
+    assignment wins) and the overridden operator loses its coverage."""
+    import re
+    from pathlib import Path
+
+    import gminer_spark.contract as c
+
+    src = Path(c.__file__).read_text()
+    for pat in (r'q\["([a-z0-9_]+)"\] = ', r'o\["([a-z0-9_]+)"\] = '):
+        keys = re.findall(pat, src)
+        dups = sorted({k for k in keys if keys.count(k) > 1})
+        assert not dups, f"duplicate contract registrations: {dups}"
