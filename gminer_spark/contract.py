@@ -753,6 +753,33 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["directed_assortativity"] = directed_assortativity
 
+    def anf_neighborhood(s, d):
+        """ANF / HyperBall neighborhood function N(r), r = 0..4, over
+        the sym copurchase graph — per-vertex HLL register sketches
+        grown one radius per round (one join + one max-agg), the scale
+        path for distance statistics where all-pairs BFS is
+        impossible.  Register arithmetic is integer-exact; per-vertex
+        estimates micro-round before the global BIGINT sum."""
+        from gminer_spark.graph.anf import neighborhood_function
+
+        return neighborhood_function(_edges(s, d), radius=4)
+
+    q["anf_neighborhood"] = anf_neighborhood
+
+    def effective_diameter(s, d):
+        """90%-effective diameter read off the ANF table (linear
+        interpolation between the bracketing radii), micro-int."""
+        from gminer_spark.graph.anf import (
+            effective_diameter_micro,
+            neighborhood_function,
+        )
+
+        return effective_diameter_micro(
+            neighborhood_function(_edges(s, d), radius=4), q=0.9
+        )
+
+    q["effective_diameter"] = effective_diameter
+
     # -- 2. triangle counting (SURVEY §2.10 TC) ----------------------------
     def tc_global(s, d):
         from gminer_spark.graph.triangles import _wedge_closed
@@ -2257,6 +2284,18 @@ def build_oracles() -> dict[str, str]:
     FROM lineitem WHERE l_linenumber % 3 = 0)"""
     o["edge_reciprocity"] = reciprocity_oracle_sql(_dedges_cte)
     o["directed_assortativity"] = degree_assortativity_oracle_sql(_dedges_cte)
+
+    from gminer_spark.graph.anf import (
+        effective_diameter_oracle_sql,
+        neighborhood_function_oracle_sql,
+    )
+
+    o["anf_neighborhood"] = neighborhood_function_oracle_sql(
+        EDGES_CTE.strip(), radius=4
+    )
+    o["effective_diameter"] = effective_diameter_oracle_sql(
+        EDGES_CTE.strip(), radius=4, q=0.9
+    )
 
     o["graph_degrees"] = f"""
 WITH {EDGES_CTE.strip()},

@@ -1031,3 +1031,65 @@ def test_degree_assortativity_known(spark):
     r = degree_assortativity(edges_df(spark, pairs)).collect()[0]
     assert r["n_edges"] == len(pairs)
     assert r["assortativity_micro"] == round(expect * 1e6)
+
+
+def test_anf_matches_duckdb_and_truth(spark):
+    """Spark ANF is bit-identical to the unrolled DuckDB witness on a
+    small graph, N(r) is nondecreasing, and the r=0 row estimates |V|
+    within HLL error."""
+    import duckdb
+
+    from gminer_spark.graph.anf import (
+        neighborhood_function,
+        neighborhood_function_oracle_sql,
+    )
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3), (5, 6), (6, 7)]
+    vals = ",".join(f"({s},{d})" for s, d in pairs)
+    cte = f"edges AS (SELECT * FROM (VALUES {vals}) t(src, dst))"
+    got = sorted(
+        (r["r"], r["n_pairs_est_micro"])
+        for r in neighborhood_function(edges_df(spark, pairs), radius=3).collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        map(tuple, con.sql(neighborhood_function_oracle_sql(cte, 3)).fetchall())
+    )
+    assert got == want
+    ns = [n for _, n in got]
+    assert all(b >= a for a, b in zip(ns, ns[1:]))  # balls only grow
+    assert abs(ns[0] / 1e6 - 7) / 7 < 0.5  # |V|=7 within coarse HLL error
+
+
+def test_anf_deterministic_under_partitioning(spark):
+    """Same result at different shuffle layouts — register pushes are
+    max-aggregated, so partition order cannot leak into the output."""
+    from gminer_spark.graph.anf import neighborhood_function
+
+    pairs = [(i, (i * 7) % 23 + 1) for i in range(1, 60)]
+    e = edges_df(spark, pairs)
+    a = sorted(map(tuple, neighborhood_function(e, radius=2).collect()))
+    b = sorted(
+        map(
+            tuple,
+            neighborhood_function(e.repartition(7, "dst"), radius=2).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_effective_diameter_interpolation(spark):
+    """Readout math on a hand-built N(r) table: target 0.9*100, hit
+    between r=1 (n=50) and r=2 (n=95)... actually 95>=90 -> between
+    1 and 2: eff = 1 + (90-50)/(95-50) = 1.888..."""
+    from gminer_spark.graph.anf import effective_diameter_micro
+
+    nf = spark.createDataFrame(
+        [(0, 10_000_000), (1, 50_000_000), (2, 95_000_000), (3, 100_000_000)],
+        "r long, n_pairs_est_micro long",
+    )
+    got = effective_diameter_micro(nf, q=0.9).collect()[0][0]
+    expect = 1 + (0.9 * 100_000_000 - 50_000_000) / (95_000_000 - 50_000_000)
+    import math
+
+    assert got == int(math.floor(expect * 1e6 + 0.5))
