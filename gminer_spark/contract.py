@@ -780,6 +780,16 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["effective_diameter"] = effective_diameter
 
+    def ball_sizes_q(s, d):
+        """Per-vertex HyperBall readout: estimated 2-hop neighborhood
+        size for every vertex — a structural graph-ML feature no exact
+        method can compute at web scale."""
+        from gminer_spark.graph.anf import ball_sizes
+
+        return ball_sizes(_edges(s, d), radius=2)
+
+    q["ball_sizes"] = ball_sizes_q
+
     # -- 2. triangle counting (SURVEY §2.10 TC) ----------------------------
     def tc_global(s, d):
         from gminer_spark.graph.triangles import _wedge_closed
@@ -2296,6 +2306,10 @@ def build_oracles() -> dict[str, str]:
     o["effective_diameter"] = effective_diameter_oracle_sql(
         EDGES_CTE.strip(), radius=4, q=0.9
     )
+
+    from gminer_spark.graph.anf import ball_sizes_oracle_sql
+
+    o["ball_sizes"] = ball_sizes_oracle_sql(EDGES_CTE.strip(), radius=2)
 
     o["graph_degrees"] = f"""
 WITH {EDGES_CTE.strip()},

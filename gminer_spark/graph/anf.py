@@ -89,6 +89,104 @@ def _estimate_cols():
     return F.round(est * 1e6, 0).cast("long").alias("est_micro")
 
 
+def _init_state(adj: DataFrame) -> DataFrame:
+    """Singleton HLL sketches: one register row per vertex."""
+    verts = (
+        adj.select(F.col("src").alias("id"))
+        .unionByName(adj.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return verts.select(
+        "id",
+        (h32(F.concat(F.lit("anfj:"), F.col("id").cast("string"))) % M)
+        .cast("int")
+        .alias("j"),
+        _rho(h32(F.concat(F.lit("anfr:"), F.col("id").cast("string"))))
+        .cast("int")
+        .alias("rho"),
+    )
+
+
+def _advance(adj: DataFrame, state: DataFrame) -> DataFrame:
+    """One HyperBall radius: push sketches over edges, register max."""
+    pushed = adj.join(state.withColumnRenamed("id", "dst"), on="dst").select(
+        F.col("src").alias("id"), "j", "rho"
+    )
+    return tables.plan_barrier(
+        state.unionByName(pushed)
+        .groupBy("id", "j")
+        .agg(F.max("rho").alias("rho")),
+        eager=False,
+    )
+
+
+def _per_vertex_est(state: DataFrame) -> DataFrame:
+    """(id, est_micro): the per-vertex HLL ball-size estimate."""
+    return state.groupBy("id").agg(
+        (F.lit(M) - F.count("*")).cast("long").alias("zeros"),
+        (
+            F.sum(F.pow(F.lit(2.0), 32 - F.col("rho")).cast("long"))
+            + (F.lit(M) - F.count("*")) * F.lit(POW32)
+        )
+        .cast("long")
+        .alias("z32"),
+    ).select("id", _estimate_cols())
+
+
+def ball_sizes(
+    edges: DataFrame, radius: int = 2, directed: bool = False
+) -> DataFrame:
+    """``(id, ball_size_micro)`` — the estimated number of vertices
+    within distance ``radius`` of each vertex (itself included), the
+    HyperBall per-vertex readout.  A standard structural feature for
+    graph ML (local density / hub reach) that no exact method can
+    compute at web scale; same register plan as
+    :func:`neighborhood_function`, one join + one max-agg per radius,
+    a single per-vertex estimate at the end."""
+    spark = edges.sparkSession
+    adj = edges.select("src", "dst") if directed else tables.symmetrize(edges)
+    adj = adj.repartition(tables.shuffle_partitions(spark), "dst").persist()
+    state = tables.plan_barrier(_init_state(adj), eager=False)
+    for _ in range(radius):
+        state = _advance(adj, state)
+    out = _per_vertex_est(state).select(
+        "id", F.col("est_micro").alias("ball_size_micro")
+    )
+    out = out.localCheckpoint()  # materialize before releasing adj
+    adj.unpersist()
+    return out
+
+
+def ball_sizes_oracle_sql(
+    edges_cte: str, radius: int, directed: bool = False
+) -> str:
+    """DuckDB witness: the register recursion unrolled, per-vertex
+    estimate at the final radius."""
+    nf = neighborhood_function_oracle_sql(edges_cte, radius, directed)
+    # reuse the register CTE chain; replace the final readout
+    ctes = nf[: nf.index(",\nest0 AS ")]
+    raw = (
+        f"CAST({ALPHA_MM!r} AS DOUBLE) * CAST({POW32} AS DOUBLE)"
+        " / CAST(z32 AS DOUBLE)"
+    )
+    ln_vals = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in _LN_TABLE)
+    return (
+        ctes
+        + f"""
+SELECT id, CAST(ROUND(CASE
+        WHEN {raw} <= CAST(40 AS DOUBLE) AND zeros > 0
+        THEN ([{ln_vals}])[CAST(GREATEST(zeros, 1) AS INTEGER)]
+        ELSE {raw} END * 1e6) AS BIGINT) AS ball_size_micro
+FROM (
+    SELECT id, CAST({M} - COUNT(*) AS BIGINT) AS zeros,
+           CAST(SUM(CAST(POW(2.0, 32 - rho) AS BIGINT))
+                + ({M} - COUNT(*)) * CAST({POW32} AS BIGINT)
+                AS BIGINT) AS z32
+    FROM reg{radius} GROUP BY id)
+"""
+    )
+
+
 def neighborhood_function(
     edges: DataFrame, radius: int = 4, directed: bool = False
 ) -> DataFrame:
@@ -101,50 +199,17 @@ def neighborhood_function(
     spark = edges.sparkSession
     adj = edges.select("src", "dst") if directed else tables.symmetrize(edges)
     adj = adj.repartition(tables.shuffle_partitions(spark), "dst").persist()
-    verts = (
-        adj.select(F.col("src").alias("id"))
-        .unionByName(adj.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    state = verts.select(
-        "id",
-        (h32(F.concat(F.lit("anfj:"), F.col("id").cast("string"))) % M)
-        .cast("int")
-        .alias("j"),
-        _rho(h32(F.concat(F.lit("anfr:"), F.col("id").cast("string"))))
-        .cast("int")
-        .alias("rho"),
-    )
-    state = tables.plan_barrier(state, eager=False)
+    state = tables.plan_barrier(_init_state(adj), eager=False)
 
     def n_est(st: DataFrame) -> int:
-        per_v = st.groupBy("id").agg(
-            (F.lit(M) - F.count("*")).cast("long").alias("zeros"),
-            (
-                F.sum(F.pow(F.lit(2.0), 32 - F.col("rho")).cast("long"))
-                + (F.lit(M) - F.count("*")) * F.lit(POW32)
-            )
-            .cast("long")
-            .alias("z32"),
+        row = (
+            _per_vertex_est(st).agg(F.sum("est_micro").alias("s")).first()
         )
-        row = per_v.select(_estimate_cols()).agg(
-            F.sum("est_micro").alias("s")
-        ).first()
         return int(row["s"] or 0)
 
     out = [(0, n_est(state))]
     for r in range(1, radius + 1):
-        # ball(v) grows by the neighbors' sketches: route sketch rows
-        # src -> dst over adj, union own rows, keep register max
-        pushed = adj.join(
-            state.withColumnRenamed("id", "dst"), on="dst"
-        ).select(F.col("src").alias("id"), "j", "rho")
-        state = tables.plan_barrier(
-            state.unionByName(pushed).groupBy("id", "j").agg(
-                F.max("rho").alias("rho")
-            ),
-            eager=False,
-        )
+        state = _advance(adj, state)
         out.append((r, n_est(state)))
     adj.unpersist()
     return spark.createDataFrame(

@@ -1093,3 +1093,25 @@ def test_effective_diameter_interpolation(spark):
     import math
 
     assert got == int(math.floor(expect * 1e6 + 0.5))
+
+
+def test_ball_sizes_matches_duckdb(spark):
+    """Per-vertex HyperBall readout is bit-identical to the unrolled
+    witness; on a path graph the radius-2 ball of an interior vertex
+    estimates ~5 vertices."""
+    import duckdb
+
+    from gminer_spark.graph.anf import ball_sizes, ball_sizes_oracle_sql
+
+    pairs = [(i, i + 1) for i in range(1, 10)]
+    vals = ",".join(f"({s},{d})" for s, d in pairs)
+    cte = f"edges AS (SELECT * FROM (VALUES {vals}) t(src, dst))"
+    got = sorted(
+        (r["id"], r["ball_size_micro"])
+        for r in ball_sizes(edges_df(spark, pairs), radius=2).collect()
+    )
+    con = duckdb.connect()
+    want = sorted(map(tuple, con.sql(ball_sizes_oracle_sql(cte, 2)).fetchall()))
+    assert got == want
+    by_id = dict(got)
+    assert abs(by_id[5] / 1e6 - 5) < 2.5  # interior: {3,4,5,6,7}
