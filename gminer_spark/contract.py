@@ -790,6 +790,44 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["ball_sizes"] = ball_sizes_q
 
+    def frontier_admission(s, d):
+        """Incremental crawl frontier through 3 maintainer batches
+        (lineitem split by l_linenumber: 1-2 / 3-4 / 5+) — final state
+        must equal the one-shot batch operator over the concatenated
+        inputs (frontier maintenance is arrival-order independent),
+        which is exactly what the oracle computes."""
+        from gminer_spark.graph.tables import load_table
+        from gminer_spark.web.edges import FrontierMaintainer
+
+        li = load_table(s, d, "lineitem")
+        s_page = F.concat(
+            F.lit("https://s"),
+            (F.col("l_suppkey") % 101).cast("string"),
+            F.lit(".example.com/page/"),
+            F.col("l_orderkey").cast("string"),
+        )
+        p_item = F.concat(
+            F.lit("https://p"),
+            (F.col("l_partkey") % 137).cast("string"),
+            F.lit(".example.com/item/"),
+            F.col("l_partkey").cast("string"),
+        )
+        fm = FrontierMaintainer()
+        for lo, hi in ((1, 2), (3, 4), (5, 99)):
+            sl = li.where(F.col("l_linenumber").between(lo, hi))
+            links = sl.select(
+                s_page.alias("src_url"), p_item.alias("dst_url")
+            )
+            crawled = sl.select(s_page.alias("url")).unionByName(
+                sl.where(F.col("l_partkey") % 4 == 0).select(
+                    p_item.alias("url")
+                )
+            )
+            fm.update(links, crawled)
+        return fm.frontier
+
+    q["frontier_admission"] = frontier_admission
+
     # -- 2. triangle counting (SURVEY §2.10 TC) ----------------------------
     def tc_global(s, d):
         from gminer_spark.graph.triangles import _wedge_closed
@@ -2278,6 +2316,11 @@ def build_oracles() -> dict[str, str]:
     UNION ALL
     SELECT {_p_item} AS url FROM lineitem WHERE l_partkey % 4 = 0)""",
     )
+
+    # maintainer invariant: final incremental frontier == the batch
+    # operator over ALL batches concatenated (order-independent), so
+    # the witness is the same one-shot SQL over the full lineitem
+    o["frontier_admission"] = o["crawl_frontier"]
 
     from gminer_spark.graph.structure import (
         degree_assortativity_oracle_sql,

@@ -325,3 +325,76 @@ FROM links l
 WHERE NOT EXISTS (SELECT 1 FROM crawled c WHERE c.url = l.dst_url)
 GROUP BY l.dst_url
 """
+
+
+class FrontierMaintainer:
+    """Streaming crawl-frontier maintenance: feed per-batch (new
+    outlinks, newly crawled urls), read ``frontier`` between updates —
+    the incremental twin of :func:`crawl_frontier`, same maintainer
+    shape as :class:`gminer_spark.graph.cc.CCMaintainer` (drive it
+    from a ``foreachBatch`` sink).
+
+    State: an append-only distinct-free link LOG ``(src_url,
+    dst_url)``, the monotone ``crawled`` url set, and the materialized
+    ``frontier``.  Per batch only the TOUCHED targets are recomputed:
+    ``affected = batch link targets ∪ batch crawled urls``; their
+    stats come from the log slice (semi-join on affected), everything
+    else carries over untouched — so per-batch compute is bounded by
+    the batch and its log slice, not the frontier size.  State tables
+    are ``localCheckpoint``-ed per batch (lineage never chains across
+    batches; single-reference per batch, so the Spark-4 origin chain
+    grows linearly — the CCMaintainer discipline).
+
+    Invariant (pytest- and oracle-enforced): after any batch sequence,
+    ``frontier`` equals the BATCH operator over the concatenated
+    inputs — ``crawl_frontier(all links, all crawled)``.  Unlike
+    online dedup, frontier maintenance is arrival-order independent:
+    counts are over the full log, and ``crawled`` is monotone.
+    """
+
+    def __init__(self) -> None:
+        self.log: DataFrame | None = None
+        self.crawled: DataFrame | None = None
+        self.frontier: DataFrame | None = None
+
+    def update(
+        self, batch_links: DataFrame, batch_crawled: DataFrame
+    ) -> DataFrame:
+        links = batch_links.select("src_url", "dst_url")
+        newly = batch_crawled.select("url")
+        self.log = (
+            links if self.log is None else self.log.unionByName(links)
+        ).localCheckpoint()
+        self.crawled = (
+            newly
+            if self.crawled is None
+            else self.crawled.unionByName(newly)
+        ).distinct().localCheckpoint()
+        affected = (
+            links.select(F.col("dst_url").alias("url"))
+            .unionByName(newly)
+            .distinct()
+        )
+        sl = self.log.join(
+            affected.select(F.col("url").alias("dst_url")), on="dst_url"
+        )
+        stats = (
+            sl.groupBy(F.col("dst_url").alias("url"))
+            .agg(
+                F.count("*").cast("long").alias("n_inlinks"),
+                F.countDistinct("src_url").cast("long").alias("n_src_pages"),
+                F.countDistinct(host_of(F.col("src_url")))
+                .cast("long")
+                .alias("n_src_hosts"),
+            )
+            .join(self.crawled, on="url", how="left_anti")
+        )
+        if self.frontier is None:
+            self.frontier = stats.localCheckpoint()
+        else:
+            self.frontier = (
+                self.frontier.join(affected, on="url", how="left_anti")
+                .unionByName(stats)
+                .localCheckpoint()
+            )
+        return self.frontier

@@ -321,3 +321,46 @@ def test_crawl_frontier_anti_join(spark):
     assert set(rows) == {"https://t.com/new"}
     r = rows["https://t.com/new"]
     assert (r["n_inlinks"], r["n_src_pages"], r["n_src_hosts"]) == (4, 3, 2)
+
+
+def test_frontier_maintainer_matches_batch_operator(spark):
+    """Incremental frontier over 3 batches equals crawl_frontier over
+    the concatenated inputs; a url crawled late leaves the frontier
+    even when its links arrived earlier."""
+    from gminer_spark.web.edges import FrontierMaintainer, crawl_frontier
+
+    batches = [
+        # (links, crawled)
+        (
+            [("https://a.com/1", "https://t.com/x"),
+             ("https://a.com/1", "https://t.com/y")],
+            ["https://a.com/1"],
+        ),
+        (
+            [("https://b.com/1", "https://t.com/x"),
+             ("https://b.com/2", "https://t.com/z")],
+            ["https://b.com/1", "https://t.com/y"],  # y crawled late
+        ),
+        (
+            [("https://c.com/1", "https://t.com/y")],  # link to crawled url
+            ["https://c.com/1"],
+        ),
+    ]
+    fm = FrontierMaintainer()
+    all_links, all_crawled = [], []
+    for links, crawled in batches:
+        ldf = spark.createDataFrame(links, "src_url string, dst_url string")
+        cdf = spark.createDataFrame([(u,) for u in crawled], "url string")
+        fm.update(ldf, cdf)
+        all_links += links
+        all_crawled += crawled
+    got = sorted(map(tuple, fm.frontier.select(
+        "url", "n_inlinks", "n_src_pages", "n_src_hosts").collect()))
+    want = sorted(map(tuple, crawl_frontier(
+        spark.createDataFrame(all_links, "src_url string, dst_url string"),
+        spark.createDataFrame([(u,) for u in all_crawled], "url string"),
+    ).select("url", "n_inlinks", "n_src_pages", "n_src_hosts").collect()))
+    assert got == want
+    urls = {u for u, *_ in got}
+    assert "https://t.com/y" not in urls  # crawled late -> gone
+    assert {"https://t.com/x", "https://t.com/z"} <= urls
