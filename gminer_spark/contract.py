@@ -1180,6 +1180,46 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["scc_condensation"] = scc_condensation
 
+    def condensation_pagerank(s, d):
+        """Cycle-contracted PageRank — WHY a web user wants full SCC
+        (VERDICT r3): contract every SCC, weight each condensation
+        edge by its original cross-edge count, rank the resulting DAG
+        with the value-green weighted PageRank engine.  Same sparse
+        DAG-biased view as `scc_condensation`."""
+        from gminer_spark.graph.pagerank import pagerank
+        from gminer_spark.graph.scc import strongly_connected_components
+
+        e = _edges(s, d)
+        kept = e.where(
+            h32_spark(F.concat_ws(":", F.lit("keep"), "src", "dst")) % 10 == 0
+        )
+        flip = (
+            h32_spark(F.concat_ws(":", F.lit("dirb"), "src", "dst")) % 20 == 0
+        )
+        de = kept.select(
+            F.when(flip, F.col("dst")).otherwise(F.col("src")).alias("src"),
+            F.when(flip, F.col("src")).otherwise(F.col("dst")).alias("dst"),
+        ).localCheckpoint()
+        scc = strongly_connected_components(de)
+        smap = scc.select(F.col("id").alias("src"), F.col("scc_id").alias("src_scc"))
+        dmap = scc.select(F.col("id").alias("dst"), F.col("scc_id").alias("dst_scc"))
+        cedges = (
+            de.join(smap, on="src")
+            .join(dmap, on="dst")
+            .where(F.col("src_scc") != F.col("dst_scc"))
+            .groupBy(
+                F.col("src_scc").alias("src"), F.col("dst_scc").alias("dst")
+            )
+            .agg(F.count("*").cast("double").alias("w"))
+        )
+        res = pagerank(cedges, num_iter=PR_ITERS, weight_col="w")
+        return res.state.select(
+            F.col("id").alias("scc_id"),
+            F.round(F.col("rank") * 1e6, 0).cast("long").alias("rank_micro"),
+        )
+
+    q["condensation_pagerank"] = condensation_pagerank
+
     def degree_assortativity(s, d):
         """Degree assortativity (Pearson r of endpoint degrees over the
         directed sym edge list — Newman 2002).  Every moment is an
@@ -2424,6 +2464,12 @@ de AS MATERIALIZED (
     FROM edges
     WHERE {h32_sql(_keep_key)} % 10 = 0)"""
     o["scc_condensation"] = condensation_oracle_sql(_sparse_dir_edges_cte)
+
+    from gminer_spark.graph.scc import condensation_pagerank_oracle_sql
+
+    o["condensation_pagerank"] = condensation_pagerank_oracle_sql(
+        _sparse_dir_edges_cte, iters=PR_ITERS
+    )
 
     o["pagerank_micro"] = pagerank_oracle_sql()
     o["pagerank_blocked_micro"] = pagerank_oracle_sql()

@@ -277,3 +277,65 @@ JOIN comp cs ON cs.id = e.src
 JOIN comp cd ON cd.id = e.dst
 WHERE cs.scc_id <> cd.scc_id
 """
+
+
+def condensation_pagerank_oracle_sql(
+    dir_edges_cte: str, iters: int, damping: float = 0.85
+) -> str:
+    """DuckDB witness for PageRank over the WEIGHTED condensation DAG
+    (w = count of original cross-component edges): the SCC witness
+    CTEs, the contracted weighted edge table, then the exact unrolled
+    weighted-PageRank chain (same arithmetic placement as the engine:
+    contributions rank·w/out_strength, dangling mass uniform, every
+    float op mirrored, micro-rounded).  Vertex set = endpoints of the
+    condensation edges (the engine's pagerank derives vertices from
+    the edge table)."""
+    ctes = [
+        dir_edges_cte.strip(),
+        _SCC_CTES,
+        """cedges AS MATERIALIZED (
+    SELECT cs.scc_id AS src, cd.scc_id AS dst,
+           CAST(COUNT(*) AS DOUBLE) AS w
+    FROM de e
+    JOIN comp cs ON cs.id = e.src
+    JOIN comp cd ON cd.id = e.dst
+    WHERE cs.scc_id <> cd.scc_id
+    GROUP BY cs.scc_id, cd.scc_id)""",
+        """cverts AS MATERIALIZED (
+    SELECT DISTINCT id FROM (
+        SELECT src AS id FROM cedges UNION ALL SELECT dst FROM cedges))""",
+        """cdeg AS MATERIALIZED (
+    SELECT v.id, COALESCE(o.s, 0.0) AS out_deg
+    FROM cverts v LEFT JOIN (
+        SELECT src, SUM(w) AS s FROM cedges GROUP BY src) o
+    ON v.id = o.src)""",
+        "cn AS (SELECT COUNT(*) AS cnt FROM cverts)",
+        "cr0 AS (SELECT d.id, 1.0/(SELECT cnt FROM cn) AS rank, d.out_deg"
+        " FROM cdeg d)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"cr{k - 1}"
+        ctes.append(
+            f"""cr{k} AS MATERIALIZED (
+    SELECT d.id,
+           (1.0 - {damping})/(SELECT cnt FROM cn)
+           + {damping} * (
+               COALESCE(c.contrib, 0.0)
+               + (SELECT COALESCE(SUM(rank), 0.0) FROM {p}
+                  WHERE out_deg = 0) / (SELECT cnt FROM cn)
+           ) AS rank,
+           d.out_deg
+    FROM cdeg d LEFT JOIN (
+        SELECT e.dst, SUM(r.rank * e.w / r.out_deg) AS contrib
+        FROM cedges e JOIN {p} r ON e.src = r.id
+        GROUP BY e.dst) c
+    ON d.id = c.dst)"""
+        )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + f"""
+SELECT id AS scc_id, CAST(ROUND(rank * 1e6) AS BIGINT) AS rank_micro
+FROM cr{iters}
+"""
+    )
