@@ -828,6 +828,47 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["frontier_admission"] = frontier_admission
 
+    def robots_allowed(s, d):
+        """Robots-rules gate over the synthetic url space: 25 per-host
+        disallow rules from nation (every third a narrower '/item/1'
+        prefix, the rest '/item/' = the whole item tree), applied to
+        the supplier-page + part-item url table."""
+        from gminer_spark.graph.tables import load_table
+        from gminer_spark.web.edges import robots_filter
+
+        li = load_table(s, d, "lineitem")
+        s_page = F.concat(
+            F.lit("https://s"),
+            (F.col("l_suppkey") % 101).cast("string"),
+            F.lit(".example.com/page/"),
+            F.col("l_orderkey").cast("string"),
+        )
+        p_item = F.concat(
+            F.lit("https://p"),
+            (F.col("l_partkey") % 137).cast("string"),
+            F.lit(".example.com/item/"),
+            F.col("l_partkey").cast("string"),
+        )
+        urls = (
+            li.select(s_page.alias("url"))
+            .unionByName(li.select(p_item.alias("url")))
+            .distinct()
+        )
+        na = load_table(s, d, "nation")
+        rules = na.select(
+            F.concat(
+                F.lit("p"),
+                (F.col("n_nationkey") * 5 % 137).cast("string"),
+                F.lit(".example.com"),
+            ).alias("host"),
+            F.when(F.col("n_nationkey") % 3 == 0, F.lit("/item/1"))
+            .otherwise(F.lit("/item/"))
+            .alias("disallow_prefix"),
+        )
+        return robots_filter(urls, rules)
+
+    q["robots_allowed"] = robots_allowed
+
     # -- 2. triangle counting (SURVEY §2.10 TC) ----------------------------
     def tc_global(s, d):
         from gminer_spark.graph.triangles import _wedge_closed
@@ -2361,6 +2402,22 @@ def build_oracles() -> dict[str, str]:
     # operator over ALL batches concatenated (order-independent), so
     # the witness is the same one-shot SQL over the full lineitem
     o["frontier_admission"] = o["crawl_frontier"]
+
+    from gminer_spark.web.edges import robots_filter_oracle_sql
+
+    o["robots_allowed"] = robots_filter_oracle_sql(
+        f"""urls AS (
+    SELECT DISTINCT url FROM (
+        SELECT {_s_page} AS url FROM lineitem
+        UNION ALL
+        SELECT {_p_item} AS url FROM lineitem))""",
+        """rules AS (
+    SELECT 'p' || CAST(n_nationkey * 5 % 137 AS VARCHAR)
+               || '.example.com' AS host,
+           CASE WHEN n_nationkey % 3 = 0 THEN '/item/1'
+                ELSE '/item/' END AS disallow_prefix
+    FROM nation)""",
+    )
 
     from gminer_spark.graph.structure import (
         degree_assortativity_oracle_sql,

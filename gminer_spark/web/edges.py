@@ -398,3 +398,59 @@ class FrontierMaintainer:
                 .localCheckpoint()
             )
         return self.frontier
+
+
+def robots_filter(urls: DataFrame, rules: DataFrame) -> DataFrame:
+    """Filter a url table against per-host disallow rules →
+    the allowed subset (same columns as ``urls``).
+
+    The crawl-policy gate: before scheduling, every candidate url must
+    clear its host's robots rules.  ``rules`` is ``(host,
+    disallow_prefix)`` — a url is dropped when ANY rule for its
+    (lowercased) host is a literal prefix of its path (path = the part
+    from the first ``/`` after the host; a url with no path matches
+    only the empty prefix, which means "disallow all").  This is the
+    simplified prefix-only subset of robots.txt (no Allow overrides,
+    no wildcards) — the 99% case; a full matcher would slot in the
+    same join shape.
+
+    Plan: one equi-join keyed on host (rules tables are tiny —
+    broadcast — and hot hosts hit AQE) plus a literal ``startswith``
+    (no LIKE escaping hazards), then an anti-join of the matches.
+    All built-in expressions, whole-stage codegen.
+    """
+    path = F.regexp_extract(F.col("url"), r"^https?://[^/?#]+(/[^#]*)?", 1)
+    cand = urls.select(
+        "*",
+        host_of(F.col("url")).alias("_host"),
+        F.coalesce(path, F.lit("")).alias("_path"),
+    )
+    hit = (
+        cand.join(
+            rules.select(
+                F.lower(F.col("host")).alias("_host"), "disallow_prefix"
+            ),
+            on="_host",
+        )
+        .where(F.col("_path").startswith(F.col("disallow_prefix")))
+        .select("url")
+        .distinct()
+    )
+    return cand.join(hit, on="url", how="left_anti").drop("_host", "_path")
+
+
+def robots_filter_oracle_sql(urls_cte: str, rules_cte: str) -> str:
+    """DuckDB witness over CTEs ``urls(url)`` and ``rules(host,
+    disallow_prefix)`` — identical host/path extraction, literal
+    ``starts_with``."""
+    h = "lower(regexp_extract(u.url, '^https?://([^/?#]+)', 1))"
+    p = "COALESCE(regexp_extract(u.url, '^https?://[^/?#]+(/[^#]*)?', 1), '')"
+    return f"""
+WITH {urls_cte.strip()},
+{rules_cte.strip()}
+SELECT u.url FROM urls u
+WHERE NOT EXISTS (
+    SELECT 1 FROM rules r
+    WHERE lower(r.host) = {h}
+      AND starts_with({p}, r.disallow_prefix))
+"""

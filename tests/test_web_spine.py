@@ -364,3 +364,37 @@ def test_frontier_maintainer_matches_batch_operator(spark):
     urls = {u for u, *_ in got}
     assert "https://t.com/y" not in urls  # crawled late -> gone
     assert {"https://t.com/x", "https://t.com/z"} <= urls
+
+
+def test_robots_filter_rules(spark):
+    """Prefix semantics: narrower prefix keeps siblings; '/item/' kills
+    the tree; empty prefix disallows the whole host; other hosts and
+    extra columns pass through."""
+    from gminer_spark.web.edges import robots_filter
+
+    urls = spark.createDataFrame(
+        [
+            ("https://a.com/item/1", 1),
+            ("https://a.com/item/2", 2),
+            ("https://b.com/item/9", 3),
+            ("https://b.com/other", 4),
+            ("https://C.com/x", 5),      # host case-folds vs rule 'c.com'
+            ("https://c.com", 6),        # no path: only '' matches
+            ("https://free.com/item/1", 7),
+        ],
+        "url string, k long",
+    )
+    rules = spark.createDataFrame(
+        [
+            ("a.com", "/item/1"),  # narrow: only item/1*
+            ("b.com", "/item/"),   # subtree
+            ("c.com", ""),         # disallow all
+        ],
+        "host string, disallow_prefix string",
+    )
+    got = {(r["url"], r["k"]) for r in robots_filter(urls, rules).collect()}
+    assert got == {
+        ("https://a.com/item/2", 2),
+        ("https://b.com/other", 4),
+        ("https://free.com/item/1", 7),
+    }
