@@ -93,6 +93,10 @@ SCORE_K = 60  # s-core strength threshold: sf0.01 stabilizes in 2 rounds
 SCORE_ITERS = 5  # margin over the measured 2 peel rounds
 BC_SEED_MOD = 199  # betweenness source sample (11 sources at sf0.01)
 BC_DEPTH = 5  # sample eccentricity is 3 at sf0.01; margin (empty levels no-op)
+LM_K = 8  # landmark sketch size (top-degree hubs)
+LM_DEPTH = 5  # hub eccentricity is 3 at sf0.01; margin (empty levels no-op)
+LM_U_MOD = 97  # pair-estimate sample: u side (21 vertices at sf0.01)
+LM_V_MOD = 89  # pair-estimate sample: v side (23 vertices at sf0.01)
 
 
 def _materialize(cte: str) -> str:
@@ -1128,6 +1132,36 @@ def build_queries() -> dict[str, QueryFn]:
         return dh(e, srcs, max_depth=BC_DEPTH)
 
     q["distance_histogram"] = distance_histogram
+
+    def landmark_distances(s, d):
+        """Landmark distance sketch: per-vertex BFS hop distance to
+        the top-LM_K degree hubs, all landmarks in ONE simultaneous
+        (s, v)-keyed level BFS — the precomputed distance oracle for
+        point-to-point queries at crawl scale."""
+        from gminer_spark.graph.landmarks import landmark_sketch
+
+        return landmark_sketch(_edges(s, d), k=LM_K, max_depth=LM_DEPTH)
+
+    q["landmark_distances"] = landmark_distances
+
+    def landmark_dist_estimates(s, d):
+        """Pair distance upper bounds min_l d(u,l)+d(l,v) from the
+        landmark sketch — two hash joins + min-combine per query
+        batch, no per-query BFS."""
+        from gminer_spark.graph.landmarks import (
+            estimate_distances,
+            landmark_sketch,
+        )
+
+        e = _edges(s, d)
+        sk = landmark_sketch(e, k=LM_K, max_depth=LM_DEPTH)
+        v = gt.vertices(e)
+        us = v.where(F.col("id") % LM_U_MOD == 0).select(F.col("id").alias("u"))
+        vs = v.where(F.col("id") % LM_V_MOD == 1).select(F.col("id").alias("v"))
+        pairs = us.join(vs, us.u < vs.v)
+        return estimate_distances(sk, pairs)
+
+    q["landmark_dist_estimates"] = landmark_dist_estimates
 
     def link_features(s, d):
         """Per-edge link-prediction features: common neighbors,
@@ -2618,6 +2652,23 @@ FROM deg GROUP BY degree
 
     o["distance_histogram"] = distance_histogram_oracle_sql(
         EDGES_CTE, f"id % {BC_SEED_MOD} = 0", depth=BC_DEPTH
+    )
+
+    from gminer_spark.graph.landmarks import (
+        estimate_distances_oracle_sql,
+        landmark_sketch_oracle_sql,
+    )
+
+    o["landmark_distances"] = landmark_sketch_oracle_sql(
+        EDGES_CTE, SYM_CTE, k=LM_K, depth=LM_DEPTH
+    )
+    o["landmark_dist_estimates"] = estimate_distances_oracle_sql(
+        EDGES_CTE,
+        SYM_CTE,
+        k=LM_K,
+        depth=LM_DEPTH,
+        u_pred=f"id % {LM_U_MOD} = 0",
+        v_pred=f"id % {LM_V_MOD} = 1",
     )
 
     o["link_features"] = f"""

@@ -1115,3 +1115,74 @@ def test_ball_sizes_matches_duckdb(spark):
     assert got == want
     by_id = dict(got)
     assert abs(by_id[5] / 1e6 - 5) < 2.5  # interior: {3,4,5,6,7}
+
+
+# -- landmark distance sketches ----------------------------------------------
+
+
+def _true_dists(pairs):
+    """All-pairs BFS hop distances via networkx-free python BFS."""
+    from collections import deque
+
+    adj = {}
+    for s, d in pairs:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    dist = {}
+    for s in adj:
+        dq, seen = deque([(s, 0)]), {s}
+        while dq:
+            v, dv = dq.popleft()
+            dist[(s, v)] = dv
+            for w in adj[v]:
+                if w not in seen:
+                    seen.add(w)
+                    dq.append((w, dv + 1))
+    return dist
+
+
+def test_landmark_estimates_are_upper_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from gminer_spark.graph.landmarks import estimate_distances, landmark_sketch
+
+    pairs = random_graph(n=80, p=0.05, seed=11, directed=False)
+    e = edges_df(spark, pairs)
+    sk = landmark_sketch(e, k=4, max_depth=15)
+    verts = sorted({x for p in pairs for x in p})
+    qp = spark.createDataFrame(
+        [(int(u), int(v)) for u in verts[:10] for v in verts[-10:] if u < v],
+        "u long, v long",
+    )
+    est = {(r.u, r.v): r.est for r in estimate_distances(sk, qp).collect()}
+    true = _true_dists(pairs)
+    assert est, "no estimates produced"
+    for (u, v), ev in est.items():
+        t = true.get((u, v))
+        if t is not None:
+            assert ev >= t, f"estimate {ev} below true distance {t} for {(u, v)}"
+    # landmark-to-anything estimates are exact when u is a landmark
+    lms = {r.landmark for r in sk.select("landmark").distinct().collect()}
+    for (u, v), ev in est.items():
+        if u in lms and (u, v) in true:
+            assert ev == true[(u, v)]
+
+
+def test_landmark_sketch_deterministic_under_partitioning(spark):
+    from gminer_spark.graph.landmarks import landmark_sketch
+
+    pairs = random_graph(n=60, p=0.06, seed=7, directed=False)
+    e1 = edges_df(spark, pairs)
+    e2 = edges_df(spark, pairs).repartition(7)
+    r1 = sorted(map(tuple, landmark_sketch(e1, k=3, max_depth=15).collect()))
+    r2 = sorted(map(tuple, landmark_sketch(e2, k=3, max_depth=15).collect()))
+    assert r1 == r2
+
+
+def test_landmark_sketch_path_exact(spark):
+    from gminer_spark.graph.landmarks import landmark_sketch
+
+    e = edges_df(spark, PATH5)
+    sk = {(r.landmark, r.id): r.dist for r in landmark_sketch(e, k=1, max_depth=10).collect()}
+    # top-degree landmark on PATH5 is vertex 2 (deg 2, min id among deg-2)
+    assert sk == {(2, 2): 0, (2, 1): 1, (2, 3): 1, (2, 4): 2, (2, 5): 3}
