@@ -97,6 +97,8 @@ LM_K = 8  # landmark sketch size (top-degree hubs)
 LM_DEPTH = 5  # hub eccentricity is 3 at sf0.01; margin (empty levels no-op)
 LM_U_MOD = 97  # pair-estimate sample: u side (21 vertices at sf0.01)
 LM_V_MOD = 89  # pair-estimate sample: v side (23 vertices at sf0.01)
+COCIT_TOPK = 100  # co-citation / coupling result size
+COCIT_MAXDEG = 256  # hub-center cut (max_df discipline) for wedge pairs
 
 
 def _materialize(cte: str) -> str:
@@ -1172,6 +1174,29 @@ def build_queries() -> dict[str, QueryFn]:
         return lf(_edges(s, d))
 
     q["link_features"] = link_features
+
+    def cocitation(s, d):
+        """Top-k co-cited pairs (shared in-neighbor count + in-degree
+        Jaccard): the classic link-based relatedness measure; wedge
+        self-join with a hub-center degree cap (the max_df cut)."""
+        from gminer_spark.graph.cocitation import cocitation_topk
+
+        return cocitation_topk(
+            _edges(s, d), top_k=COCIT_TOPK, max_center_deg=COCIT_MAXDEG
+        )
+
+    q["cocitation"] = cocitation
+
+    def coupling(s, d):
+        """Top-k bibliographically-coupled pairs (shared out-neighbor
+        count + out-degree Jaccard) — the dual of co-citation."""
+        from gminer_spark.graph.cocitation import coupling_topk
+
+        return coupling_topk(
+            _edges(s, d), top_k=COCIT_TOPK, max_center_deg=COCIT_MAXDEG
+        )
+
+    q["coupling"] = coupling
 
     def hits_micro(s, d):
         """HITS hubs & authorities, 10 L1-normalized iterations —
@@ -2669,6 +2694,18 @@ FROM deg GROUP BY degree
         depth=LM_DEPTH,
         u_pred=f"id % {LM_U_MOD} = 0",
         v_pred=f"id % {LM_V_MOD} = 1",
+    )
+
+    from gminer_spark.graph.cocitation import (
+        cocitation_oracle_sql,
+        coupling_oracle_sql,
+    )
+
+    o["cocitation"] = cocitation_oracle_sql(
+        EDGES_CTE, top_k=COCIT_TOPK, max_center_deg=COCIT_MAXDEG
+    )
+    o["coupling"] = coupling_oracle_sql(
+        EDGES_CTE, top_k=COCIT_TOPK, max_center_deg=COCIT_MAXDEG
     )
 
     o["link_features"] = f"""

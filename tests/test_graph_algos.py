@@ -1186,3 +1186,56 @@ def test_landmark_sketch_path_exact(spark):
     sk = {(r.landmark, r.id): r.dist for r in landmark_sketch(e, k=1, max_depth=10).collect()}
     # top-degree landmark on PATH5 is vertex 2 (deg 2, min id among deg-2)
     assert sk == {(2, 2): 0, (2, 1): 1, (2, 3): 1, (2, 4): 2, (2, 5): 3}
+
+
+# -- co-citation / bibliographic coupling ------------------------------------
+
+
+def _brute_pairs(pairs, by_in):
+    """Python wedge counts: by_in=True → co-citation (shared citing
+    src), else coupling (shared cited dst)."""
+    from collections import defaultdict
+
+    centers = defaultdict(set)
+    for s, d in set(pairs):
+        if by_in:
+            centers[s].add(d)
+        else:
+            centers[d].add(s)
+    cnt = defaultdict(int)
+    for mem in centers.values():
+        ms = sorted(mem)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                cnt[(ms[i], ms[j])] += 1
+    return cnt
+
+
+@pytest.mark.parametrize("which", ["cocitation", "coupling"])
+def test_cocitation_coupling_match_brute_force(spark, which):
+    from gminer_spark.graph.cocitation import cocitation_topk, coupling_topk
+
+    pairs = random_graph(n=60, p=0.05, seed=3, directed=True)
+    e = edges_df(spark, pairs)
+    fn = cocitation_topk if which == "cocitation" else coupling_topk
+    got = {(r.a, r.b): r.cnt for r in fn(e, top_k=100000, max_center_deg=10**6).collect()}
+    want = _brute_pairs(pairs, by_in=(which == "cocitation"))
+    assert got == dict(want)
+
+
+def test_cocitation_center_cap_drops_hub_wedges(spark):
+    from gminer_spark.graph.cocitation import cocitation_topk
+
+    # star: src 0 cites 1..20 — center degree 20; cap 10 drops ALL pairs
+    e = edges_df(spark, [(0, i) for i in range(1, 21)])
+    assert cocitation_topk(e, top_k=10, max_center_deg=10).count() == 0
+    assert cocitation_topk(e, top_k=10, max_center_deg=20).count() == 10
+
+
+def test_cocitation_topk_total_order_deterministic(spark):
+    from gminer_spark.graph.cocitation import coupling_topk
+
+    pairs = random_graph(n=50, p=0.08, seed=9, directed=True)
+    r1 = [tuple(r) for r in coupling_topk(edges_df(spark, pairs), top_k=20).collect()]
+    r2 = [tuple(r) for r in coupling_topk(edges_df(spark, pairs).repartition(5), top_k=20).collect()]
+    assert r1 == r2 and len(r1) <= 20
