@@ -99,6 +99,8 @@ LM_U_MOD = 97  # pair-estimate sample: u side (21 vertices at sf0.01)
 LM_V_MOD = 89  # pair-estimate sample: v side (23 vertices at sf0.01)
 COCIT_TOPK = 100  # co-citation / coupling result size
 COCIT_MAXDEG = 256  # hub-center cut (max_df discipline) for wedge pairs
+COLOR_SUB_MOD = 16  # h32 edge-sample for the coloring input (avg deg ~7)
+COLOR_ITERS = 26  # Jones-Plassmann fixpoint at sf0.01 is 21 rounds; margin
 
 
 def _materialize(cte: str) -> str:
@@ -1197,6 +1199,25 @@ def build_queries() -> dict[str, QueryFn]:
         )
 
     q["coupling"] = coupling
+
+    def graph_coloring(s, d):
+        """Jones-Plassmann greedy coloring over the h32-sampled sparse
+        subgraph (the dense copurchase graph degenerates JP to
+        sequential; coloring's use case — scheduling / conflict graphs
+        — is sparse).  Unique under the md5 priority order."""
+        from gminer_spark.graph.coloring import greedy_coloring
+
+        e = _edges(s, d)
+        sub = e.where(
+            h32_spark(
+                F.concat_ws(":", F.lit("colsub"), F.col("src"), F.col("dst"))
+            )
+            % COLOR_SUB_MOD
+            == 0
+        )
+        return greedy_coloring(sub)
+
+    q["graph_coloring"] = graph_coloring
 
     def hits_micro(s, d):
         """HITS hubs & authorities, 10 L1-normalized iterations —
@@ -2707,6 +2728,18 @@ FROM deg GROUP BY degree
     o["coupling"] = coupling_oracle_sql(
         EDGES_CTE, top_k=COCIT_TOPK, max_center_deg=COCIT_MAXDEG
     )
+
+    from gminer_spark.graph.coloring import coloring_oracle_sql
+
+    _color_edges_cte = (
+        EDGES_CTE.replace("edges AS (", "edges_all AS (", 1)
+        + f""",
+edges AS (
+    SELECT src, dst FROM edges_all
+    WHERE {h32_sql("'colsub:' || CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)")} % {COLOR_SUB_MOD} = 0
+)"""
+    )
+    o["graph_coloring"] = coloring_oracle_sql(_color_edges_cte, iters=COLOR_ITERS)
 
     o["link_features"] = f"""
 WITH {EDGES_CTE.strip()}, {SYM_CTE.strip()},

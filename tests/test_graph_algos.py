@@ -1239,3 +1239,69 @@ def test_cocitation_topk_total_order_deterministic(spark):
     r1 = [tuple(r) for r in coupling_topk(edges_df(spark, pairs), top_k=20).collect()]
     r2 = [tuple(r) for r in coupling_topk(edges_df(spark, pairs).repartition(5), top_k=20).collect()]
     assert r1 == r2 and len(r1) <= 20
+
+
+# -- Jones-Plassmann greedy coloring -----------------------------------------
+
+
+def _jp_python(pairs, seed="color"):
+    """Exact python replica of the derandomized JP rounds."""
+    import hashlib
+
+    def pri(v):
+        h = int(hashlib.md5(f"{seed}:{v}".encode()).hexdigest()[:8], 16)
+        return (h >> 1) * 2147483648 + v
+
+    adj = {}
+    for s, d in set(pairs):
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    undecided = set(adj)
+    color = {}
+    while undecided:
+        winners = [
+            v
+            for v in undecided
+            if all(pri(v) < pri(w) for w in adj[v] if w in undecided)
+        ]
+        for v in winners:
+            used = {color[w] for w in adj[v] if w in color}
+            c = 0
+            while c in used:
+                c += 1
+            color[v] = c
+        undecided -= set(winners)
+    return color
+
+
+def test_coloring_matches_python_jp(spark):
+    from gminer_spark.graph.coloring import greedy_coloring
+
+    pairs = random_graph(n=70, p=0.04, seed=5, directed=False)
+    got = {r.id: r.color for r in greedy_coloring(edges_df(spark, pairs)).collect()}
+    assert got == _jp_python(pairs)
+
+
+def test_coloring_proper_and_deterministic(spark):
+    from gminer_spark.graph.coloring import greedy_coloring
+
+    pairs = random_graph(n=60, p=0.05, seed=13, directed=False)
+    c1 = {r.id: r.color for r in greedy_coloring(edges_df(spark, pairs)).collect()}
+    c2 = {
+        r.id: r.color
+        for r in greedy_coloring(edges_df(spark, pairs).repartition(7)).collect()
+    }
+    assert c1 == c2
+    adj = {(s, d) for s, d in pairs if s != d}
+    assert all(c1[s] != c1[d] for s, d in adj)
+
+
+def test_coloring_path_two_colors(spark):
+    from gminer_spark.graph.coloring import greedy_coloring
+
+    got = {r.id: r.color for r in greedy_coloring(edges_df(spark, PATH5)).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert all(got[i] != got[i + 1] for i in range(1, 5))
+    assert max(got.values()) <= 2  # paths are JP-colorable with <=3 colors
