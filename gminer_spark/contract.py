@@ -101,6 +101,7 @@ COCIT_TOPK = 100  # co-citation / coupling result size
 COCIT_MAXDEG = 256  # hub-center cut (max_df discipline) for wedge pairs
 COLOR_SUB_MOD = 16  # h32 edge-sample for the coloring input (avg deg ~7)
 COLOR_ITERS = 26  # Jones-Plassmann fixpoint at sf0.01 is 21 rounds; margin
+MATCH_ITERS = 10  # matching empties the live set in 6 rounds at sf0.01; margin
 
 
 def _materialize(cte: str) -> str:
@@ -1218,6 +1219,24 @@ def build_queries() -> dict[str, QueryFn]:
         return greedy_coloring(sub)
 
     q["graph_coloring"] = graph_coloring
+
+    def maximal_matching(s, d):
+        """Parallel greedy maximal matching (md5 edge priorities) over
+        the same h32-sampled sparse subgraph as coloring — pairs
+        near-duplicate pages one-to-one (mirror canonicalization)."""
+        from gminer_spark.graph.matching import maximal_matching as mm
+
+        e = _edges(s, d)
+        sub = e.where(
+            h32_spark(
+                F.concat_ws(":", F.lit("colsub"), F.col("src"), F.col("dst"))
+            )
+            % COLOR_SUB_MOD
+            == 0
+        )
+        return mm(sub)
+
+    q["maximal_matching"] = maximal_matching
 
     def hits_micro(s, d):
         """HITS hubs & authorities, 10 L1-normalized iterations —
@@ -2740,6 +2759,10 @@ edges AS (
 )"""
     )
     o["graph_coloring"] = coloring_oracle_sql(_color_edges_cte, iters=COLOR_ITERS)
+
+    from gminer_spark.graph.matching import matching_oracle_sql
+
+    o["maximal_matching"] = matching_oracle_sql(_color_edges_cte, iters=MATCH_ITERS)
 
     o["link_features"] = f"""
 WITH {EDGES_CTE.strip()}, {SYM_CTE.strip()},

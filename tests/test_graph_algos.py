@@ -1305,3 +1305,64 @@ def test_coloring_path_two_colors(spark):
     assert set(got) == {1, 2, 3, 4, 5}
     assert all(got[i] != got[i + 1] for i in range(1, 5))
     assert max(got.values()) <= 2  # paths are JP-colorable with <=3 colors
+
+
+# -- maximal matching --------------------------------------------------------
+
+
+def _matching_python(pairs, seed="match"):
+    """Exact python replica of the parallel greedy matching rounds."""
+    import hashlib
+
+    def pri(s, d):
+        h = hashlib.md5(f"{seed}:{s}:{d}".encode()).hexdigest()
+        return f"{h}:{s}:{d}"
+
+    live = {(min(s, d), max(s, d)) for s, d in pairs if s != d}
+    matched = set()
+    while live:
+        vmin = {}
+        for s, d in live:
+            p = pri(s, d)
+            for v in (s, d):
+                if v not in vmin or p < vmin[v]:
+                    vmin[v] = p
+        winners = {
+            (s, d) for s, d in live if pri(s, d) == vmin[s] == vmin[d]
+        }
+        matched |= winners
+        mv = {v for e in winners for v in e}
+        live = {(s, d) for s, d in live if s not in mv and d not in mv}
+    return matched
+
+
+def test_matching_matches_python(spark):
+    from gminer_spark.graph.matching import maximal_matching
+
+    pairs = random_graph(n=70, p=0.04, seed=21, directed=False)
+    got = {(r.src, r.dst) for r in maximal_matching(edges_df(spark, pairs)).collect()}
+    assert got == _matching_python(pairs)
+
+
+def test_matching_is_matching_and_maximal(spark):
+    from gminer_spark.graph.matching import maximal_matching
+
+    pairs = random_graph(n=80, p=0.05, seed=2, directed=False)
+    got = {(r.src, r.dst) for r in maximal_matching(edges_df(spark, pairs)).collect()}
+    mv = [v for e in got for v in e]
+    assert len(mv) == len(set(mv))  # no vertex in two matched edges
+    # maximal: every edge touches a matched vertex
+    mset = set(mv)
+    canon = {(min(s, d), max(s, d)) for s, d in pairs if s != d}
+    assert all(s in mset or d in mset for s, d in canon)
+
+
+def test_matching_deterministic_under_partitioning(spark):
+    from gminer_spark.graph.matching import maximal_matching
+
+    pairs = random_graph(n=50, p=0.06, seed=17, directed=False)
+    m1 = sorted(map(tuple, maximal_matching(edges_df(spark, pairs)).collect()))
+    m2 = sorted(
+        map(tuple, maximal_matching(edges_df(spark, pairs).repartition(9)).collect())
+    )
+    assert m1 == m2
