@@ -102,6 +102,7 @@ COCIT_MAXDEG = 256  # hub-center cut (max_df discipline) for wedge pairs
 COLOR_SUB_MOD = 16  # h32 edge-sample for the coloring input (avg deg ~7)
 COLOR_ITERS = 26  # Jones-Plassmann fixpoint at sf0.01 is 21 rounds; margin
 MATCH_ITERS = 10  # matching empties the live set in 6 rounds at sf0.01; margin
+BFLY_MAXDEG = 1024  # right-hub cap for the butterfly wedge join
 
 
 def _materialize(cte: str) -> str:
@@ -1237,6 +1238,21 @@ def build_queries() -> dict[str, QueryFn]:
         return mm(sub)
 
     q["maximal_matching"] = maximal_matching
+
+    def butterflies(s, d):
+        """Per-order butterfly (K2,2) counts on the order-part
+        bipartite incidence — the bipartite triangle analog; wedge
+        join on the part side with a right-hub cap."""
+        from gminer_spark.graph.butterflies import butterfly_counts
+
+        li = gt.load_table(s, d, "lineitem")
+        incid = li.select(
+            F.col("l_orderkey").cast("long").alias("left"),
+            F.col("l_partkey").cast("long").alias("right"),
+        )
+        return butterfly_counts(incid, max_right_deg=BFLY_MAXDEG)
+
+    q["butterflies"] = butterflies
 
     def hits_micro(s, d):
         """HITS hubs & authorities, 10 L1-normalized iterations —
@@ -2763,6 +2779,14 @@ edges AS (
     from gminer_spark.graph.matching import matching_oracle_sql
 
     o["maximal_matching"] = matching_oracle_sql(_color_edges_cte, iters=MATCH_ITERS)
+
+    from gminer_spark.graph.butterflies import butterfly_oracle_sql
+
+    _bfly_incid_cte = """incid AS (
+    SELECT CAST(l_orderkey AS BIGINT) AS "left",
+           CAST(l_partkey AS BIGINT) AS "right"
+    FROM lineitem)"""
+    o["butterflies"] = butterfly_oracle_sql(_bfly_incid_cte, max_right_deg=BFLY_MAXDEG)
 
     o["link_features"] = f"""
 WITH {EDGES_CTE.strip()}, {SYM_CTE.strip()},

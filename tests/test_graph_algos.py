@@ -1366,3 +1366,57 @@ def test_matching_deterministic_under_partitioning(spark):
         map(tuple, maximal_matching(edges_df(spark, pairs).repartition(9)).collect())
     )
     assert m1 == m2
+
+
+# -- butterfly counting ------------------------------------------------------
+
+
+def _brute_butterflies(incid):
+    from collections import defaultdict
+    from itertools import combinations
+
+    nbrs = defaultdict(set)
+    for l_, r_ in set(incid):
+        nbrs[l_].add(r_)
+    per = defaultdict(int)
+    total = 0
+    for a, b in combinations(sorted(nbrs), 2):
+        c = len(nbrs[a] & nbrs[b])
+        bf = c * (c - 1) // 2
+        if bf:
+            per[a] += bf
+            per[b] += bf
+            total += bf
+    return dict(per), total
+
+
+def test_butterflies_match_brute_force(spark):
+    import numpy as np
+
+    from gminer_spark.graph.butterflies import butterfly_counts, butterfly_total
+
+    rng = np.random.default_rng(31)
+    incid = [(int(rng.integers(0, 25)), int(rng.integers(100, 115))) for _ in range(300)]
+    df = spark.createDataFrame(incid, "left long, right long")
+    got = {r.id: r.bfly for r in butterfly_counts(df).collect()}
+    want, total = _brute_butterflies(incid)
+    assert got == want
+    assert butterfly_total(df).first().n_butterflies == total
+
+
+def test_butterflies_k22_closed_form(spark):
+    from gminer_spark.graph.butterflies import butterfly_total
+
+    # complete bipartite K(3,4): C(3,2)*C(4,2) = 18 butterflies
+    incid = [(a, 100 + b) for a in range(3) for b in range(4)]
+    df = spark.createDataFrame(incid, "left long, right long")
+    assert butterfly_total(df).first().n_butterflies == 18
+
+
+def test_butterflies_right_hub_cap(spark):
+    from gminer_spark.graph.butterflies import butterfly_total
+
+    incid = [(a, 100 + b) for a in range(3) for b in range(4)]
+    df = spark.createDataFrame(incid, "left long, right long")
+    # every right vertex has degree 3; cap 2 drops all wedges
+    assert butterfly_total(df, max_right_deg=2).first().n_butterflies == 0
