@@ -2129,6 +2129,18 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["corpus_top_ngrams"] = corpus_top_ngrams
 
+    def text_cooccurrence(s, d):
+        """Top-k windowed token co-occurrence pairs with log-free PMI
+        lift — the count table an embedding/collocation pass starts
+        from.  W equi-joins on (doc, pos+d), never a range join."""
+        from gminer_spark.textops.cooccur import cooccurrence_topk
+
+        return cooccurrence_topk(
+            _doc(s, d, "documents"), window=3, k=100, min_count=2
+        )
+
+    q["text_cooccurrence"] = text_cooccurrence
+
     def corpus_pack(s, d):
         """Concatenate-and-slice sequence packing: shard -> hash-pinned
         token stream -> fixed 128-token packs, boundary docs split
@@ -3197,6 +3209,12 @@ FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
     from gminer_spark.textops.corpus import top_ngrams_oracle_sql
 
     o["corpus_top_ngrams"] = top_ngrams_oracle_sql(n=2, k=100)
+
+    from gminer_spark.textops.cooccur import cooccurrence_oracle_sql
+
+    o["text_cooccurrence"] = cooccurrence_oracle_sql(
+        WORDS_CTE, window=3, k=100, min_count=2
+    )
 
     from gminer_spark.textops.corpus import (
         pack_token_stream_oracle_sql,

@@ -299,3 +299,57 @@ def test_repetition_stats(spark):
     assert got[2]["top_token_share"] == 0.75
     assert round(got[2]["top_bigram_share"], 6) == round(1 / 3, 6)
     assert got[3]["n_tokens"] == 1 and got[3]["top_bigram_share"] == 0.0
+
+
+# -- windowed co-occurrence --------------------------------------------------
+
+
+def test_cooccurrence_matches_python(spark):
+    from collections import defaultdict
+
+    from gminer_spark.textops.cooccur import cooccurrence_topk
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "cat and dog and cat"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        (r.rk, r.w1, r.w2, r.cnt)
+        for r in cooccurrence_topk(df, window=2, k=1000, min_count=1).collect()
+    ]
+    # python replica
+    cnt = defaultdict(int)
+    for _, text in docs:
+        toks = text.lower().split()
+        for i in range(len(toks)):
+            for d in (1, 2):
+                if i + d < len(toks):
+                    a, b = sorted((toks[i], toks[i + d]))
+                    cnt[(a, b)] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = [(i + 1, w1, w2, c) for i, ((w1, w2), c) in enumerate(want)]
+    assert got == want
+
+
+def test_cooccurrence_lift_identity_pair(spark):
+    from gminer_spark.textops.cooccur import cooccurrence_topk
+
+    # "a b" x10 = 20 tokens; window 1 gives 19 adjacent pairs, every
+    # one sorting to (a, b); c_a = c_b = 10, total = 20
+    # lift = 19 * 20 / (10 * 10) = 3.8
+    df = spark.createDataFrame([(1, "a b " * 10)], "doc_id long, text string")
+    rows = cooccurrence_topk(df, window=1, k=10, min_count=1).collect()
+    by_pair = {(r.w1, r.w2): r for r in rows}
+    assert by_pair[("a", "b")].cnt == 19
+    assert by_pair[("a", "b")].lift_micro == 3_800_000
+
+
+def test_cooccurrence_deterministic(spark):
+    from gminer_spark.textops.cooccur import cooccurrence_topk
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    r1 = [tuple(r) for r in cooccurrence_topk(df, k=50).collect()]
+    r2 = [tuple(r) for r in cooccurrence_topk(df.repartition(7), k=50).collect()]
+    assert r1 == r2 and len(r1) == 50
