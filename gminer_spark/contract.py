@@ -2141,6 +2141,25 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["text_cooccurrence"] = text_cooccurrence
 
+    def boilerplate_shingles(s, d):
+        """Per-source boilerplate shingles (df >= ceil(frac*n_docs)):
+        the template detector a web-corpus cleaning pass runs before
+        training — shared shingle explode with the dedup family."""
+        from gminer_spark.textops.boilerplate import boilerplate_shingles as bs
+
+        return bs(_doc(s, d, "documents"), shingle_n=3, frac_pct=8, min_df=2)
+
+    q["boilerplate_shingles"] = boilerplate_shingles
+
+    def boilerplate_ratio(s, d):
+        """Per-doc template-contamination ratio over the same
+        source-level boilerplate set (micro-rounded)."""
+        from gminer_spark.textops.boilerplate import boilerplate_ratio as br
+
+        return br(_doc(s, d, "documents"), shingle_n=3, frac_pct=8, min_df=2)
+
+    q["boilerplate_ratio"] = boilerplate_ratio
+
     def corpus_pack(s, d):
         """Concatenate-and-slice sequence packing: shard -> hash-pinned
         token stream -> fixed 128-token packs, boundary docs split
@@ -3214,6 +3233,22 @@ FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
 
     o["text_cooccurrence"] = cooccurrence_oracle_sql(
         WORDS_CTE, window=3, k=100, min_count=2
+    )
+
+    from gminer_spark.textops.boilerplate import (
+        boilerplate_ratio_oracle_sql,
+        boilerplate_shingles_oracle_sql,
+    )
+
+    _shingles_full_cte = f"{WORDS_CTE.strip()}, {SHINGLES_CTE.strip()}"
+    # frac_pct 8: the synthetic corpus has no real templates (max
+    # within-source df is 3/25), so a high threshold value-checks an
+    # empty set; 8% keeps the check populated (~600 rows at sf0.01)
+    o["boilerplate_shingles"] = boilerplate_shingles_oracle_sql(
+        _shingles_full_cte, frac_pct=8, min_df=2
+    )
+    o["boilerplate_ratio"] = boilerplate_ratio_oracle_sql(
+        _shingles_full_cte, frac_pct=8, min_df=2
     )
 
     from gminer_spark.textops.corpus import (

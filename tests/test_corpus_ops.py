@@ -353,3 +353,48 @@ def test_cooccurrence_deterministic(spark):
     r1 = [tuple(r) for r in cooccurrence_topk(df, k=50).collect()]
     r2 = [tuple(r) for r in cooccurrence_topk(df.repartition(7), k=50).collect()]
     assert r1 == r2 and len(r1) == 50
+
+
+# -- boilerplate detection ---------------------------------------------------
+
+
+def test_boilerplate_shingles_detect_template(spark):
+    from gminer_spark.textops.boilerplate import (
+        boilerplate_ratio,
+        boilerplate_shingles,
+    )
+
+    tpl = "cookie notice accept all"
+    unique_b = [
+        "ocean waves crash loudly tonight",
+        "mountain trails wind upward slowly",
+        "desert sands shift quietly below",
+        "forest leaves rustle gently above",
+    ]
+    docs = [
+        (i, f"{tpl} unique body {i} words here", "hostA") for i in range(4)
+    ] + [(10 + i, unique_b[i], "hostB") for i in range(4)]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    bp = boilerplate_shingles(df, shingle_n=3, frac_pct=50, min_df=2).collect()
+    assert bp and all(r.source == "hostA" for r in bp)
+    shingles = {r.shingle for r in bp}
+    assert "cookie notice accept" in shingles and "notice accept all" in shingles
+    # hostB docs have zero boilerplate ratio; hostA docs a positive one
+    ratios = {r.doc_id: r for r in boilerplate_ratio(df, 3, 50, 2).collect()}
+    assert all(ratios[10 + i].n_boiler == 0 for i in range(4))
+    assert all(ratios[i].n_boiler >= 2 for i in range(4))
+    assert ratios[0].ratio_micro == round(ratios[0].n_boiler / ratios[0].n_shingles * 1e6)
+
+
+def test_boilerplate_source_scoped(spark):
+    from gminer_spark.textops.boilerplate import boilerplate_shingles
+
+    # same shingle in 2 docs of DIFFERENT sources: never boilerplate
+    docs = [
+        (1, "shared phrase here plus alpha", "h1"),
+        (2, "shared phrase here plus beta", "h2"),
+        (3, "other words entirely gamma delta", "h1"),
+        (4, "more other words epsilon zeta eta", "h2"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    assert boilerplate_shingles(df, 3, 50, 2).count() == 0
