@@ -103,6 +103,7 @@ COLOR_SUB_MOD = 16  # h32 edge-sample for the coloring input (avg deg ~7)
 COLOR_ITERS = 26  # Jones-Plassmann fixpoint at sf0.01 is 21 rounds; margin
 MATCH_ITERS = 10  # matching empties the live set in 6 rounds at sf0.01; margin
 BFLY_MAXDEG = 1024  # right-hub cap for the butterfly wedge join
+FUNNEL_STEPS = ["view", "click", "purchase"]  # ordered funnel
 
 
 def _materialize(cte: str) -> str:
@@ -2443,6 +2444,27 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["events_dedup"] = events_dedup
 
+    def event_transitions(s, d):
+        """First-order Markov transition graph of event types per
+        user timeline (counts exact, P(next|prev) micro-rounded) —
+        a behavior-state link graph; one window shuffle on user_id."""
+        from gminer_spark.streaming.journeys import event_transitions as et
+
+        s.conf.set("spark.sql.session.timeZone", "UTC")  # oracle parity
+        return et(_doc(s, d, "events"))
+
+    q["event_transitions"] = event_transitions
+
+    def event_funnel(s, d):
+        """Ordered-step funnel view→click→purchase with strict
+        time chaining (earliest qualifying occurrence per step)."""
+        from gminer_spark.streaming.journeys import funnel_counts
+
+        s.conf.set("spark.sql.session.timeZone", "UTC")  # oracle parity
+        return funnel_counts(_doc(s, d, "events"), FUNNEL_STEPS)
+
+    q["event_funnel"] = event_funnel
+
     return q
 
 
@@ -3531,6 +3553,14 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
        ROUND(ROUND(SUM(value), 6), 4) AS total_value
 FROM events GROUP BY 1, 2
 """
+
+    from gminer_spark.streaming.journeys import (
+        event_transitions_oracle_sql,
+        funnel_oracle_sql,
+    )
+
+    o["event_transitions"] = event_transitions_oracle_sql()
+    o["event_funnel"] = funnel_oracle_sql(FUNNEL_STEPS)
 
     o["events_dedup"] = """
 WITH ranked AS (

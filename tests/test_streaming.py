@@ -345,3 +345,58 @@ def test_dedup_maintainer_contamination_gate(spark):
     m2 = DedupMaintainer()
     a2 = {r["doc_id"] for r in m2.update(_dedup_docs(spark, rows)).collect()}
     assert a2 == {1, 2}
+
+
+# -- journeys: transitions + funnel ------------------------------------------
+
+
+def _mk_events(spark, rows):
+    import datetime as dt
+
+    data = [
+        (eid, dt.datetime(2026, 1, 1, 0, 0, sec), uid, et, 1.0, "{}")
+        for eid, (sec, uid, et) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_event_transitions_counts_and_probs(spark):
+    from gminer_spark.streaming.journeys import event_transitions
+
+    ev = _mk_events(
+        spark,
+        [
+            (1, 1, "view"), (2, 1, "click"), (3, 1, "view"), (4, 1, "click"),
+            (1, 2, "view"), (2, 2, "purchase"),
+        ],
+    )
+    got = {
+        (r.prev_type, r.next_type): (r.cnt, r.prob_micro)
+        for r in event_transitions(ev).collect()
+    }
+    assert got[("view", "click")] == (2, round(2 / 3 * 1e6))
+    assert got[("view", "purchase")] == (1, round(1 / 3 * 1e6))
+    assert got[("click", "view")] == (1, 1_000_000)
+    assert len(got) == 3
+
+
+def test_event_funnel_strict_ordering(spark):
+    from gminer_spark.streaming.journeys import funnel_counts
+
+    ev = _mk_events(
+        spark,
+        [
+            # user 1 completes in order
+            (1, 1, "view"), (2, 1, "click"), (3, 1, "purchase"),
+            # user 2: purchase BEFORE click — completes only 2 steps
+            (1, 2, "view"), (2, 2, "purchase"), (3, 2, "click"),
+            # user 3: click only — no view, contributes to no step
+            (1, 3, "click"),
+        ],
+    )
+    got = {r.step: r.n_users for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()}
+    assert got == {"view": 2, "click": 2, "purchase": 1}
