@@ -104,6 +104,8 @@ COLOR_ITERS = 26  # Jones-Plassmann fixpoint at sf0.01 is 21 rounds; margin
 MATCH_ITERS = 10  # matching empties the live set in 6 rounds at sf0.01; margin
 BFLY_MAXDEG = 1024  # right-hub cap for the butterfly wedge join
 FUNNEL_STEPS = ["view", "click", "purchase"]  # ordered funnel
+TRUSS_SUB_MOD = 2  # h32 half-graph sample for trussness (full graph ~4x cost)
+TRUSS_ITERS = 36  # local h-index fixpoint at sf0.01 is 30 rounds; margin
 
 
 def _materialize(cte: str) -> str:
@@ -1254,6 +1256,24 @@ def build_queries() -> dict[str, QueryFn]:
         return butterfly_counts(incid, max_right_deg=BFLY_MAXDEG)
 
     q["butterflies"] = butterflies
+
+    def truss_decomposition(s, d):
+        """Per-edge trussness (full truss hierarchy) via the local
+        h-index fixpoint over a ONE-TIME triangle enumeration — no
+        per-k re-peeling; h32 half-graph sample (full graph ~4x)."""
+        from gminer_spark.graph.trussness import trussness
+
+        e = _edges(s, d)
+        sub = e.where(
+            h32_spark(
+                F.concat_ws(":", F.lit("trsub"), F.col("src"), F.col("dst"))
+            )
+            % TRUSS_SUB_MOD
+            == 0
+        )
+        return trussness(sub, num_iter=None, max_iter=TRUSS_ITERS)
+
+    q["truss_decomposition"] = truss_decomposition
 
     def hits_micro(s, d):
         """HITS hubs & authorities, 10 L1-normalized iterations —
@@ -2840,6 +2860,18 @@ edges AS (
            CAST(l_partkey AS BIGINT) AS "right"
     FROM lineitem)"""
     o["butterflies"] = butterfly_oracle_sql(_bfly_incid_cte, max_right_deg=BFLY_MAXDEG)
+
+    from gminer_spark.graph.trussness import trussness_oracle_sql
+
+    _truss_edges_cte = (
+        EDGES_CTE.replace("edges AS (", "edges_all AS (", 1)
+        + f""",
+edges AS (
+    SELECT src, dst FROM edges_all
+    WHERE {h32_sql("'trsub:' || CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)")} % {TRUSS_SUB_MOD} = 0
+)"""
+    )
+    o["truss_decomposition"] = trussness_oracle_sql(_truss_edges_cte, iters=TRUSS_ITERS)
 
     o["link_features"] = f"""
 WITH {EDGES_CTE.strip()}, {SYM_CTE.strip()},

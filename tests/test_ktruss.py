@@ -56,3 +56,73 @@ def test_k_truss_deterministic_and_guards(spark):
     assert a == b == truss_oracle(pairs, 4)
     with pytest.raises(ValueError):
         k_truss(edges, k=2)
+
+
+# -- full truss decomposition ------------------------------------------------
+
+
+def _truss_python(pairs):
+    """Brute-force peeling: trussness(e) = max k with e in the k-truss."""
+    edges = {tuple(sorted((s, d))) for s, d in pairs if s != d}
+    truss = {e: 2 for e in edges}
+    cur = set(edges)
+    k = 2
+    while cur:
+        k += 1
+        while True:
+            nbrs = {}
+            for a, b in cur:
+                nbrs.setdefault(a, set()).add(b)
+                nbrs.setdefault(b, set()).add(a)
+            peeled = {
+                (a, b)
+                for a, b in cur
+                if len(nbrs[a] & nbrs[b]) < k - 2
+            }
+            if not peeled:
+                break
+            for e in peeled:
+                truss[e] = k - 1
+            cur -= peeled
+    return truss
+
+
+def test_trussness_matches_peeling(spark):
+    from tests.conftest import edges_df, random_graph
+
+    from gminer_spark.graph.trussness import trussness
+
+    pairs = random_graph(n=40, p=0.15, seed=8, directed=False)
+    got = {
+        (r.src, r.dst): r.trussness
+        for r in trussness(edges_df(spark, pairs)).collect()
+    }
+    assert got == _truss_python(pairs)
+
+
+def test_trussness_k5_closed_form(spark):
+    from tests.conftest import K5, edges_df
+
+    from gminer_spark.graph.trussness import trussness
+
+    got = {(r.src, r.dst): r.trussness for r in trussness(edges_df(spark, K5)).collect()}
+    assert set(got.values()) == {5} and len(got) == 10
+
+
+def test_trussness_deterministic_and_fixed_iter_parity(spark):
+    from tests.conftest import edges_df, random_graph
+
+    import gminer_spark.graph.trussness as tr
+
+    pairs = random_graph(n=35, p=0.15, seed=4, directed=False)
+    free = sorted(map(tuple, tr.trussness(edges_df(spark, pairs)).collect()))
+    rounds = tr.last_rounds
+    fixed = sorted(
+        map(
+            tuple,
+            tr.trussness(
+                edges_df(spark, pairs).repartition(5), num_iter=rounds + 2
+            ).collect(),
+        )
+    )
+    assert free == fixed
