@@ -1104,6 +1104,18 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["betweenness"] = betweenness
 
+    def edge_betweenness(s, d):
+        """Sampled-source EDGE betweenness (Girvan-Newman score) over
+        the same simultaneous multi-source BFS — per-edge Brandes
+        dependencies, canonical (src < dst), micro-rounded."""
+        from gminer_spark.graph.betweenness import edge_betweenness_sampled
+
+        e = _edges(s, d)
+        srcs = gt.vertices(e).where(F.col("id") % BC_SEED_MOD == 0)
+        return edge_betweenness_sampled(e, srcs, max_depth=BC_DEPTH)
+
+    q["edge_betweenness"] = edge_betweenness
+
     def harmonic(s, d):
         """Sampled harmonic centrality: Σ 1/dist over the same
         simultaneous multi-source BFS as betweenness."""
@@ -2787,6 +2799,12 @@ FROM deg GROUP BY degree
     from gminer_spark.graph.betweenness import betweenness_oracle_sql
 
     o["betweenness"] = betweenness_oracle_sql(
+        EDGES_CTE, f"id % {BC_SEED_MOD} = 0", depth=BC_DEPTH
+    )
+
+    from gminer_spark.graph.betweenness import edge_betweenness_oracle_sql
+
+    o["edge_betweenness"] = edge_betweenness_oracle_sql(
         EDGES_CTE, f"id % {BC_SEED_MOD} = 0", depth=BC_DEPTH
     )
 

@@ -320,3 +320,102 @@ FROM ({union})
 WHERE s <> v
 GROUP BY v"""
     )
+
+
+def edge_betweenness_sampled(
+    edges: DataFrame, sources: DataFrame, max_depth: int = 20
+) -> DataFrame:
+    """(src, dst, eb_micro) — sampled-source EDGE betweenness (the
+    Girvan-Newman score): for each BFS dag edge (v, w) the Brandes
+    edge dependency sigma(v)/sigma(w) · (1 + delta(w)), summed over
+    the source sample, canonical (src < dst), micro-rounded.
+
+    Shares :func:`_bfs_levels` and the level-by-level backward pass
+    with :func:`betweenness_sampled` — one extra per-level projection,
+    no extra shuffle family.  The community-detection edge-removal
+    score at web scale (run on a sample, cut the top edges).
+    """
+    spark = edges.sparkSession
+    sym = (
+        tables.symmetrize(edges)
+        .repartition(tables.shuffle_partitions(spark), "src")
+        .persist()
+    )
+    sym.count()
+    levels = _bfs_levels(sym, sources, max_depth)
+
+    delta = levels[-1].select("s", "v", F.lit(0.0).alias("delta"))
+    edge_parts: list[DataFrame] = []
+    for d in range(len(levels) - 2, -1, -1):
+        w_sig = levels[d + 1].select(
+            "s", F.col("v").alias("w"), F.col("sigma").alias("sigma_w")
+        )
+        succ = delta.select("s", F.col("v").alias("w"), "delta").join(
+            w_sig, on=["s", "w"]
+        )
+        dag = (
+            levels[d]
+            .join(sym, levels[d].v == sym.src)
+            .select("s", "v", "sigma", F.col("dst").alias("w"))
+            .join(succ, on=["s", "w"])
+            .select(
+                "s",
+                "v",
+                "w",
+                (
+                    F.col("sigma")
+                    / F.col("sigma_w")
+                    * (F.lit(1.0) + F.col("delta"))
+                ).alias("part"),
+            )
+        )
+        edge_parts.append(dag.select("v", "w", "part"))
+        contrib = dag.groupBy("s", "v").agg(F.sum("part").alias("contrib"))
+        delta = (
+            levels[d]
+            .select("s", "v")
+            .join(contrib, on=["s", "v"], how="left")
+            .select("s", "v", F.coalesce("contrib", F.lit(0.0)).alias("delta"))
+            .localCheckpoint()
+        )
+    sym.unpersist()
+    if not edge_parts:
+        return spark.createDataFrame([], "src long, dst long, eb_micro long")
+    allp = edge_parts[0]
+    for df in edge_parts[1:]:
+        allp = allp.unionByName(df)
+    return (
+        allp.groupBy(
+            F.least("v", "w").alias("src"), F.greatest("v", "w").alias("dst")
+        )
+        .agg(
+            F.round(F.sum("part") * 1e6, 0).cast("long").alias("eb_micro")
+        )
+    )
+
+
+def edge_betweenness_oracle_sql(
+    edges_cte: str, source_pred: str, depth: int
+) -> str:
+    """Edge-dependency tail over the SAME forward+backward CTE chain
+    as :func:`betweenness_oracle_sql` (the d{k} delta CTEs are reused
+    verbatim; only the final aggregation differs)."""
+    base = betweenness_oracle_sql(edges_cte, source_pred, depth)
+    ctes = base[: base.rindex("\nSELECT v AS id,")]
+    union = "\nUNION ALL\n".join(
+        f"""SELECT l2.v AS x, w.v AS y,
+       l2.sigma / w.sigma * (1.0 + w.delta) AS part
+FROM l{d} l2 JOIN sym e ON l2.v = e.src
+JOIN (SELECT n.s, n.v, n.sigma, dd.delta
+      FROM l{d + 1} n JOIN d{d + 1} dd ON n.s = dd.s AND n.v = dd.v) w
+  ON l2.s = w.s AND e.dst = w.v"""
+        for d in range(depth)
+    )
+    return (
+        ctes
+        + f"""
+SELECT LEAST(x, y) AS src, GREATEST(x, y) AS dst,
+       CAST(ROUND(SUM(part) * 1e6) AS BIGINT) AS eb_micro
+FROM ({union})
+GROUP BY LEAST(x, y), GREATEST(x, y)"""
+    )

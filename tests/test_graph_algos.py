@@ -1420,3 +1420,72 @@ def test_butterflies_right_hub_cap(spark):
     df = spark.createDataFrame(incid, "left long, right long")
     # every right vertex has degree 3; cap 2 drops all wedges
     assert butterfly_total(df, max_right_deg=2).first().n_butterflies == 0
+
+
+# -- edge betweenness --------------------------------------------------------
+
+
+def test_edge_betweenness_path_closed_form(spark):
+    from gminer_spark.graph.betweenness import edge_betweenness_sampled
+
+    # path 1-2-3-4-5, all 5 sources: edge (i, i+1) carries i*(5-i)
+    # shortest paths in each direction -> dependency sum = 2*i*(5-i)... 
+    # computed per Brandes: sum over sources of dag-edge dependencies
+    e = edges_df(spark, PATH5)
+    srcs = spark.createDataFrame([(i,) for i in range(1, 6)], "id long")
+    got = {
+        (r.src, r.dst): r.eb_micro
+        for r in edge_betweenness_sampled(e, srcs, max_depth=10).collect()
+    }
+    # brute force from python for exactness
+    want = _edge_bc_python(PATH5, [1, 2, 3, 4, 5])
+    assert got == {k: round(v * 1e6) for k, v in want.items()}
+
+
+def _edge_bc_python(pairs, sources):
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for s, d in pairs:
+        adj[s].add(d)
+        adj[d].add(s)
+    eb = defaultdict(float)
+    for s in sources:
+        # BFS
+        dist, sigma = {s: 0}, defaultdict(float)
+        sigma[s] = 1.0
+        order = []
+        dq = deque([s])
+        while dq:
+            v = dq.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    dq.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = defaultdict(float)
+        for w in reversed(order):
+            for v in adj[w]:
+                if v in dist and dist[v] == dist[w] - 1:
+                    part = sigma[v] / sigma[w] * (1 + delta[w])
+                    eb[(min(v, w), max(v, w))] += part
+                    delta[v] += part
+    return dict(eb)
+
+
+def test_edge_betweenness_matches_python_random(spark):
+    from gminer_spark.graph.betweenness import edge_betweenness_sampled
+
+    pairs = random_graph(n=40, p=0.08, seed=19, directed=False)
+    srcs_l = sorted({x for p in pairs for x in p})[:6]
+    srcs = spark.createDataFrame([(v,) for v in srcs_l], "id long")
+    got = {
+        (r.src, r.dst): r.eb_micro
+        for r in edge_betweenness_sampled(edges_df(spark, pairs), srcs, max_depth=15).collect()
+    }
+    want = _edge_bc_python(pairs, srcs_l)
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - round(v * 1e6)) <= 1  # float sum-order ulp
