@@ -1449,6 +1449,16 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["degree_assortativity"] = degree_assortativity
 
+    def avg_neighbor_degree(s, d):
+        """k_nn(k) degree-correlation profile (mean neighbor degree
+        per degree class, micro-rounded) — the curve behind the
+        assortativity scalar."""
+        from gminer_spark.graph.structure import avg_neighbor_degree as annd
+
+        return annd(_edges(s, d))
+
+    q["avg_neighbor_degree"] = avg_neighbor_degree
+
     def feature_agg_2hop(s, d):
         """GNN preprocessing: 2-hop neighbor-sum of an integer vertex
         feature (id % 1000) — A²·x exactly, one shuffle per hop."""
@@ -2972,6 +2982,10 @@ SELECT CAST(ROUND(
     AS assortativity_micro
 FROM mom
 """
+
+    from gminer_spark.graph.structure import avg_neighbor_degree_oracle_sql
+
+    o["avg_neighbor_degree"] = avg_neighbor_degree_oracle_sql(EDGES_CTE)
 
     from gminer_spark.graph.features import feature_propagation_oracle_sql
 

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gminer_spark.graph import tables
+
 
 def reciprocity(edges: DataFrame) -> DataFrame:
     """1-row ``(n_edges, n_reciprocal, reciprocity_micro)`` — the
@@ -155,3 +157,55 @@ SELECT n AS n_edges,
            * 1e6) AS BIGINT) AS assortativity_micro
 FROM m
 """
+
+
+def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
+    """(deg, n_vertices, knn_micro) — the k_nn(k) degree-correlation
+    PROFILE over the undirected view: for each degree class k, the
+    mean over degree-k vertices of their mean neighbor degree
+    (micro-rounded).  The standard curve behind the assortativity
+    scalar (:func:`degree_assortativity`): rising = assortative core,
+    falling = hub-periphery (the typical web shape).
+
+    One degree table, one self-join on the symmetric edges, two
+    aggregations — all map-side combinable; the profile has at most
+    max-degree rows, so the final groupBy is tiny.
+    """
+    sym = tables.symmetrize(edges)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    nbr = (
+        sym.join(deg.withColumnRenamed("id", "dst").withColumnRenamed("deg", "nbr_deg"), on="dst")
+        .groupBy("src")
+        .agg(F.avg("nbr_deg").alias("mean_nbr_deg"))
+    )
+    per_vertex = deg.join(nbr, deg.id == nbr.src).select("deg", "mean_nbr_deg")
+    return (
+        per_vertex.groupBy("deg")
+        .agg(
+            F.count("*").alias("n_vertices"),
+            F.round(F.avg("mean_nbr_deg") * 1e6, 0)
+            .cast("long")
+            .alias("knn_micro"),
+        )
+    )
+
+
+def avg_neighbor_degree_oracle_sql(edges_cte: str) -> str:
+    """DuckDB mirror — CAST to DOUBLE before both AVGs (bare integer
+    AVG is exact DECIMAL in DuckDB, a micro-rounding mismatch)."""
+    return f"""
+WITH {edges_cte.strip()},
+sym AS MATERIALIZED (
+    SELECT src, dst FROM edges
+    UNION SELECT dst AS src, src AS dst FROM edges),
+deg AS MATERIALIZED (
+    SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src),
+nbr AS MATERIALIZED (
+    SELECT e.src, AVG(CAST(d.deg AS DOUBLE)) AS mean_nbr_deg
+    FROM sym e JOIN deg d ON d.id = e.dst
+    GROUP BY e.src)
+SELECT d.deg, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       CAST(ROUND(AVG(CAST(n.mean_nbr_deg AS DOUBLE)) * 1e6) AS BIGINT)
+           AS knn_micro
+FROM deg d JOIN nbr n ON n.src = d.id
+GROUP BY d.deg"""

@@ -1489,3 +1489,36 @@ def test_edge_betweenness_matches_python_random(spark):
     assert set(got) == set(want)
     for k, v in want.items():
         assert abs(got[k] - round(v * 1e6)) <= 1  # float sum-order ulp
+
+
+# -- avg neighbor degree profile ---------------------------------------------
+
+
+def test_avg_neighbor_degree_star(spark):
+    from gminer_spark.graph.structure import avg_neighbor_degree
+
+    got = {r.deg: (r.n_vertices, r.knn_micro) for r in avg_neighbor_degree(edges_df(spark, STAR)).collect()}
+    # hub (deg 20) neighbors all have deg 1; leaves (deg 1) neighbor the hub
+    assert got[20] == (1, 1_000_000)
+    assert got[1] == (20, 20_000_000)
+
+
+def test_avg_neighbor_degree_matches_python(spark):
+    from collections import defaultdict
+
+    from gminer_spark.graph.structure import avg_neighbor_degree
+
+    pairs = random_graph(n=50, p=0.08, seed=23, directed=False)
+    adj = defaultdict(set)
+    for s, d in pairs:
+        adj[s].add(d)
+        adj[d].add(s)
+    per_v = {v: sum(len(adj[w]) for w in adj[v]) / len(adj[v]) for v in adj}
+    prof = defaultdict(list)
+    for v, knn in per_v.items():
+        prof[len(adj[v])].append(knn)
+    want = {k: (len(vs), round(sum(vs) / len(vs) * 1e6)) for k, vs in prof.items()}
+    got = {r.deg: (r.n_vertices, r.knn_micro) for r in avg_neighbor_degree(edges_df(spark, pairs)).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0] and abs(got[k][1] - want[k][1]) <= 1
