@@ -1131,6 +1131,17 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["harmonic"] = harmonic
 
+    def closeness(s, d):
+        """Sampled closeness: n_reached / exact-integer distance sum
+        over the shared multi-source BFS (single final division)."""
+        from gminer_spark.graph.betweenness import closeness_sampled
+
+        e = _edges(s, d)
+        srcs = gt.vertices(e).where(F.col("id") % BC_SEED_MOD == 0)
+        return closeness_sampled(e, srcs, max_depth=BC_DEPTH)
+
+    q["closeness"] = closeness
+
     def eccentricity(s, d):
         """Per-sampled-source eccentricity (max BFS level) — the
         sampled diameter lower bound, over the shared multi-source
@@ -2821,6 +2832,12 @@ FROM deg GROUP BY degree
     from gminer_spark.graph.betweenness import harmonic_oracle_sql
 
     o["harmonic"] = harmonic_oracle_sql(
+        EDGES_CTE, f"id % {BC_SEED_MOD} = 0", depth=BC_DEPTH
+    )
+
+    from gminer_spark.graph.betweenness import closeness_oracle_sql
+
+    o["closeness"] = closeness_oracle_sql(
         EDGES_CTE, f"id % {BC_SEED_MOD} = 0", depth=BC_DEPTH
     )
 

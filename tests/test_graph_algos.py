@@ -1522,3 +1522,27 @@ def test_avg_neighbor_degree_matches_python(spark):
     assert set(got) == set(want)
     for k in want:
         assert got[k][0] == want[k][0] and abs(got[k][1] - want[k][1]) <= 1
+
+
+def test_closeness_sampled_matches_python(spark):
+    from gminer_spark.graph.betweenness import closeness_sampled
+
+    pairs = random_graph(n=40, p=0.08, seed=29, directed=False)
+    srcs_l = sorted({x for p in pairs for x in p})[:8]
+    srcs = spark.createDataFrame([(v,) for v in srcs_l], "id long")
+    got = {
+        r.id: (r.n_reached, r.closeness_micro)
+        for r in closeness_sampled(edges_df(spark, pairs), srcs, max_depth=15).collect()
+    }
+    true = _true_dists(pairs)
+    from collections import defaultdict
+
+    sums = defaultdict(lambda: [0, 0])
+    for s in srcs_l:
+        for v in {x for p in pairs for x in p}:
+            d = true.get((s, v))
+            if d is not None and d > 0:
+                sums[v][0] += 1
+                sums[v][1] += d
+    want = {v: (n, round(n / sd * 1e6)) for v, (n, sd) in sums.items() if n}
+    assert got == want
