@@ -106,6 +106,7 @@ BFLY_MAXDEG = 1024  # right-hub cap for the butterfly wedge join
 FUNNEL_STEPS = ["view", "click", "purchase"]  # ordered funnel
 TRUSS_SUB_MOD = 2  # h32 half-graph sample for trussness (full graph ~4x cost)
 TRUSS_ITERS = 36  # local h-index fixpoint at sf0.01 is 30 rounds; margin
+SNAP_CUTOFF = "1998-01-01"  # snapshot t1 = orders strictly before this date
 
 
 def _materialize(cte: str) -> str:
@@ -1264,6 +1265,47 @@ def build_queries() -> dict[str, QueryFn]:
         return mm(sub)
 
     q["maximal_matching"] = maximal_matching
+
+    def _snapshot_edges(s, d):
+        li = gt.load_table(s, d, "lineitem").select("l_orderkey", "l_partkey")
+        old_orders = (
+            gt.load_table(s, d, "orders")
+            .where(F.col("o_orderdate") < SNAP_CUTOFF)
+            .select(F.col("o_orderkey").alias("l_orderkey"))
+        )
+        li_old = li.join(old_orders, on="l_orderkey", how="leftsemi")
+        a, b = li_old.alias("a"), li_old.alias("b")
+        old = (
+            a.join(b, on="l_orderkey")
+            .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+            .select(
+                F.col("a.l_partkey").cast("long").alias("src"),
+                F.col("b.l_partkey").cast("long").alias("dst"),
+            )
+            .distinct()
+        )
+        return old, _edges(s, d)
+
+    def snapshot_diff(s, d):
+        """Edge churn between two crawl snapshots (orders before the
+        cutoff date vs all): full-outer on the canonical edge key,
+        output bounded by the churn, tagged added/removed."""
+        from gminer_spark.graph.snapshot import snapshot_diff as sd
+
+        old, new = _snapshot_edges(s, d)
+        return sd(old, new)
+
+    q["snapshot_diff"] = snapshot_diff
+
+    def snapshot_degree_delta(s, d):
+        """Per-vertex degree movement between the same two snapshots
+        (recrawl-scheduling / burst-detection input)."""
+        from gminer_spark.graph.snapshot import degree_delta
+
+        old, new = _snapshot_edges(s, d)
+        return degree_delta(old, new)
+
+    q["snapshot_degree_delta"] = snapshot_degree_delta
 
     def butterflies(s, d):
         """Per-order butterfly (K2,2) counts on the order-part
@@ -2893,6 +2935,23 @@ edges AS (
 )"""
     )
     o["graph_coloring"] = coloring_oracle_sql(_color_edges_cte, iters=COLOR_ITERS)
+
+    from gminer_spark.graph.snapshot import (
+        degree_delta_oracle_sql,
+        snapshot_diff_oracle_sql,
+    )
+
+    _old_cte = f"""eold AS (
+    SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS src,
+                    CAST(b.l_partkey AS BIGINT) AS dst
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    JOIN orders o ON o.o_orderkey = a.l_orderkey
+    WHERE o.o_orderdate < DATE '{SNAP_CUTOFF}')"""
+    _new_cte = EDGES_CTE.replace("edges AS (", "enew AS (", 1)
+    o["snapshot_diff"] = snapshot_diff_oracle_sql(_old_cte, _new_cte)
+    o["snapshot_degree_delta"] = degree_delta_oracle_sql(_old_cte, _new_cte)
 
     from gminer_spark.graph.matching import matching_oracle_sql
 

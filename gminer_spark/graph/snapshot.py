@@ -1,0 +1,118 @@
+"""Graph snapshot diffing — what changed between two crawls.
+
+A production link graph is re-derived per crawl; the first questions
+an operator asks of a new snapshot are *which edges appeared or
+vanished* and *whose connectivity moved* — the inputs to recrawl
+scheduling and spam-burst detection (a host whose in-degree jumps
+overnight).  Both are pure co-partitioned joins on the canonical edge
+/ vertex keys:
+
+* :func:`snapshot_diff` — full-outer join of the two edge sets on
+  (src, dst): rows only for edges present in exactly one snapshot,
+  tagged ``added`` / ``removed``.  Unchanged edges (the vast
+  majority) never leave the join's matched branch, so output is
+  bounded by the churn, not the graph.
+* :func:`degree_delta` — per-vertex total degree in each snapshot
+  plus the delta, full-outer on the vertex id (vertices present in
+  either snapshot).
+
+Reference analog: GMiner recomputes from scratch per input graph;
+snapshot diffing is the incremental-maintenance view of the same
+data, in the spirit of this engine's CCMaintainer / PageRankMaintainer
+(stronger-than-reference resume family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gminer_spark.graph import tables
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def snapshot_diff(edges_old: DataFrame, edges_new: DataFrame) -> DataFrame:
+    """(src, dst, status) — canonical edges in exactly one snapshot;
+    status = 'added' (new only) or 'removed' (old only)."""
+    old = _canon(edges_old).withColumn("_o", F.lit(True))
+    new = _canon(edges_new).withColumn("_n", F.lit(True))
+    return (
+        old.join(new, on=["src", "dst"], how="full")
+        .where(F.col("_o").isNull() | F.col("_n").isNull())
+        .select(
+            "src",
+            "dst",
+            F.when(F.col("_o").isNull(), F.lit("added"))
+            .otherwise(F.lit("removed"))
+            .alias("status"),
+        )
+    )
+
+
+def degree_delta(edges_old: DataFrame, edges_new: DataFrame) -> DataFrame:
+    """(id, deg_old, deg_new, delta) — undirected degree per snapshot
+    (0 when absent) for vertices of either snapshot."""
+    def deg(edges: DataFrame) -> DataFrame:
+        return (
+            tables.symmetrize(edges)
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.count("*").alias("d"))
+        )
+
+    o = deg(edges_old).withColumnRenamed("d", "deg_old")
+    n = deg(edges_new).withColumnRenamed("d", "deg_new")
+    return (
+        o.join(n, on="id", how="full")
+        .select(
+            "id",
+            F.coalesce("deg_old", F.lit(0)).alias("deg_old"),
+            F.coalesce("deg_new", F.lit(0)).alias("deg_new"),
+            (
+                F.coalesce("deg_new", F.lit(0)) - F.coalesce("deg_old", F.lit(0))
+            ).alias("delta"),
+        )
+        .where(F.col("delta") != 0)
+    )
+
+
+def snapshot_diff_oracle_sql(old_cte: str, new_cte: str) -> str:
+    """``old_cte`` / ``new_cte`` must define ``eold(src, dst)`` /
+    ``enew(src, dst)`` (already canonical src < dst, distinct)."""
+    return f"""
+WITH {old_cte.strip()},
+{new_cte.strip()}
+SELECT COALESCE(o.src, n.src) AS src, COALESCE(o.dst, n.dst) AS dst,
+       CASE WHEN o.src IS NULL THEN 'added' ELSE 'removed' END AS status
+FROM eold o FULL OUTER JOIN enew n
+  ON o.src = n.src AND o.dst = n.dst
+WHERE o.src IS NULL OR n.src IS NULL"""
+
+
+def degree_delta_oracle_sql(old_cte: str, new_cte: str) -> str:
+    return f"""
+WITH {old_cte.strip()},
+{new_cte.strip()},
+dold AS MATERIALIZED (
+    SELECT id, COUNT(*) AS d FROM (
+        SELECT src AS id FROM eold UNION ALL SELECT dst FROM eold)
+    GROUP BY id),
+dnew AS MATERIALIZED (
+    SELECT id, COUNT(*) AS d FROM (
+        SELECT src AS id FROM enew UNION ALL SELECT dst FROM enew)
+    GROUP BY id)
+SELECT COALESCE(o.id, n.id) AS id,
+       CAST(COALESCE(o.d, 0) AS BIGINT) AS deg_old,
+       CAST(COALESCE(n.d, 0) AS BIGINT) AS deg_new,
+       CAST(COALESCE(n.d, 0) - COALESCE(o.d, 0) AS BIGINT) AS delta
+FROM dold o FULL OUTER JOIN dnew n ON o.id = n.id
+WHERE COALESCE(n.d, 0) <> COALESCE(o.d, 0)"""

@@ -1546,3 +1546,25 @@ def test_closeness_sampled_matches_python(spark):
                 sums[v][1] += d
     want = {v: (n, round(n / sd * 1e6)) for v, (n, sd) in sums.items() if n}
     assert got == want
+
+
+# -- snapshot diff -----------------------------------------------------------
+
+
+def test_snapshot_diff_and_degree_delta(spark):
+    from gminer_spark.graph.snapshot import degree_delta, snapshot_diff
+
+    old = edges_df(spark, [(1, 2), (2, 3), (3, 4)])
+    new = edges_df(spark, [(1, 2), (3, 4), (4, 5)])
+    diff = {(r.src, r.dst): r.status for r in snapshot_diff(old, new).collect()}
+    assert diff == {(2, 3): "removed", (4, 5): "added"}
+    dd = {r.id: (r.deg_old, r.deg_new, r.delta) for r in degree_delta(old, new).collect()}
+    assert dd == {2: (2, 1, -1), 3: (2, 1, -1), 4: (1, 2, 1), 5: (0, 1, 1)}
+
+
+def test_snapshot_diff_identical_is_empty(spark):
+    from gminer_spark.graph.snapshot import degree_delta, snapshot_diff
+
+    e = edges_df(spark, PATH5)
+    assert snapshot_diff(e, e.repartition(3)).count() == 0
+    assert degree_delta(e, e.repartition(3)).count() == 0
