@@ -249,6 +249,47 @@ def main() -> None:
         sec = min(secs)
         throughput = n_items * iters / sec
         extra = {"walks": rows, "reps_sec": [round(s, 1) for s in secs]}
+    elif job == "scc":
+        # full FW-BW-Trim decomposition on the directed skewed graph —
+        # audits the pivot/coloring batching at 10M edges.  REPS=2:
+        # the job is minutes-long and the trim/coloring round counts
+        # are partitioning-independent, so two warm draws bound noise.
+        from gminer_spark.graph.scc import strongly_connected_components
+
+        edges = spark.read.parquet(path).persist()
+        n_items = edges.count()
+        # warm-up at full parallelism: one trim-ish pass over a slice
+        strongly_connected_components(edges.limit(200_000))
+        secs = []
+        n_scc = 0
+        for _ in range(2):
+            t0 = time.time()
+            res = strongly_connected_components(edges)
+            n_scc = res.select("scc_id").distinct().count()
+            secs.append(time.time() - t0)
+        sec = min(secs)
+        throughput = n_items / sec
+        extra = {"n_scc": n_scc, "reps_sec": [round(s, 1) for s in secs]}
+    elif job == "coreness_free":
+        # free-running coreness (double-step rounds + tol auto-stop) —
+        # the cluster-band measurement for the double-step h-index:
+        # identical fixpoint at both parallelism levels, work measured
+        # to convergence rather than a fixed round count.
+        from gminer_spark.graph.kcore import coreness_hindex
+
+        edges = spark.read.parquet(path).persist()
+        n_items = edges.count()
+        coreness_hindex(edges, num_iter=2)  # warm-up
+        secs = []
+        chk = 0
+        for _ in range(2):
+            t0 = time.time()
+            res = coreness_hindex(edges)  # num_iter=None -> double-step
+            chk = res.agg({"coreness": "sum"}).first()[0]
+            secs.append(time.time() - t0)
+        sec = min(secs)
+        throughput = n_items / sec
+        extra = {"coreness_sum": int(chk), "reps_sec": [round(s, 1) for s in secs]}
     else:
         raise SystemExit(f"unknown job {job}")
 
