@@ -1307,6 +1307,28 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["snapshot_degree_delta"] = snapshot_degree_delta
 
+    def hub_robustness(s, d):
+        """Component-size histogram after removing the top-20 degree
+        hubs — the targeted-attack robustness probe (rides the
+        standard hash-min CC).  Runs on the h32-sampled sparse
+        subgraph: the dense copurchase graph is one giant component
+        with or without its hubs (a 1-row non-answer), while the
+        sparse view actually shatters (mod-32 sample, 40 hubs:
+        giant component survives, fringe fragments break off)."""
+        from gminer_spark.graph.snapshot import hub_removal_robustness
+
+        e = _edges(s, d)
+        sub = e.where(
+            h32_spark(
+                F.concat_ws(":", F.lit("colsub"), F.col("src"), F.col("dst"))
+            )
+            % 32
+            == 0
+        )
+        return hub_removal_robustness(sub, k_hubs=40)
+
+    q["hub_robustness"] = hub_robustness
+
     def butterflies(s, d):
         """Per-order butterfly (K2,2) counts on the order-part
         bipartite incidence — the bipartite triangle analog; wedge
@@ -2952,6 +2974,20 @@ edges AS (
     _new_cte = EDGES_CTE.replace("edges AS (", "enew AS (", 1)
     o["snapshot_diff"] = snapshot_diff_oracle_sql(_old_cte, _new_cte)
     o["snapshot_degree_delta"] = degree_delta_oracle_sql(_old_cte, _new_cte)
+
+    from gminer_spark.graph.snapshot import hub_removal_oracle_sql
+
+    _sub_sym_cte = """sym AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT dst AS src, src AS dst FROM edges
+)"""
+    _color32_edges_cte = _color_edges_cte.replace(
+        f"% {COLOR_SUB_MOD} = 0", "% 32 = 0"
+    )
+    o["hub_robustness"] = hub_removal_oracle_sql(
+        _color32_edges_cte, _sub_sym_cte, k_hubs=40
+    )
 
     from gminer_spark.graph.matching import matching_oracle_sql
 

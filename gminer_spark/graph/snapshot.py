@@ -116,3 +116,60 @@ SELECT COALESCE(o.id, n.id) AS id,
        CAST(COALESCE(n.d, 0) - COALESCE(o.d, 0) AS BIGINT) AS delta
 FROM dold o FULL OUTER JOIN dnew n ON o.id = n.id
 WHERE COALESCE(n.d, 0) <> COALESCE(o.d, 0)"""
+
+
+def hub_removal_robustness(edges: DataFrame, k_hubs: int = 20) -> DataFrame:
+    """(comp_size, n_components) — component-size histogram after
+    removing the top-``k_hubs`` degree vertices (ties by min id, the
+    landmark total order).
+
+    The classic scale-free robustness probe (Albert-Jeong-Barabási):
+    a crawl graph survives random failure but shatters under targeted
+    hub removal — this measures the shatter.  Vertices isolated by
+    the removal drop out (component membership is derived from the
+    remaining edge table, the CC convention here).
+
+    One degree table + two anti-joins + the standard hash-min CC +
+    two tiny aggregations; nothing new to scale — it rides CC.
+    """
+    from gminer_spark.graph.cc import connected_components
+    from gminer_spark.graph.landmarks import select_landmarks
+
+    hubs = select_landmarks(edges, k_hubs).localCheckpoint()
+    sub = edges.join(
+        hubs.withColumnRenamed("id", "src"), on="src", how="left_anti"
+    ).join(hubs.withColumnRenamed("id", "dst"), on="dst", how="left_anti")
+    comp = connected_components(sub).state
+    sizes = comp.groupBy("component").agg(F.count("*").alias("comp_size"))
+    return sizes.groupBy("comp_size").agg(
+        F.count("*").cast("long").alias("n_components")
+    )
+
+
+def hub_removal_oracle_sql(
+    edges_cte: str, sym_cte: str, k_hubs: int = 20
+) -> str:
+    """Top-k hub cut + recursive-CTE CC + size histogram."""
+    return f"""
+WITH RECURSIVE {edges_cte.strip()},
+{sym_cte.strip()},
+hdeg AS MATERIALIZED (
+    SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src),
+hubs AS MATERIALIZED (
+    SELECT id FROM hdeg ORDER BY deg DESC, id ASC LIMIT {k_hubs}),
+rsym AS MATERIALIZED (
+    SELECT src, dst FROM sym
+    WHERE src NOT IN (SELECT id FROM hubs)
+      AND dst NOT IN (SELECT id FROM hubs)),
+rverts AS MATERIALIZED (SELECT DISTINCT src AS id FROM rsym),
+reach(id, label) AS (
+    SELECT id, id FROM rverts
+    UNION
+    SELECT s.dst, r.label FROM reach r JOIN rsym s ON s.src = r.id),
+comp AS MATERIALIZED (
+    SELECT id, MIN(label) AS component FROM reach GROUP BY id),
+sizes AS MATERIALIZED (
+    SELECT component, COUNT(*) AS comp_size FROM comp GROUP BY component)
+SELECT CAST(comp_size AS BIGINT) AS comp_size,
+       CAST(COUNT(*) AS BIGINT) AS n_components
+FROM sizes GROUP BY comp_size"""

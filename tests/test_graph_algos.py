@@ -1568,3 +1568,54 @@ def test_snapshot_diff_identical_is_empty(spark):
     e = edges_df(spark, PATH5)
     assert snapshot_diff(e, e.repartition(3)).count() == 0
     assert degree_delta(e, e.repartition(3)).count() == 0
+
+
+def test_hub_removal_robustness_star_shatters(spark):
+    from gminer_spark.graph.snapshot import hub_removal_robustness
+
+    # star + one spare edge: removing the hub leaves only (21, 22)
+    e = edges_df(spark, STAR + [(21, 22)])
+    got = {
+        r.comp_size: r.n_components
+        for r in hub_removal_robustness(e, k_hubs=1).collect()
+    }
+    assert got == {2: 1}
+
+
+def test_hub_removal_robustness_matches_python(spark):
+    from gminer_spark.graph.snapshot import hub_removal_robustness
+
+    pairs = random_graph(n=60, p=0.04, seed=37, directed=False)
+    got = {
+        r.comp_size: r.n_components
+        for r in hub_removal_robustness(edges_df(spark, pairs), k_hubs=5).collect()
+    }
+    # python replica
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for s, d in set(pairs):
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    hubs = sorted(adj, key=lambda v: (-len(adj[v]), v))[:5]
+    hs = set(hubs)
+    sub = defaultdict(set)
+    for s, d in set(pairs):
+        if s != d and s not in hs and d not in hs:
+            sub[s].add(d)
+            sub[d].add(s)
+    seen, sizes = set(), []
+    for v in sub:
+        if v in seen:
+            continue
+        stack, comp = [v], set()
+        while stack:
+            x = stack.pop()
+            if x in comp:
+                continue
+            comp.add(x)
+            stack.extend(sub[x] - comp)
+        seen |= comp
+        sizes.append(len(comp))
+    assert got == dict(Counter(sizes))
