@@ -1362,6 +1362,24 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["truss_decomposition"] = truss_decomposition
 
+    def k4_per_vertex(s, d):
+        """Per-vertex 4-clique participation over the same h32
+        half-graph sample as trussness — two joins of the canonical
+        triangle table on its base edge + one closing semi-join."""
+        from gminer_spark.graph.cliques4 import k4_counts
+
+        e = _edges(s, d)
+        sub = e.where(
+            h32_spark(
+                F.concat_ws(":", F.lit("trsub"), F.col("src"), F.col("dst"))
+            )
+            % TRUSS_SUB_MOD
+            == 0
+        )
+        return k4_counts(sub)
+
+    q["k4_per_vertex"] = k4_per_vertex
+
     def hits_micro(s, d):
         """HITS hubs & authorities, 10 L1-normalized iterations —
         the second classic link-analysis fixpoint next to PageRank."""
@@ -3012,6 +3030,10 @@ edges AS (
 )"""
     )
     o["truss_decomposition"] = trussness_oracle_sql(_truss_edges_cte, iters=TRUSS_ITERS)
+
+    from gminer_spark.graph.cliques4 import k4_oracle_sql
+
+    o["k4_per_vertex"] = k4_oracle_sql(_truss_edges_cte)
 
     o["link_features"] = f"""
 WITH {EDGES_CTE.strip()}, {SYM_CTE.strip()},

@@ -194,3 +194,53 @@ def test_seed_egonets_shuffle_path_above_gate(spark):
         assert norm(shuffled.collect()) == norm(broadcasted.collect())
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+# -- K4 counting -------------------------------------------------------------
+
+
+def test_k4_counts_match_brute_force(spark):
+    from itertools import combinations
+
+    from tests.conftest import edges_df, random_graph
+
+    from gminer_spark.graph.cliques4 import k4_counts, k4_total
+
+    pairs = random_graph(n=30, p=0.25, seed=41, directed=False)
+    eset = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    verts = sorted({x for p in eset for x in p})
+    per = {}
+    total = 0
+    for quad in combinations(verts, 4):
+        if all(tuple(sorted(e)) in eset for e in combinations(quad, 2)):
+            total += 1
+            for v in quad:
+                per[v] = per.get(v, 0) + 1
+    e = edges_df(spark, pairs)
+    got = {r.id: r.k4 for r in k4_counts(e).collect()}
+    assert got == per
+    assert k4_total(e).first().n_k4 == total
+
+
+def test_k4_k5_closed_form(spark):
+    from tests.conftest import K5, edges_df
+
+    from gminer_spark.graph.cliques4 import k4_counts, k4_total
+
+    # K5 contains C(5,4) = 5 K4s; each vertex is in C(4,3) = 4 of them
+    e = edges_df(spark, K5)
+    assert k4_total(e).first().n_k4 == 5
+    got = {r.id: r.k4 for r in k4_counts(e).collect()}
+    assert got == {v: 4 for v in range(1, 6)}
+
+
+def test_k4_base_support_cap(spark):
+    from tests.conftest import K5, edges_df
+
+    from gminer_spark.graph.cliques4 import k4_total
+
+    # K5 lex-base multiplicities: (1,2)->3, (1,3)/(2,3)->2,
+    # (1,4)/(2,4)/(3,4)->1.  Cap 1 leaves only singleton bases -> 0
+    # quads; cap 2 re-admits the two pair-capable bases -> 2 quads.
+    assert k4_total(edges_df(spark, K5), max_support=1).first().n_k4 == 0
+    assert k4_total(edges_df(spark, K5), max_support=2).first().n_k4 == 2
