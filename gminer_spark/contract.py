@@ -2287,6 +2287,17 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["boilerplate_shingles"] = boilerplate_shingles
 
+    def dedup_containment(s, d):
+        """Asymmetric shingle containment pairs (quote / sub-document
+        duplication detector) over the shared inverted index."""
+        from gminer_spark.textops.dedup import shingle_containment_pairs
+
+        return shingle_containment_pairs(
+            _doc(s, d, "documents"), n=3, threshold=0.5, max_df=100
+        )
+
+    q["dedup_containment"] = dedup_containment
+
     def boilerplate_ratio(s, d):
         """Per-doc template-contamination ratio over the same
         source-level boilerplate set (micro-rounded)."""
@@ -3454,6 +3465,29 @@ FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
     o["text_cooccurrence"] = cooccurrence_oracle_sql(
         WORDS_CTE, window=3, k=100, min_count=2
     )
+
+    o["dedup_containment"] = f"""
+WITH {WORDS_CTE.strip()},
+{SHINGLES_CTE.strip()},
+rare AS (
+    SELECT shingle FROM shingles GROUP BY shingle HAVING COUNT(*) <= 100),
+sh AS (
+    SELECT s.doc_id, s.shingle FROM shingles s JOIN rare USING (shingle)),
+szs AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+    FROM sh a JOIN sh b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id),
+bidir AS (
+    SELECT doc_a AS doc_src, doc_b AS doc_ref, i FROM inter
+    UNION ALL
+    SELECT doc_b AS doc_src, doc_a AS doc_ref, i FROM inter)
+SELECT doc_src, doc_ref,
+       ROUND(i * 1.0 / s.sz, 6) AS containment
+FROM bidir b JOIN szs s ON b.doc_src = s.doc_id
+WHERE ROUND(i * 1.0 / s.sz, 6) >= 0.5
+"""
 
     from gminer_spark.textops.boilerplate import (
         boilerplate_ratio_oracle_sql,

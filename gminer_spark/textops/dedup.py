@@ -414,3 +414,66 @@ class DedupMaintainer:
             else self.exact_index.unionByName(new_th)
         ).distinct().localCheckpoint()
         return admitted
+
+
+def shingle_containment_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 10_000,
+) -> DataFrame:
+    """(doc_src, doc_ref, containment) — ordered pairs where
+    ``containment = |S(src) ∩ S(ref)| / |S(src)| >= threshold`` over
+    n-word shingle sets: the ASYMMETRIC near-dup test that Jaccard
+    misses — a short page quoted wholesale inside a long one scores
+    containment ~1 but Jaccard ~|short|/|long|.  The standard quote /
+    sub-document-duplication detector in a corpus cleaning pass.
+
+    Shares the inverted-index join and ``max_df`` rare-shingle cut
+    with :func:`ngram_jaccard_pairs` (containment is then exact over
+    the rare-shingle sets, identically in the oracle); the unordered
+    intersection is computed once and emitted in both directions.
+    """
+    sh = _word_shingles(documents, n)
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = sh.join(
+            df_counts.where(F.col("df") <= max_df).select("shingle"),
+            on="shingle",
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    both = inter.select(
+        F.col("doc_a").alias("doc_src"),
+        F.col("doc_b").alias("doc_ref"),
+        "inter",
+    ).unionByName(
+        inter.select(
+            F.col("doc_b").alias("doc_src"),
+            F.col("doc_a").alias("doc_ref"),
+            "inter",
+        )
+    )
+    return (
+        both.join(
+            sizes.withColumnRenamed("doc_id", "doc_src").withColumnRenamed(
+                "sz", "sz_src"
+            ),
+            on="doc_src",
+        )
+        .select(
+            "doc_src",
+            "doc_ref",
+            F.round(F.col("inter") / F.col("sz_src"), 6).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )

@@ -398,3 +398,32 @@ def test_boilerplate_source_scoped(spark):
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string, source string")
     assert boilerplate_shingles(df, 3, 50, 2).count() == 0
+
+
+def test_containment_asymmetric_quote_detection(spark):
+    from gminer_spark.textops.dedup import shingle_containment_pairs
+
+    short = "the quick brown fox jumps over the lazy dog"
+    long_ = short + " and then continues with a great deal of entirely new material about spark engines and parquet files and shuffle partitions"
+    other = "completely unrelated content talking about cooking recipes only"
+    d = docs_df(spark, [short, long_, other])
+    rows = {
+        (r.doc_src, r.doc_ref): r.containment
+        for r in shingle_containment_pairs(d, n=3, threshold=0.5, max_df=None).collect()
+    }
+    # short (doc 0) fully contained in long (doc 1); reverse is below 0.5
+    assert rows[(0, 1)] == 1.0
+    assert (1, 0) not in rows
+    assert not any(2 in k for k in rows)
+
+
+def test_containment_symmetric_for_exact_dups(spark):
+    from gminer_spark.textops.dedup import shingle_containment_pairs
+
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    d = docs_df(spark, [t, t])
+    rows = {
+        (r.doc_src, r.doc_ref): r.containment
+        for r in shingle_containment_pairs(d, n=3, threshold=0.9, max_df=None).collect()
+    }
+    assert rows == {(0, 1): 1.0, (1, 0): 1.0}
