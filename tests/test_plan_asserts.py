@@ -79,3 +79,50 @@ def test_node2vec_step_plan_join_shaped(spark):
     edges = edges_df(spark, random_graph(n=50, p=0.1, seed=34, directed=False))
     res = random_walks_node2vec(edges, walk_len=2, ret_bias=3, in_bias=2)
     _assert_join_shaped(_final_plan(res), "node2vec")
+
+
+def test_cocitation_coupling_plans_topk_and_join_shaped(spark):
+    """Top-k pair queries must compile to TakeOrderedAndProject (a
+    distributed partial top-k), never a global Sort, and the wedge
+    self-join must stay equi-join shaped."""
+    from gminer_spark.graph.cocitation import cocitation_topk, coupling_topk
+
+    edges = edges_df(spark, random_graph(n=60, p=0.08, seed=33, directed=True))
+    for fn, label in ((cocitation_topk, "cocitation"), (coupling_topk, "coupling")):
+        plan = _final_plan(fn(edges, top_k=10))
+        _assert_join_shaped(plan, label)
+        assert "TakeOrderedAndProject" in plan, label
+
+
+def test_cooccurrence_plan_topk_no_range_join(spark):
+    """The W-offset joins must be EQUI joins on (doc_id, pos+d) — a
+    naive pos-BETWEEN join would plan as a non-equi nested loop over
+    the full token table.  The only nested-loop allowed is the 1-row
+    broadcast crossJoin carrying the corpus total (the PageRank
+    dangling-mass pattern), which is bounded by construction."""
+    from gminer_spark.textops.cooccur import cooccurrence_topk
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = _final_plan(cooccurrence_topk(docs, window=2, k=5, min_count=1))
+    assert "CartesianProduct" not in plan, "cooccurrence"
+    assert plan.count("BroadcastNestedLoopJoin") == 1, "only the 1-row total"
+    assert "rpos" in plan and "BETWEEN" not in plan
+
+
+def test_landmark_sketch_plan_join_shaped(spark):
+    from gminer_spark.graph.landmarks import landmark_sketch
+
+    edges = edges_df(spark, random_graph(n=60, p=0.08, seed=34, directed=False))
+    plan = _final_plan(landmark_sketch(edges, k=3, max_depth=4))
+    _assert_join_shaped(plan, "landmark_sketch")
+
+
+def test_trussness_round_plan_join_shaped(spark):
+    from gminer_spark.graph.trussness import trussness
+
+    edges = edges_df(spark, random_graph(n=40, p=0.15, seed=35, directed=False))
+    plan = _final_plan(trussness(edges, num_iter=2))
+    _assert_join_shaped(plan, "trussness")
