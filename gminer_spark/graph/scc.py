@@ -114,18 +114,30 @@ def strongly_connected_components(
                 und.join(trimmed, on="id", how="left_anti"), eager=False
             )
             n_und -= n_trim
+            # Rebuild the undecided subgraph from the FLAT persisted
+            # base (e + the barrier-leaf und), NOT incrementally from
+            # old_sub: an old_sub-derived chain nests each round's
+            # InMemoryRelation ~3x inside the next trim plan (has_in +
+            # has_in + has_out), and Spark's per-action explain string
+            # expands that DAG into a ~3^rounds tree — observed
+            # driver OOM purely in generateTreeString by trim round
+            # ~14 on a DAG-shaped input (all-singleton SCCs).  The
+            # flat rebuild keeps every trim plan constant-depth; the
+            # two semi-joins against the persisted edge base cost the
+            # same shuffle as the anti-join pair they replace.
             old_sub = sub
             sub = (
-                old_sub.join(
-                    trimmed.withColumnRenamed("id", "src"),
+                e.join(
+                    und.withColumnRenamed("id", "src"),
                     on="src",
-                    how="left_anti",
+                    how="leftsemi",
                 )
                 .join(
-                    trimmed.withColumnRenamed("id", "dst"),
+                    und.withColumnRenamed("id", "dst"),
                     on="dst",
-                    how="left_anti",
+                    how="leftsemi",
                 )
+                .select("src", "dst")
                 .persist()
             )
             sub.count()

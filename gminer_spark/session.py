@@ -47,6 +47,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # Cap per-action plan-description strings: nested cached-plan
+        # trees print as trees (not DAGs), and a deep iterative chain
+        # can make the explain string exponential even when the plan
+        # object graph is small — the default cap is ~2^31 chars,
+        # which is a driver OOM, not a cap (seen in the SCC trim loop
+        # before its flat-rebuild fix; this guard keeps ANY such
+        # regression a truncated string instead of a crash).
+        .config("spark.sql.maxPlanStringLength", "8388608")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     # Shuffle through tmpfs when available — on a single box the local

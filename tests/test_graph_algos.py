@@ -1619,3 +1619,82 @@ def test_hub_removal_robustness_matches_python(spark):
         seen |= comp
         sizes.append(len(comp))
     assert got == dict(Counter(sizes))
+
+
+# -- Weisfeiler-Lehman refinement --------------------------------------------
+
+
+def _wl_python(pairs, rounds=3):
+    import hashlib
+    from collections import defaultdict
+
+    def h32p(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    adj = defaultdict(set)
+    for s, d in set(pairs):
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    color = {v: h32p(str(len(adj[v]))) for v in adj}
+    for _ in range(rounds):
+        color = {
+            v: h32p(
+                str(color[v])
+                + "|"
+                + ",".join(sorted(str(color[w]) for w in adj[v]))
+            )
+            for v in adj
+        }
+    return color
+
+
+def test_wl_colors_match_python(spark):
+    from gminer_spark.graph.wl import wl_colors
+
+    pairs = random_graph(n=50, p=0.07, seed=43, directed=False)
+    got = {r.id: r.color for r in wl_colors(edges_df(spark, pairs), rounds=3).collect()}
+    assert got == _wl_python(pairs, rounds=3)
+
+
+def test_wl_distinguishes_path_endpoints(spark):
+    from gminer_spark.graph.wl import wl_colors
+
+    got = {r.id: r.color for r in wl_colors(edges_df(spark, PATH5), rounds=2).collect()}
+    # symmetry: 1~5 and 2~4 are structurally equivalent; 3 is its own class
+    assert got[1] == got[5] and got[2] == got[4]
+    assert len({got[1], got[2], got[3]}) == 3
+
+
+def test_wl_histogram_isomorphism_invariant(spark):
+    from gminer_spark.graph.wl import wl_histogram
+
+    pairs = random_graph(n=40, p=0.08, seed=47, directed=False)
+    relabel = {v: v + 1000 for v in {x for p in pairs for x in p}}
+    pairs2 = [(relabel[s], relabel[d]) for s, d in pairs]
+    h1 = sorted(
+        (r.n_vertices,) for r in wl_histogram(edges_df(spark, pairs), 3).collect()
+    )
+    h2 = sorted(
+        (r.n_vertices,) for r in wl_histogram(edges_df(spark, pairs2), 3).collect()
+    )
+    # color VALUES change under relabeling (they hash ids only via
+    # degree, so actually only class SIZES are invariant)
+    assert h1 == h2
+
+
+def test_scc_dag_input_all_singletons(spark):
+    """Regression: a DAG-shaped input (canonical src<dst edges — every
+    SCC a singleton) drove the trim loop >14 rounds and the old
+    incremental `sub` rebuild nested cached plans ~3x/round — the
+    per-action explain string went exponential and OOM'd the driver.
+    The flat rebuild keeps trim plans constant-depth."""
+    from gminer_spark.graph.scc import strongly_connected_components
+
+    pairs = [(s, d) for s, d in random_graph(n=120, p=0.04, seed=53, directed=True)]
+    dag = [(min(s, d), max(s, d)) for s, d in pairs if s != d]
+    got = strongly_connected_components(edges_df(spark, dag))
+    rows = got.collect()
+    verts = {x for p in dag for x in p}
+    assert len(rows) == len(verts)
+    assert all(r.id == r.scc_id for r in rows)  # every SCC a singleton
