@@ -170,20 +170,32 @@ def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
     One degree table, one self-join on the symmetric edges, two
     aggregations — all map-side combinable; the profile has at most
     max-degree rows, so the final groupBy is tiny.
+
+    Exactness: within a degree class every vertex has the SAME degree
+    k, so the class mean of per-vertex means collapses to
+    Σ(per-vertex neighbor-degree SUMS) / (k · n) — exact integers and
+    ONE final division.  A naive avg-of-avgs accumulates doubles in
+    partition order and flipped a micro-rounding ulp between engines
+    (observed once in 125 rows at sf0.01).
     """
     sym = tables.symmetrize(edges)
     deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
     nbr = (
         sym.join(deg.withColumnRenamed("id", "dst").withColumnRenamed("deg", "nbr_deg"), on="dst")
         .groupBy("src")
-        .agg(F.avg("nbr_deg").alias("mean_nbr_deg"))
+        .agg(F.sum("nbr_deg").alias("sum_nbr_deg"))
     )
-    per_vertex = deg.join(nbr, deg.id == nbr.src).select("deg", "mean_nbr_deg")
+    per_vertex = deg.join(nbr, deg.id == nbr.src).select("deg", "sum_nbr_deg")
     return (
         per_vertex.groupBy("deg")
         .agg(
             F.count("*").alias("n_vertices"),
-            F.round(F.avg("mean_nbr_deg") * 1e6, 0)
+            F.round(
+                F.sum("sum_nbr_deg").cast("double")
+                / (F.col("deg") * F.count("*"))
+                * 1e6,
+                0,
+            )
             .cast("long")
             .alias("knn_micro"),
         )
@@ -191,8 +203,8 @@ def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
 
 
 def avg_neighbor_degree_oracle_sql(edges_cte: str) -> str:
-    """DuckDB mirror — CAST to DOUBLE before both AVGs (bare integer
-    AVG is exact DECIMAL in DuckDB, a micro-rounding mismatch)."""
+    """DuckDB mirror — exact-integer sums with ONE final double
+    division per degree class (see the engine docstring)."""
     return f"""
 WITH {edges_cte.strip()},
 sym AS MATERIALIZED (
@@ -201,11 +213,11 @@ sym AS MATERIALIZED (
 deg AS MATERIALIZED (
     SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src),
 nbr AS MATERIALIZED (
-    SELECT e.src, AVG(CAST(d.deg AS DOUBLE)) AS mean_nbr_deg
+    SELECT e.src, SUM(d.deg) AS sum_nbr_deg
     FROM sym e JOIN deg d ON d.id = e.dst
     GROUP BY e.src)
 SELECT d.deg, CAST(COUNT(*) AS BIGINT) AS n_vertices,
-       CAST(ROUND(AVG(CAST(n.mean_nbr_deg AS DOUBLE)) * 1e6) AS BIGINT)
-           AS knn_micro
+       CAST(ROUND(CAST(SUM(n.sum_nbr_deg) AS DOUBLE)
+                  / (d.deg * COUNT(*)) * 1e6) AS BIGINT) AS knn_micro
 FROM deg d JOIN nbr n ON n.src = d.id
 GROUP BY d.deg"""
