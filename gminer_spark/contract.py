@@ -1552,6 +1552,26 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["avg_neighbor_degree"] = avg_neighbor_degree
 
+    def wl_colors(s, d):
+        """1-WL (Weisfeiler-Lehman) color refinement: per-vertex
+        structural fingerprints after 3 rounds — the graph-ML feature
+        extractor / symmetry probe; multiset serialization is string-
+        sorted identically in both engines."""
+        from gminer_spark.graph.wl import wl_colors as wl
+
+        return wl(_edges(s, d), rounds=3)
+
+    q["wl_colors"] = wl_colors
+
+    def wl_histogram(s, d):
+        """WL color-class histogram — the structural signature two
+        isomorphic graphs must share."""
+        from gminer_spark.graph.wl import wl_histogram as wlh
+
+        return wlh(_edges(s, d), rounds=3)
+
+    q["wl_histogram"] = wl_histogram
+
     def feature_agg_2hop(s, d):
         """GNN preprocessing: 2-hop neighbor-sum of an integer vertex
         feature (id % 1000) — A²·x exactly, one shuffle per hop."""
@@ -3131,6 +3151,11 @@ FROM mom
     from gminer_spark.graph.structure import avg_neighbor_degree_oracle_sql
 
     o["avg_neighbor_degree"] = avg_neighbor_degree_oracle_sql(EDGES_CTE)
+
+    from gminer_spark.graph.wl import wl_histogram_oracle_sql, wl_oracle_sql
+
+    o["wl_colors"] = wl_oracle_sql(EDGES_CTE, rounds=3)
+    o["wl_histogram"] = wl_histogram_oracle_sql(EDGES_CTE, rounds=3)
 
     from gminer_spark.graph.features import feature_propagation_oracle_sql
 
