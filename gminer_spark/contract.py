@@ -1572,6 +1572,44 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["wl_histogram"] = wl_histogram
 
+    def rich_club(s, d):
+        """Rich-club density curve phi(k) — single-pass suffix sums
+        over the degree and min-endpoint-degree histograms, no
+        per-threshold join."""
+        from gminer_spark.graph.structure import rich_club as rc
+
+        return rc(_edges(s, d))
+
+    q["rich_club"] = rich_club
+
+    def random_robustness(s, d):
+        """Random-FAILURE robustness on the SAME mod-32 sparse
+        subgraph as hub_robustness: drop 40 h32-random vertices
+        instead of the 40 top hubs — the Albert-Jeong-Barabási
+        contrast (giant survives random failure, shatters under
+        attack) measured on one graph."""
+        from gminer_spark.graph.snapshot import hub_removal_robustness
+
+        e = _edges(s, d)
+        sub = e.where(
+            h32_spark(
+                F.concat_ws(":", F.lit("colsub"), F.col("src"), F.col("dst"))
+            )
+            % 32
+            == 0
+        )
+        rand40 = (
+            gt.vertices(sub)
+            .orderBy(
+                h32_spark(F.concat_ws(":", F.lit("rfail"), F.col("id"))).asc(),
+                F.col("id").asc(),
+            )
+            .limit(40)
+        )
+        return hub_removal_robustness(sub, drop=rand40)
+
+    q["random_robustness"] = random_robustness
+
     def feature_agg_2hop(s, d):
         """GNN preprocessing: 2-hop neighbor-sum of an integer vertex
         feature (id % 1000) — A²·x exactly, one shuffle per hop."""
@@ -3156,6 +3194,26 @@ FROM mom
 
     o["wl_colors"] = wl_oracle_sql(EDGES_CTE, rounds=3)
     o["wl_histogram"] = wl_histogram_oracle_sql(EDGES_CTE, rounds=3)
+
+    from gminer_spark.graph.structure import rich_club_oracle_sql
+
+    o["rich_club"] = rich_club_oracle_sql(EDGES_CTE)
+
+    _rand40_hubs = f"""hubs AS MATERIALIZED (
+    SELECT id FROM (SELECT DISTINCT src AS id FROM sym)
+    ORDER BY {h32_sql("'rfail:' || CAST(id AS VARCHAR)")} ASC, id ASC
+    LIMIT 40)"""
+    _rr_sql = hub_removal_oracle_sql(_color32_edges_cte, _sub_sym_cte, k_hubs=40)
+    # swap the top-degree hub pick for the h32-random pick, same size
+    import re as _re
+
+    _rr_sql = _re.sub(
+        r"hubs AS MATERIALIZED \(\n    SELECT id FROM hdeg ORDER BY deg DESC, id ASC LIMIT 40\)",
+        _rand40_hubs.replace("\\", "\\\\"),
+        _rr_sql,
+    )
+    assert "rfail" in _rr_sql
+    o["random_robustness"] = _rr_sql
 
     from gminer_spark.graph.features import feature_propagation_oracle_sql
 

@@ -118,16 +118,19 @@ FROM dold o FULL OUTER JOIN dnew n ON o.id = n.id
 WHERE COALESCE(n.d, 0) <> COALESCE(o.d, 0)"""
 
 
-def hub_removal_robustness(edges: DataFrame, k_hubs: int = 20) -> DataFrame:
+def hub_removal_robustness(
+    edges: DataFrame, k_hubs: int = 20, drop: DataFrame | None = None
+) -> DataFrame:
     """(comp_size, n_components) — component-size histogram after
     removing the top-``k_hubs`` degree vertices (ties by min id, the
-    landmark total order).
+    landmark total order), or an explicit ``drop(id)`` set.
 
     The classic scale-free robustness probe (Albert-Jeong-Barabási):
-    a crawl graph survives random failure but shatters under targeted
-    hub removal — this measures the shatter.  Vertices isolated by
-    the removal drop out (component membership is derived from the
-    remaining edge table, the CC convention here).
+    a crawl graph survives RANDOM vertex failure but shatters under
+    targeted hub removal — pass a deterministic random ``drop`` set of
+    the same size to measure the contrast on the same graph.  Vertices
+    isolated by the removal drop out (component membership is derived
+    from the remaining edge table, the CC convention here).
 
     One degree table + two anti-joins + the standard hash-min CC +
     two tiny aggregations; nothing new to scale — it rides CC.
@@ -135,7 +138,9 @@ def hub_removal_robustness(edges: DataFrame, k_hubs: int = 20) -> DataFrame:
     from gminer_spark.graph.cc import connected_components
     from gminer_spark.graph.landmarks import select_landmarks
 
-    hubs = select_landmarks(edges, k_hubs).localCheckpoint()
+    hubs = (
+        drop if drop is not None else select_landmarks(edges, k_hubs)
+    ).localCheckpoint()
     sub = edges.join(
         hubs.withColumnRenamed("id", "src"), on="src", how="left_anti"
     ).join(hubs.withColumnRenamed("id", "dst"), on="dst", how="left_anti")

@@ -221,3 +221,119 @@ SELECT d.deg, CAST(COUNT(*) AS BIGINT) AS n_vertices,
                   / (d.deg * COUNT(*)) * 1e6) AS BIGINT) AS knn_micro
 FROM deg d JOIN nbr n ON n.src = d.id
 GROUP BY d.deg"""
+
+
+def rich_club(edges: DataFrame) -> DataFrame:
+    """(k, n_nodes, n_edges, phi_micro) — the rich-club curve: for
+    every degree threshold k (one row per distinct degree), the
+    subgraph induced by vertices with degree > k has ``n_nodes``
+    vertices, ``n_edges`` edges, and density
+    phi(k) = 2·E / (N·(N-1)) (micro-rounded; rows where N < 2 are
+    dropped — phi undefined).  Rising phi(k) = an elite densely-linked
+    core, the classic web/citation-graph diagnostic.
+
+    Single pass, NO per-threshold join: an edge survives threshold k
+    iff min(deg(u), deg(v)) > k, so the per-k edge count is a SUFFIX
+    SUM of the edge histogram keyed by min-endpoint degree, and the
+    per-k node count a suffix sum of the degree histogram — two tiny
+    histograms + one window each, O(max_degree) rows total.
+    """
+    sym = tables.symmetrize(edges)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    # degree histogram + suffix node counts
+    from pyspark.sql import Window
+
+    dh = deg.groupBy("deg").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("deg")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # n_nodes(k) = # vertices with deg > k — shift the inclusive
+    # suffix sum by excluding the current degree class
+    nodes = dh.select(
+        "deg",
+        (F.sum("n").over(w) - F.col("n")).alias("n_above"),
+        F.sum("n").over(w).alias("n_at_or_above"),
+    )
+    # canonical edges keyed by min endpoint degree
+    canon = sym.where(F.col("src") < F.col("dst"))
+    da = deg.withColumnRenamed("id", "src").withColumnRenamed("deg", "deg_a")
+    db = deg.withColumnRenamed("id", "dst").withColumnRenamed("deg", "deg_b")
+    eh = (
+        canon.join(da, on="src")
+        .join(db, on="dst")
+        .select(F.least("deg_a", "deg_b").alias("mdeg"))
+        .groupBy("mdeg")
+        .agg(F.count("*").alias("m"))
+    )
+    # suffix-sum the edge histogram over the FULL degree key set: a
+    # degree value with no edge at exactly that min-degree still has
+    # a nonzero count of edges ABOVE it — joining eh after the window
+    # would silently zero those thresholds
+    we = Window.orderBy(F.desc("k")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    edges_above = (
+        dh.select(F.col("deg").alias("k"))
+        .join(eh.withColumnRenamed("mdeg", "k"), on="k", how="left")
+        .select("k", F.coalesce("m", F.lit(0)).alias("m"))
+        .select("k", (F.sum("m").over(we) - F.col("m")).alias("e_above"))
+    )
+    # evaluate phi at each distinct degree value k: nodes with deg > k,
+    # edges with mdeg > k
+    out = (
+        nodes.select(F.col("deg").alias("k"), F.col("n_above").alias("n_nodes"))
+        .join(edges_above, on="k", how="left")
+        .select(
+            "k",
+            "n_nodes",
+            F.coalesce("e_above", F.lit(0)).alias("n_edges"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce("e_above", F.lit(0))
+                / (F.col("n_nodes") * (F.col("n_nodes") - 1))
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("phi_micro"),
+        )
+        .where(F.col("n_nodes") >= 2)
+    )
+    return out
+
+
+def rich_club_oracle_sql(edges_cte: str) -> str:
+    """Suffix sums via window functions, mirrored arithmetic."""
+    return f"""
+WITH {edges_cte.strip()},
+sym AS MATERIALIZED (
+    SELECT src, dst FROM edges
+    UNION SELECT dst AS src, src AS dst FROM edges),
+deg AS MATERIALIZED (
+    SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src),
+dh AS MATERIALIZED (SELECT deg, COUNT(*) AS n FROM deg GROUP BY deg),
+nodes AS MATERIALIZED (
+    SELECT deg,
+           SUM(n) OVER (ORDER BY deg DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n AS n_above
+    FROM dh),
+eh AS MATERIALIZED (
+    SELECT LEAST(da.deg, db.deg) AS mdeg, COUNT(*) AS m
+    FROM sym e JOIN deg da ON da.id = e.src JOIN deg db ON db.id = e.dst
+    WHERE e.src < e.dst
+    GROUP BY LEAST(da.deg, db.deg)),
+ea AS MATERIALIZED (
+    SELECT k,
+           SUM(m) OVER (ORDER BY k DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - m AS e_above
+    FROM (SELECT d.deg AS k, COALESCE(e.m, 0) AS m
+          FROM dh d LEFT JOIN eh e ON e.mdeg = d.deg))
+SELECT n.deg AS k, CAST(n.n_above AS BIGINT) AS n_nodes,
+       CAST(COALESCE(a.e_above, 0) AS BIGINT) AS n_edges,
+       CAST(ROUND(CAST(2 AS DOUBLE) * COALESCE(a.e_above, 0)
+                  / (n.n_above * (n.n_above - 1)) * 1e6) AS BIGINT)
+           AS phi_micro
+FROM nodes n LEFT JOIN ea a ON a.k = n.deg
+WHERE n.n_above >= 2"""

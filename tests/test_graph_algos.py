@@ -1698,3 +1698,64 @@ def test_scc_dag_input_all_singletons(spark):
     verts = {x for p in dag for x in p}
     assert len(rows) == len(verts)
     assert all(r.id == r.scc_id for r in rows)  # every SCC a singleton
+
+
+def test_rich_club_matches_python(spark):
+    from gminer_spark.graph.structure import rich_club
+
+    pairs = random_graph(n=60, p=0.08, seed=59, directed=False)
+    got = {
+        r.k: (r.n_nodes, r.n_edges, r.phi_micro)
+        for r in rich_club(edges_df(spark, pairs)).collect()
+    }
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for s, d in set(pairs):
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    degs = {v: len(adj[v]) for v in adj}
+    want = {}
+    for k in sorted(set(degs.values())):
+        club = {v for v, dv in degs.items() if dv > k}
+        if len(club) < 2:
+            continue
+        e = sum(1 for a in club for b in adj[a] if b in club and a < b)
+        want[k] = (
+            len(club),
+            e,
+            round(2.0 * e / (len(club) * (len(club) - 1)) * 1e6),
+        )
+    assert got == want
+
+
+def test_rich_club_gap_threshold(spark):
+    from gminer_spark.graph.structure import rich_club
+
+    # two hubs of deg 4 joined to each other + leaves of degree 1:
+    # threshold k=1 (a degree value) has edges above it even though
+    # no edge's min-degree equals 1... construct: hubs h1,h2 with
+    # leaves; h1-h2 edge has mdeg 4; leaf edges have mdeg 1
+    pairs = [(1, 2)] + [(1, 10 + i) for i in range(3)] + [(2, 20 + i) for i in range(3)]
+    got = {r.k: (r.n_nodes, r.n_edges) for r in rich_club(edges_df(spark, pairs)).collect()}
+    # degrees: 1->4, 2->4, leaves->1.  k=1: club={1,2}, edges within=1
+    assert got[1] == (2, 1)
+
+
+def test_robustness_explicit_drop_set(spark):
+    from gminer_spark.graph.snapshot import hub_removal_robustness
+
+    # dropping BOTH hubs of a double star leaves nothing (all leaves
+    # isolated -> no edges -> empty histogram)
+    pairs = [(1, 10 + i) for i in range(3)] + [(2, 20 + i) for i in range(3)] + [(1, 2)]
+    drop = spark.createDataFrame([(1,), (2,)], "id long")
+    got = hub_removal_robustness(edges_df(spark, pairs), drop=drop).collect()
+    assert got == []
+    # dropping a leaf keeps the rest connected through the hubs
+    drop1 = spark.createDataFrame([(10,)], "id long")
+    got2 = {
+        r.comp_size: r.n_components
+        for r in hub_removal_robustness(edges_df(spark, pairs), drop=drop1).collect()
+    }
+    assert got2 == {7: 1}
