@@ -2669,6 +2669,39 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["event_funnel"] = event_funnel
 
+    def behavior_pagerank(s, d):
+        """Weighted PageRank over the event-type TRANSITION graph —
+        stationary attention over behavior states (the host_pagerank
+        pattern applied to the journeys family: h32 state ids,
+        value-green weighted engine, type strings joined back)."""
+        from gminer_spark.graph.pagerank import pagerank
+        from gminer_spark.streaming.journeys import event_transitions as et
+
+        s.conf.set("spark.sql.session.timeZone", "UTC")  # oracle parity
+        tr = et(_doc(s, d, "events")).where(
+            F.col("prev_type") != F.col("next_type")
+        )
+        edges = tr.select(
+            h32_spark(F.col("prev_type")).alias("src"),
+            h32_spark(F.col("next_type")).alias("dst"),
+            F.col("cnt").cast("double").alias("w"),
+        )
+        types = (
+            tr.select(F.col("prev_type").alias("etype"))
+            .unionByName(tr.select(F.col("next_type").alias("etype")))
+            .distinct()
+        )
+        pr = pagerank(edges, num_iter=PR_ITERS, weight_col="w").state
+        return pr.join(
+            types.select("etype", h32_spark(F.col("etype")).alias("id")),
+            on="id",
+        ).select(
+            "etype",
+            F.round(F.col("rank") * 1e6, 0).cast("long").alias("rank_micro"),
+        )
+
+    q["behavior_pagerank"] = behavior_pagerank
+
     return q
 
 
@@ -3876,6 +3909,60 @@ FROM events GROUP BY 1, 2
 
     o["event_transitions"] = event_transitions_oracle_sql()
     o["event_funnel"] = funnel_oracle_sql(FUNNEL_STEPS)
+
+    _beh_ctes = f"""ordered AS MATERIALIZED (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events),
+bedges AS MATERIALIZED (
+    SELECT {h32_sql("prev_type")} AS src, {h32_sql("event_type")} AS dst,
+           CAST(COUNT(*) AS DOUBLE) AS w
+    FROM ordered
+    WHERE prev_type IS NOT NULL AND prev_type <> event_type
+    GROUP BY 1, 2),
+btypes AS MATERIALIZED (
+    SELECT DISTINCT etype, {h32_sql("etype")} AS id FROM (
+        SELECT prev_type AS etype FROM ordered
+        WHERE prev_type IS NOT NULL AND prev_type <> event_type
+        UNION ALL
+        SELECT event_type FROM ordered
+        WHERE prev_type IS NOT NULL AND prev_type <> event_type)),
+deg AS MATERIALIZED (
+    SELECT v.id, COALESCE(o.s, 0.0) AS out_deg
+    FROM btypes v LEFT JOIN (
+        SELECT src, SUM(w) AS s FROM bedges GROUP BY src) o
+    ON v.id = o.src),
+n AS (SELECT COUNT(*) AS cnt FROM btypes),
+r0 AS (SELECT d.id, 1.0/(SELECT cnt FROM n) AS rank, d.out_deg FROM deg d)"""
+    _beh_iters = []
+    for _k in range(1, PR_ITERS + 1):
+        _p = f"r{_k - 1}"
+        _beh_iters.append(
+            f"""r{_k} AS MATERIALIZED (
+    SELECT d.id,
+           (1.0 - 0.85)/(SELECT cnt FROM n)
+           + 0.85 * (
+               COALESCE(c.contrib, 0.0)
+               + (SELECT COALESCE(SUM(rank), 0.0) FROM {_p} WHERE out_deg = 0)
+                 / (SELECT cnt FROM n)
+           ) AS rank,
+           d.out_deg
+    FROM deg d LEFT JOIN (
+        SELECT e.dst, SUM(r.rank * e.w / r.out_deg) AS contrib
+        FROM bedges e JOIN {_p} r ON e.src = r.id
+        GROUP BY e.dst) c
+    ON d.id = c.dst)"""
+        )
+    o["behavior_pagerank"] = (
+        "WITH "
+        + _beh_ctes
+        + ",\n"
+        + ",\n".join(_beh_iters)
+        + f"""
+SELECT v.etype, CAST(ROUND(r.rank * 1e6) AS BIGINT) AS rank_micro
+FROM r{PR_ITERS} r JOIN btypes v ON v.id = r.id"""
+    )
 
     o["events_dedup"] = """
 WITH ranked AS (

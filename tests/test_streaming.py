@@ -400,3 +400,28 @@ def test_event_funnel_strict_ordering(spark):
     )
     got = {r.step: r.n_users for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()}
     assert got == {"view": 2, "click": 2, "purchase": 1}
+
+
+def test_behavior_pagerank_uniform_on_symmetric_transitions(spark):
+    """A perfectly symmetric 2-state flip graph must rank both states
+    equally; an absorbing-heavy state must rank higher."""
+    from pyspark.sql import functions as F
+
+    from gminer_spark.graph.pagerank import pagerank
+    from gminer_spark.streaming.journeys import event_transitions
+
+    ev = _mk_events(
+        spark,
+        [(i, 1, "a" if i % 2 else "b") for i in range(1, 21)],
+    )
+    tr = event_transitions(ev).where(F.col("prev_type") != F.col("next_type"))
+    from gminer_spark.functions import h32
+
+    edges = tr.select(
+        h32(F.col("prev_type")).alias("src"),
+        h32(F.col("next_type")).alias("dst"),
+        F.col("cnt").cast("double").alias("w"),
+    )
+    pr = {r.id: r.rank for r in pagerank(edges, num_iter=10, weight_col="w").state.collect()}
+    vals = sorted(pr.values())
+    assert abs(vals[0] - vals[1]) < 1e-9 and abs(sum(vals) - 1.0) < 1e-6
