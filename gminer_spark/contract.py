@@ -3236,17 +3236,9 @@ FROM mom
     SELECT id FROM (SELECT DISTINCT src AS id FROM sym)
     ORDER BY {h32_sql("'rfail:' || CAST(id AS VARCHAR)")} ASC, id ASC
     LIMIT 40)"""
-    _rr_sql = hub_removal_oracle_sql(_color32_edges_cte, _sub_sym_cte, k_hubs=40)
-    # swap the top-degree hub pick for the h32-random pick, same size
-    import re as _re
-
-    _rr_sql = _re.sub(
-        r"hubs AS MATERIALIZED \(\n    SELECT id FROM hdeg ORDER BY deg DESC, id ASC LIMIT 40\)",
-        _rand40_hubs.replace("\\", "\\\\"),
-        _rr_sql,
+    o["random_robustness"] = hub_removal_oracle_sql(
+        _color32_edges_cte, _sub_sym_cte, k_hubs=40, hubs_cte=_rand40_hubs
     )
-    assert "rfail" in _rr_sql
-    o["random_robustness"] = _rr_sql
 
     from gminer_spark.graph.features import feature_propagation_oracle_sql
 

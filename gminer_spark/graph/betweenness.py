@@ -368,6 +368,11 @@ def edge_betweenness_sampled(
                     * (F.lit(1.0) + F.col("delta"))
                 ).alias("part"),
             )
+            # checkpoint once per level: the returned union references every
+            # level's dag, and sym is unpersisted before that plan runs — a
+            # live sym reference would recompute symmetrize+repartition once
+            # per BFS level (the documented N-references pitfall)
+            .localCheckpoint()
         )
         edge_parts.append(dag.select("v", "w", "part"))
         contrib = dag.groupBy("s", "v").agg(F.sum("part").alias("contrib"))

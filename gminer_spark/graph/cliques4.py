@@ -21,7 +21,7 @@ multiplicity (the quantity that squares) — the max_df discipline;
 exact on the capped motif set, identically in both engines.
 
 Reference analog: the reference's clique machinery
-(/root/reference/apps/maximalclique.cpp) searches per-task candidate
+(/root/reference/apps/maxclique.cpp) searches per-task candidate
 sets for the MAXIMUM clique; this is the declarative counting twin
 over the same oriented-intersection primitive.
 """

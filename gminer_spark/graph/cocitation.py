@@ -22,7 +22,7 @@ Output is the global top-k pairs under the total order
 with a micro-rounded Jaccard over the endpoint degrees.
 
 Reference analog: GMiner's set-intersection joins over adjacency
-lists (/root/reference/system/task.hpp respond/pull; the TC app's
+lists (/root/reference/core/task.hpp respond/pull; the TC app's
 merge-intersection apps/trianglecount.cpp:150-170) compute the same
 |N(a) ∩ N(b)| kernel; here it is the declarative join-group-top-k so
 Catalyst keeps it partial-aggregated and shuffle-bounded.

@@ -19,7 +19,7 @@ free color <= k) — all JVM-side, no UDF.
 
 Reference analog: the reference's B&B mining kernel greedy-colors each
 task's candidate subgraph to bound clique size
-(/root/reference/apps/maximalclique.cpp greedy color sort; SURVEY §2.5
+(/root/reference/apps/maxclique.cpp greedy color sort; SURVEY §2.5
 "greedy color sort") — this module is the graph-wide, partition-
 parallel version of that kernel step.
 """

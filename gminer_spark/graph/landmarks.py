@@ -19,7 +19,7 @@ joins + a min-combine — no per-query BFS, which is the whole point at
 10^12-document scale.
 
 Reference analog: GMiner answers distance-flavoured queries with
-per-task BFS pulls (/root/reference/system/task.hpp compute/pull
+per-task BFS pulls (/root/reference/core/task.hpp compute/pull
 loop); a landmark sketch replaces the per-query pull storm with one
 precomputed table, the right trade at web scale.
 

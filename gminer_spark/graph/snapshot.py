@@ -152,16 +152,21 @@ def hub_removal_robustness(
 
 
 def hub_removal_oracle_sql(
-    edges_cte: str, sym_cte: str, k_hubs: int = 20
+    edges_cte: str, sym_cte: str, k_hubs: int = 20, hubs_cte: str | None = None
 ) -> str:
-    """Top-k hub cut + recursive-CTE CC + size histogram."""
+    """Top-k hub cut + recursive-CTE CC + size histogram.
+
+    ``hubs_cte`` overrides the hub pick (must define ``hubs(id)``) —
+    used by random_robustness to swap top-degree for an h32-random
+    sample of the same size without text-rewriting this template."""
+    hubs = hubs_cte.strip() if hubs_cte is not None else f"""hubs AS MATERIALIZED (
+    SELECT id FROM hdeg ORDER BY deg DESC, id ASC LIMIT {k_hubs})"""
     return f"""
 WITH RECURSIVE {edges_cte.strip()},
 {sym_cte.strip()},
 hdeg AS MATERIALIZED (
     SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src),
-hubs AS MATERIALIZED (
-    SELECT id FROM hdeg ORDER BY deg DESC, id ASC LIMIT {k_hubs}),
+{hubs},
 rsym AS MATERIALIZED (
     SELECT src, dst FROM sym
     WHERE src NOT IN (SELECT id FROM hubs)

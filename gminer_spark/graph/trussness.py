@@ -141,6 +141,16 @@ def trussness(
         state = merged.select("src", "dst", "s")
         if num_iter is None and n_changed == 0:
             break
+    else:
+        if num_iter is None and n_changed > 0:
+            import warnings
+
+            warnings.warn(
+                f"trussness: free-running h-index hit max_iter={max_iter} "
+                f"with {n_changed} edges still changing — result is an "
+                "upper bound, not the fixpoint; raise max_iter",
+                stacklevel=2,
+            )
     tri.unpersist()
     canon.unpersist()
     return state.select(

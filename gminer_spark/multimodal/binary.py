@@ -4,12 +4,13 @@ Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct; decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` so each Python call sees a whole batch of payloads.
 
-The decode step itself is STUBBED (image/audio libs are not in this
-container): ``decode_features(..., stub=True)`` computes a
-deterministic byte-statistics feature vector so the Spark-side
-plumbing — schema, batching, partitioning — is real and testable;
-``stub=False`` raises NotImplementedError where a real
-PIL/librosa/ffmpeg call would go.
+Decode is PARTIAL REAL: uncompressed container formats — BMP
+(BITMAPINFOHEADER 24-bit), WAV (16-bit PCM), PGM (binary P5) — are
+decoded for real with stdlib ``struct`` + numpy (see
+:mod:`gminer_spark.multimodal.codecs`) via :func:`decode_media`;
+compressed formats (JPEG/PNG/MP3/H.264) still fall back to the
+declared stub (``decode_features(..., stub=True)`` byte-statistics
+vector) because no decoder library ships in this container.
 """
 
 from __future__ import annotations
@@ -60,7 +61,9 @@ def decode_features(
         for pdf in it:
             if not stub:
                 raise NotImplementedError(
-                    "real decode requires PIL/librosa/ffmpeg — not in this image"
+                    "real decode of compressed formats requires PIL/librosa/"
+                    "ffmpeg — not in this image; BMP/WAV/PGM are decoded for "
+                    "real by decode_media()"
                 )
             feats = []
             for raw in pdf["payload"]:
@@ -89,3 +92,89 @@ def decode_features(
             )
 
     return with_payload.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+MEDIA_SCHEMA = "doc_id long, mime string, payload binary"
+DECODE_SCHEMA = (
+    "doc_id long, mime string, width int, height int, channels int, "
+    "rate int, n_vals long, val_sum long, ch0_sum long, ch1_sum long, "
+    "ch2_sum long"
+)
+
+
+def synth_media(documents: DataFrame) -> DataFrame:
+    """doc_id → a REAL container payload (BMP / WAV / PGM, cycling by
+    doc_id % 3) whose content bytes are the md5-derived stream of
+    :func:`codecs.stream_bytes` — deterministic, so an oracle can
+    recompute the decoded aggregates without parsing containers."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gminer_spark.multimodal.codecs import synth_payload
+
+        for pdf in it:
+            mimes, payloads = [], []
+            for d in pdf["doc_id"]:
+                mime, raw = synth_payload(int(d))
+                mimes.append(mime)
+                payloads.append(raw)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "mime": mimes, "payload": payloads}
+            )
+
+    return documents.select("doc_id").mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """REAL stdlib decode of (doc_id, mime, payload) → exact-integer
+    shape + content aggregates, Arrow-batched.
+
+    Per payload: parse the container header, decode pixels/samples,
+    and emit ``(width, height, channels, rate, n_vals, val_sum,
+    ch0_sum, ch1_sum, ch2_sum)`` — all exact integers, so the values
+    are cross-engine comparable.  BMP channel sums are per RGB channel
+    (catches a forgotten BGR swap); WAV val_sum is the signed-sample
+    sum (catches endianness/sign errors); BMP row order and padding
+    are exercised by the bottom-up padded rows.  Unsupported mimes
+    raise (compressed formats need the stub path).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gminer_spark.multimodal.codecs import decode_bmp, decode_pgm, decode_wav
+
+        for pdf in it:
+            rows = []
+            for d, mime, raw in zip(pdf["doc_id"], pdf["mime"], pdf["payload"]):
+                data = bytes(raw)
+                if mime == "image/bmp":
+                    px = decode_bmp(data).astype(np.int64)
+                    h, w, _ = px.shape
+                    rows.append(
+                        (int(d), mime, w, h, 3, 0, w * h * 3, int(px.sum()),
+                         int(px[:, :, 0].sum()), int(px[:, :, 1].sum()),
+                         int(px[:, :, 2].sum()))
+                    )
+                elif mime == "audio/wav":
+                    samples, rate = decode_wav(data)
+                    s = samples.astype(np.int64)
+                    rows.append(
+                        (int(d), mime, 0, 0, s.shape[1], rate, s.size,
+                         int(s.sum()), int(s.sum()), 0, 0)
+                    )
+                elif mime == "image/x-portable-graymap":
+                    px = decode_pgm(data).astype(np.int64)
+                    h, w = px.shape
+                    rows.append(
+                        (int(d), mime, w, h, 1, 0, w * h, int(px.sum()),
+                         int(px.sum()), 0, 0)
+                    )
+                else:
+                    raise NotImplementedError(f"no stdlib decoder for {mime}")
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "mime", "width", "height", "channels", "rate",
+                    "n_vals", "val_sum", "ch0_sum", "ch1_sum", "ch2_sum",
+                ],
+            )
+
+    return media.mapInPandas(batches, DECODE_SCHEMA)

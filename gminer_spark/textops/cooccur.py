@@ -98,7 +98,7 @@ def cooccurrence_topk(
             F.round(
                 F.col("cnt").cast("double")
                 * F.col("n_total")
-                / (F.col("c1") * F.col("c2"))
+                / (F.col("c1").cast("double") * F.col("c2").cast("double"))
                 * F.lit(1e6),
                 0,
             )
@@ -136,7 +136,8 @@ topk AS MATERIALIZED (
     SELECT * FROM pairs ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT {k})
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY t.cnt DESC, t.w1 ASC, t.w2 ASC) AS INT) AS rk,
        t.w1, t.w2, CAST(t.cnt AS BIGINT) AS cnt,
-       CAST(ROUND(CAST(t.cnt AS DOUBLE) * tot.n_total / (u1.c * u2.c) * 1e6)
+       CAST(ROUND(CAST(t.cnt AS DOUBLE) * tot.n_total
+                  / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) * 1e6)
             AS BIGINT) AS lift_micro
 FROM topk t
 JOIN uni u1 ON u1.word = t.w1

@@ -9,7 +9,7 @@ collapse runs right after fingerprinting and before the expensive
 page-grain stages.
 
 Reference analog: GMiner's set-intersection-on-adjacency primitives
-(`system/task.hpp` respond-side intersection); here the "adjacency" is
+(`core/task.hpp` respond-side intersection); here the "adjacency" is
 the host→fingerprint set and the intersection runs as an
 inverted-index equi-join — never all-pairs:
 

@@ -90,11 +90,10 @@ def main() -> None:
         "n_vertices": cc.count(),
         "n_components": cc.select("component").distinct().count(),
         "n_scc": scc.select("scc_id").distinct().count(),
-        "max_coreness": core.agg(F.max("coreness")).first()[0],
+        # None when the edge sample is empty — schema inference needs an int
+        "max_coreness": core.agg(F.max("coreness")).first()[0] or 0,
         "sample_mod": args.sample_mod,
     }
-    with open("/tmp/linkgraph_summary.json", "w") as f:
-        json.dump(summary, f)
     spark.createDataFrame([summary]).coalesce(1).write.mode(
         "overwrite"
     ).json(f"{out}/summary.json")
