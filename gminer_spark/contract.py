@@ -2598,6 +2598,19 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["multimodal_features"] = multimodal_features
 
+    def multimodal_decode(s, d):
+        """REAL stdlib decode (BMP/WAV/PGM): synthesize genuine
+        container payloads per doc, parse them back with struct+numpy,
+        emit exact-integer shape + content aggregates.  The oracle
+        recomputes the decoded sums from the md5 content-stream
+        definition — container parsing bugs (padding, BGR, bottom-up
+        rows, endianness, sign) all diverge the values."""
+        from gminer_spark.multimodal.binary import decode_media, synth_media
+
+        return decode_media(synth_media(_doc(s, d, "documents")))
+
+    q["multimodal_decode"] = multimodal_decode
+
     # -- 13. events (streaming analogs) -----------------------------------------
     def events_window(s, d):
         from gminer_spark.streaming.events import windowed_counts
@@ -3886,6 +3899,10 @@ SELECT doc_id, 'text/plain' AS mime,
        md5(text) AS checksum
 FROM documents
 """
+
+    from gminer_spark.multimodal.binary import decode_media_oracle_sql
+
+    o["multimodal_decode"] = decode_media_oracle_sql()
 
     o["events_window"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,

@@ -178,3 +178,66 @@ def decode_media(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, DECODE_SCHEMA)
+
+
+def decode_media_oracle_sql(doc_ids_sql: str = "SELECT doc_id FROM documents") -> str:
+    """DuckDB mirror of synth_media |> decode_media: recomputes the
+    DECODED aggregates from the md5 content-stream definition
+    (codecs.stream_bytes) — no container parsing — so any Spark-side
+    header/padding/BGR/endianness mistake diverges the sums.
+
+    Layout mirrored from codecs.synth_dims / synth_payload:
+    f = doc_id % 3 → 0=bmp(w=3+id%4, h=2+id%3), 1=wav(ns=16+(id%5)*4),
+    2=pgm(w=4+id%4, h=2+id%2).  WAV samples are little-endian signed
+    16-bit: sample k = b[2k] + 256·b[2k+1] − 65536·[b[2k+1] ≥ 128].
+    """
+    return f"""
+WITH ids AS ({doc_ids_sql}),
+dims AS (
+    SELECT doc_id, doc_id % 3 AS f,
+           CASE doc_id % 3 WHEN 0 THEN 3 + doc_id % 4
+                           WHEN 2 THEN 4 + doc_id % 4 ELSE 0 END AS w,
+           CASE doc_id % 3 WHEN 0 THEN 2 + doc_id % 3
+                           WHEN 2 THEN 2 + doc_id % 2 ELSE 0 END AS h,
+           CASE doc_id % 3 WHEN 1 THEN 16 + (doc_id % 5) * 4 ELSE 0 END AS ns
+    FROM ids),
+need AS (
+    SELECT *, CASE f WHEN 0 THEN w * h * 3 WHEN 1 THEN ns * 2
+                     ELSE w * h END AS nbytes
+    FROM dims),
+blocks0 AS (
+    SELECT doc_id, nbytes, UNNEST(range((nbytes + 15) // 16)) AS blk FROM need),
+blocks AS MATERIALIZED (
+    SELECT doc_id, nbytes, blk,
+           md5('px:' || CAST(doc_id AS VARCHAR) || ':' || CAST(blk AS VARCHAR)) AS hx
+    FROM blocks0),
+bytes AS MATERIALIZED (
+    SELECT b.doc_id, b.blk * 16 + j.j AS idx,
+           (('0x' || substr(b.hx, CAST(j.j * 2 + 1 AS INT), 2))::BIGINT) AS bv
+    FROM blocks b, range(16) j(j)
+    WHERE b.blk * 16 + j.j < b.nbytes),
+sums AS MATERIALIZED (
+    SELECT doc_id,
+           SUM(bv) AS all_sum,
+           SUM(CASE WHEN idx % 3 = 0 THEN bv ELSE 0 END) AS c0,
+           SUM(CASE WHEN idx % 3 = 1 THEN bv ELSE 0 END) AS c1,
+           SUM(CASE WHEN idx % 3 = 2 THEN bv ELSE 0 END) AS c2,
+           SUM(CASE WHEN idx % 2 = 0 THEN bv ELSE 0 END) AS lo_sum,
+           SUM(CASE WHEN idx % 2 = 1 THEN bv ELSE 0 END) AS hi_sum,
+           SUM(CASE WHEN idx % 2 = 1 AND bv >= 128 THEN 1 ELSE 0 END) AS n_neg
+    FROM bytes GROUP BY doc_id)
+SELECT n.doc_id,
+       CASE n.f WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
+                ELSE 'image/x-portable-graymap' END AS mime,
+       CAST(n.w AS INT) AS width, CAST(n.h AS INT) AS height,
+       CAST(CASE n.f WHEN 0 THEN 3 ELSE 1 END AS INT) AS channels,
+       CAST(CASE n.f WHEN 1 THEN 8000 ELSE 0 END AS INT) AS rate,
+       CAST(CASE n.f WHEN 1 THEN n.ns ELSE n.nbytes END AS BIGINT) AS n_vals,
+       CAST(CASE n.f WHEN 1 THEN s.lo_sum + 256 * s.hi_sum - 65536 * s.n_neg
+                     ELSE s.all_sum END AS BIGINT) AS val_sum,
+       CAST(CASE n.f WHEN 0 THEN s.c0
+                     WHEN 1 THEN s.lo_sum + 256 * s.hi_sum - 65536 * s.n_neg
+                     ELSE s.all_sum END AS BIGINT) AS ch0_sum,
+       CAST(CASE n.f WHEN 0 THEN s.c1 ELSE 0 END AS BIGINT) AS ch1_sum,
+       CAST(CASE n.f WHEN 0 THEN s.c2 ELSE 0 END AS BIGINT) AS ch2_sum
+FROM need n JOIN sums s USING (doc_id)"""
