@@ -60,9 +60,15 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
     side: dict[str, int] = {}
 
+    # VERDICT r4 #8: the five heaviest queries' committed spreads span
+    # ±2x on this VM — a third rep only on those makes round-over-round
+    # deltas readable for ~2 min extra
+    HEAVY = {"betweenness", "coreness_hindex", "communities", "pattern_match", "max_clique"}
+
     def timed(name: str, fn, bucket: dict[str, float]) -> None:
+        n_reps = max(REPS, 3) if name in HEAVY else REPS
         reps = []
-        for _ in range(REPS):
+        for _ in range(n_reps):
             gc.collect()
             t0 = time.time()
             out = fn()
@@ -187,6 +193,17 @@ def main() -> None:
     timed(
         "mis",
         lambda: maximal_independent_set(edges).count() and None,
+        variants,
+    )
+
+    from gminer_spark.textops.retrieval import bm25_topk
+
+    timed(
+        "corpus_retrieval",
+        lambda: bm25_topk(
+            docs, ["spark", "vector", "stream", "join"], k=50
+        ).count()
+        and None,
         variants,
     )
 

@@ -57,6 +57,8 @@ words AS (
           FROM documents)
 )"""
 
+RETRIEVAL_TERMS = ["spark", "vector", "stream", "join"]
+
 SHINGLES_CTE = """
 shingles AS (
     SELECT DISTINCT doc_id,
@@ -1582,6 +1584,18 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["rich_club"] = rich_club
 
+    def rich_club_normalized(s, d):
+        """rho(k) = phi(k)/phi_null(k) against a deterministic
+        degree-preserving null model (md5-derandomized parallel
+        double-edge swaps, 3 rounds) — the statistical control the
+        raw curve needs (r4 verdict task #5).  rho from EXACT integer
+        edge counts (node terms cancel: degrees are swap-invariant)."""
+        from gminer_spark.graph.rewire import rich_club_normalized as rcn
+
+        return rcn(_edges(s, d), rounds=3, n_buckets=64)
+
+    q["rich_club_normalized"] = rich_club_normalized
+
     def random_robustness(s, d):
         """Random-FAILURE robustness on the SAME mod-32 sparse
         subgraph as hub_robustness: drop 40 h32-random vertices
@@ -2334,6 +2348,20 @@ def build_queries() -> dict[str, QueryFn]:
         )
 
     q["text_cooccurrence"] = text_cooccurrence
+
+    def corpus_retrieval(s, d):
+        """Log-free BM25 top-k against a seed query term set — the
+        targeted-corpus-selection step of a domain-specific training
+        pipeline (r4 verdict task #2).  Per-term contributions
+        micro-rounded before the exact integer per-doc sum; top-k is
+        TakeOrderedAndProject (plan-asserted), never a global sort."""
+        from gminer_spark.textops.retrieval import bm25_topk
+
+        return bm25_topk(
+            _doc(s, d, "documents"), RETRIEVAL_TERMS, k=50
+        )
+
+    q["corpus_retrieval"] = corpus_retrieval
 
     def boilerplate_shingles(s, d):
         """Per-source boilerplate shingles (df >= ceil(frac*n_docs)):
@@ -3245,6 +3273,12 @@ FROM mom
 
     o["rich_club"] = rich_club_oracle_sql(EDGES_CTE)
 
+    from gminer_spark.graph.rewire import rich_club_normalized_oracle_sql
+
+    o["rich_club_normalized"] = rich_club_normalized_oracle_sql(
+        EDGES_CTE, rounds=3, n_buckets=64
+    )
+
     _rand40_hubs = f"""hubs AS MATERIALIZED (
     SELECT id FROM (SELECT DISTINCT src AS id FROM sym)
     ORDER BY {h32_sql("'rfail:' || CAST(id AS VARCHAR)")} ASC, id ASC
@@ -3586,6 +3620,10 @@ FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
     o["text_cooccurrence"] = cooccurrence_oracle_sql(
         WORDS_CTE, window=3, k=100, min_count=2
     )
+
+    from gminer_spark.textops.retrieval import bm25_oracle_sql
+
+    o["corpus_retrieval"] = bm25_oracle_sql(WORDS_CTE, RETRIEVAL_TERMS, k=50)
 
     o["dedup_containment"] = f"""
 WITH {WORDS_CTE.strip()},

@@ -1,0 +1,148 @@
+"""Query-relevance retrieval: log-free BM25 over the token table.
+
+Targeted corpus selection — "find documents like this seed query" —
+is the missing step between the intrinsic quality filters
+(`analysis.py`, `boilerplate.py`) and corpus assembly (`corpus.py`):
+a domain-specific training-data pipeline scores the crawl against a
+seed term set and keeps the top slice.
+
+Log-free discipline (the `cooccur.py` lift idiom): the BM25 idf is
+used as the raw RATIO (N − df + ½)/(df + ½) — no ln(), which is not
+cross-engine bit-stable — and every constant is dyadic (k1 = 1.5,
+b = 0.75, k1+1 = 2.5) so scaling by them is exact in IEEE double.
+Per-(doc, term) contributions are micro-rounded to BIGINT *before*
+the per-doc sum (the ANF idiom: float appears once per term, the
+cross-term reduction is exact integer arithmetic).
+
+Scale posture: the query term set is tiny (an `isin` literal list —
+Catalyst pushes it into the scan); tf is computed only for query
+terms; doc length is one map-side-combined full pass; top-k is
+TakeOrderedAndProject (never a global sort).  The only wide exchange
+is the per-doc score sum, keyed by doc_id.
+
+Reference anchor: GMiner's seed-filter + aggregation pattern
+(/root/reference/core/task.hpp create_task seed filters feeding a
+partial+final aggregator); the "query" here is the seed predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+K1 = 1.5  # dyadic BM25 constants: exact scaling in IEEE double
+B = 0.75
+
+
+def bm25_scores(
+    documents: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_hits, score_micro) for every doc matching ≥1 term.
+
+    score_micro = Σ_t ROUND(idf_ratio(t) · tfnorm(t, d) · 1e6) with
+    idf_ratio = (N − df + 0.5)/(df + 0.5) and
+    tfnorm = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != ""
+    )
+    words = documents.select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("word")
+    )
+    dl = words.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
+    hits = words.where(F.col("word").isin(list(query_terms)))
+    tf = hits.groupBy("doc_id", "word").agg(F.count("*").cast("long").alias("tf"))
+    df_t = tf.groupBy("word").agg(F.count("*").cast("long").alias("df"))
+
+    n_docs = F.col("n_docs").cast("double")
+    avgdl = F.col("total_tokens").cast("double") / n_docs
+    idf = (n_docs - F.col("df").cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    tfd = F.col("tf").cast("double")
+    tfnorm = (tfd * F.lit(K1 + 1.0)) / (
+        tfd
+        + F.lit(K1)
+        * (F.lit(1.0 - B) + F.lit(B) * F.col("dl").cast("double") / avgdl)
+    )
+    contrib = (
+        tf.join(F.broadcast(df_t), on="word")
+        .join(dl, on="doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * tfnorm * F.lit(1e6), 0).cast("long").alias("c_micro"),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_hits"),
+        F.sum("c_micro").cast("long").alias("score_micro"),
+    )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: list[str],
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(rk, doc_id, n_hits, score_micro) — top-k by (score DESC,
+    doc_id ASC), total-order tie-break; TakeOrderedAndProject plan."""
+    from pyspark.sql import Window
+
+    scored = bm25_scores(documents, query_terms, id_col, text_col)
+    topk = scored.orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    ).limit(k)
+    w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return topk.withColumn("rk", F.row_number().over(w)).select(
+        "rk", "doc_id", "n_hits", "score_micro"
+    )
+
+
+def bm25_oracle_sql(words_cte: str, query_terms: list[str], k: int = 50) -> str:
+    """DuckDB mirror over the shared ``words(doc_id, word, pos)`` CTE —
+    identical expression tree, CAST-to-DOUBLE everywhere (DuckDB bare
+    decimal literals do DECIMAL arithmetic, the documented pitfall)."""
+    terms = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+    return f"""
+WITH {words_cte.strip()},
+dl AS MATERIALIZED (
+    SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
+stats AS MATERIALIZED (
+    SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens FROM dl),
+tf AS MATERIALIZED (
+    SELECT doc_id, word, COUNT(*) AS tf FROM words
+    WHERE word IN ({terms}) GROUP BY doc_id, word),
+dft AS MATERIALIZED (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+contrib AS MATERIALIZED (
+    SELECT t.doc_id,
+           CAST(ROUND(
+             (CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+               / (CAST(f.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             * ((CAST(t.tf AS DOUBLE) * CAST(2.5 AS DOUBLE))
+                / (CAST(t.tf AS DOUBLE)
+                   + CAST(1.5 AS DOUBLE)
+                     * (CAST(0.25 AS DOUBLE)
+                        + CAST(0.75 AS DOUBLE) * CAST(d.dl AS DOUBLE)
+                          / (CAST(s.total_tokens AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))
+             * 1e6) AS BIGINT) AS c_micro
+    FROM tf t JOIN dft f USING (word) JOIN dl d USING (doc_id)
+    CROSS JOIN stats s),
+scored AS MATERIALIZED (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(SUM(c_micro) AS BIGINT) AS score_micro
+    FROM contrib GROUP BY doc_id),
+topk AS (SELECT * FROM scored
+         ORDER BY score_micro DESC, doc_id ASC LIMIT {k})
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id ASC) AS INT) AS rk,
+       doc_id, n_hits, score_micro
+FROM topk"""

@@ -126,3 +126,23 @@ def test_trussness_round_plan_join_shaped(spark):
     edges = edges_df(spark, random_graph(n=40, p=0.15, seed=35, directed=False))
     plan = _final_plan(trussness(edges, num_iter=2))
     _assert_join_shaped(plan, "trussness")
+
+
+def test_bm25_plan_topk_no_global_sort(spark):
+    """corpus_retrieval must compile to TakeOrderedAndProject (partial
+    top-k) with the query-term filter pushed below the tf aggregation
+    — never a global Sort over all scored docs (r5 verdict task #2)."""
+    from gminer_spark.textops.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"spark join fast w{i % 7} stream vector row") for i in range(40)],
+        "doc_id long, text string",
+    )
+    plan = _final_plan(bm25_topk(docs, ["spark", "vector"], k=5))
+    assert "TakeOrderedAndProject" in plan
+    # the only nested-loop join allowed is the broadcast 1-row stats
+    # aggregate (the repo's accepted crossJoin idiom)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    # term filter must sit below the tf aggregation (pre-agg pushdown)
+    assert "Filter word" in plan
