@@ -401,6 +401,8 @@ def focused_clusters(
     task_batch_size: int | None = 512,
     full_graph_entries: int = 2_000_000,
     delta_pull: bool = False,
+    tail_broadcast: int = 64,
+    tail_entries: int = 2_000_000,
 ) -> DataFrame:
     """All-seeds focused clustering -> (cluster, outlier, phi) rows.
 
@@ -421,7 +423,28 @@ def focused_clusters(
     so running every seed simultaneously melts the heap on dense
     graphs; excess tasks wait in later batches (md5-hash assignment,
     deterministic, and independent tasks make batching result-
-    invariant).  ``None`` runs everything at once."""
+    invariant).  ``None`` runs everything at once.
+
+    STRAGGLER BALL BROADCAST (r4 verdict task #3 — round fusion): the
+    pull loop is round-trip bound (BENCH.md 0.34 row) because an
+    expansion admit surfaces candidates whose adjacency is unheld, so
+    each Spark round advances a straggler by ~one admit, and a handful
+    of long-running tasks dictate the round count.  When
+    ``n_live <= tail_broadcast`` AND the union of the live tasks'
+    radius-2 ball adjacency fits ``tail_entries`` (the same memory
+    reasoning as the full-graph gate), the ball is collected once,
+    broadcast, and every straggler runs the exact elision loop inside
+    it to completion — zero pull round trips while a task stays in its
+    ball; an escapee stays live and re-enters the loop (possibly into
+    another, recentered ball round).  Results are bit-identical:
+    compute reads adjacency only for subg/cand members (always inside
+    the radius-2 ball until an admit moves the frontier, which the
+    exact coverage test catches).  A plain radius-2 per-task pull
+    prefetch was A/B'd first and measured NEGATIVE locally (rounds
+    18 → 12 but 16-core time 20.0 → 22.9 s — the extra pull volume
+    outweighs saved round trips on tmpfs shuffle); the ball broadcast
+    pays the 2-hop bytes ONCE instead of per round.
+    ``tail_broadcast=0`` disables.  Delta-pull mode never ball-casts."""
     p = params or FocusCOParams()
     adj = weighted_adjacency(wedges).persist()
     # hot_k > 0 serves hub adjacency rows from a broadcast cache (the
@@ -539,6 +562,8 @@ def focused_clusters(
                 "held_vids", F.lit(None).cast("array<long>")
             ).withColumn("held_blob", F.lit(None).cast("binary"))
         n_live = live.count()
+        global last_spark_rounds
+        last_spark_rounds = 0
         # ONE action per round: the live-count below materializes the
         # lazy plan_barrier (origin-free leaf — the round plan
         # references the state several times: needed + join + both
@@ -548,6 +573,7 @@ def focused_clusters(
         for _ in range(max_spark_rounds):
             if n_live == 0:
                 break
+            last_spark_rounds += 1
             if delta_pull:
                 want = F.array_except(
                     F.array_union("subg", "cand"),
@@ -558,14 +584,47 @@ def focused_clusters(
             else:
                 want = F.array_union("subg", "cand")
             needed = live.select("task_id", F.explode(want).alias("id"))
-            pulled = (
-                cached_pull(needed, hot, cold, hot_ids)
-                .groupBy("task_id")
-                .agg(
-                    F.collect_list(
-                        F.struct(F.col("id").alias("vid"), F.col("adj"))
-                    ).alias("nbhd")
+            if not delta_pull and tail_broadcast and n_live <= tail_broadcast:
+                # STRAGGLER BALL BROADCAST: collect the union of the
+                # live tasks' radius-2 ball adjacency ONCE (under the
+                # same entries gate as the full-graph fast path),
+                # broadcast it, and let the exact elision loop run each
+                # straggler to completion — zero further pull round
+                # trips for tasks that stay inside their ball; escapees
+                # simply stay live and re-enter the loop
+                ids1 = needed.select("id").distinct()
+                rows1 = adj.join(ids1, on="id", how="left_semi")
+                ball_ids = (
+                    rows1.select(F.explode("adj.nb").alias("id"))
+                    .unionByName(ids1)
+                    .distinct()
                 )
+                ball = adj.join(ball_ids, on="id", how="left_semi")
+                n_entries = ball.select(F.sum(F.size("adj"))).first()[0] or 0
+                if n_entries <= tail_entries:
+                    bdict = {
+                        int(r["id"]): [
+                            (int(e["nb"]), float(e["w"])) for e in r["adj"]
+                        ]
+                        for r in ball.collect()
+                    }
+                    badj_b = spark.sparkContext.broadcast(bdict)
+                    new_state = plan_barrier(
+                        live.drop("done", "cluster", "phi")
+                        .repartition(int(min(n_live, 4096)), "task_id")
+                        .mapInPandas(_kernel(p, badj_b), _STATE_SCHEMA),
+                        eager=False,
+                    )
+                    done_parts.append(new_state.where(F.col("done")))
+                    live = new_state.where(~F.col("done"))
+                    n_live = live.count()
+                    badj_b.unpersist()
+                    continue
+            rows = cached_pull(needed, hot, cold, hot_ids)
+            pulled = rows.groupBy("task_id").agg(
+                F.collect_list(
+                    F.struct(F.col("id").alias("vid"), F.col("adj"))
+                ).alias("nbhd")
             )
             how = "left" if delta_pull else "inner"
             schema = _HELD_STATE_SCHEMA if delta_pull else _STATE_SCHEMA

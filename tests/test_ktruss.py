@@ -126,3 +126,38 @@ def test_trussness_deterministic_and_fixed_iter_parity(spark):
         )
     )
     assert free == fixed
+
+
+def test_bitruss_peel_fixpoint_and_support_floor(spark):
+    """(k,2)-bitruss: every surviving edge has >= k butterflies within
+    the surviving subgraph, peel is monotone, deterministic under
+    partitioning, and idempotent past the fixpoint."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from gminer_spark.graph.butterflies import bitruss
+
+    random.seed(5)
+    rows = set()
+    while len(rows) < 400:
+        rows.add((random.randrange(40), random.randrange(25)))
+    incid = spark.createDataFrame(sorted(rows), "left long, right long")
+
+    out = bitruss(incid, k=8, max_right_deg=64).collect()
+    assert out
+    assert all(r.sup >= 8 for r in out)
+
+    # idempotent: fixed num_iter far past fixpoint gives the same set
+    again = bitruss(incid, k=8, max_right_deg=64, num_iter=12).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    # partitioning-invariant
+    rep = bitruss(
+        incid.repartition(7, "right"), k=8, max_right_deg=64
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, rep))
+
+    # monotone: larger k survives a subset
+    sub = bitruss(incid, k=12, max_right_deg=64).collect()
+    assert {(r.lid, r.rid) for r in sub} <= {(r.lid, r.rid) for r in out}

@@ -87,6 +87,46 @@ def gen_tc_edges() -> str:
     return TC_PATH
 
 
+SPARSE_PATH = "/tmp/scaling_sparse_edges.parquet"
+
+
+def gen_sparse_edges(n: int = 2_500_000, k: int = 3) -> str:
+    """10M-edge BOUNDED-DEGREE band (r4 verdict #6): ring lattice
+    (i → i+1..i+k, wrap) + one Knuth-hash long-range edge per vertex.
+    Max degree ≈ 2k+2, plenty of lattice triangles but a triangle
+    table ~|E| (the skewed fixture's is triangle-dense, which is why
+    trussness needs this one), deterministic with no RNG at all —
+    the realistic conflict/scheduling-graph input for JP coloring
+    and greedy matching."""
+    if os.path.exists(SPARSE_PATH):
+        return SPARSE_PATH
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids = np.arange(n, dtype=np.int64)
+    srcs = [np.repeat(ids, k)]
+    dsts = [
+        (np.repeat(ids, k) + np.tile(np.arange(1, k + 1, dtype=np.int64), n))
+        % n
+    ]
+    # long-range: Knuth multiplicative hash, self-loops nudged
+    lr = (ids * 2654435761) % n
+    lr = np.where(lr == ids, (ids + n // 2) % n, lr)
+    srcs.append(ids)
+    dsts.append(lr)
+    src = np.concatenate(srcs)
+    dst = np.concatenate(dsts)
+    pairs = np.unique(
+        np.stack([np.minimum(src, dst), np.maximum(src, dst)], axis=1), axis=0
+    )
+    pq.write_table(
+        pa.table({"src": pairs[:, 0], "dst": pairs[:, 1]}),
+        SPARSE_PATH,
+        row_group_size=1_000_000,
+    )
+    return SPARSE_PATH
+
+
 def run(job: str, cores: int, path: str, iters: int = 5) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "scaling_run.py"),
@@ -119,6 +159,9 @@ def main() -> None:
         "tc": (tcpath, 1),
         "tc_kernel": (epath, 1),
         "sssp": (epath, 1),
+        "coloring": (gen_sparse_edges(), 1),
+        "matching": (gen_sparse_edges(), 1),
+        "trussness": (gen_sparse_edges(), 1),
     }
     jobs = [(j, *catalog[j]) for j in args.jobs.split(",")]
     rows = []

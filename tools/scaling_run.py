@@ -195,6 +195,10 @@ def main() -> None:
             max_spark_rounds=30,
             full_graph_entries=0,
             delta_pull=os.environ.get("FOCUSCO_DELTA", "0") == "1",
+            # straggler ball-broadcast A/B (default ON, the shipped default)
+            tail_broadcast=0
+            if os.environ.get("FOCUSCO_TAILB", "1") == "0"
+            else 64,
         )
         focused_clusters(wedges, p, **kw).count()  # warm-up
         secs = []
@@ -290,6 +294,63 @@ def main() -> None:
         sec = min(secs)
         throughput = n_items / sec
         extra = {"coreness_sum": int(chk), "reps_sec": [round(s, 1) for s in secs]}
+    elif job in ("coloring", "matching", "trussness"):
+        # the 10M-edge BOUNDED-DEGREE band (r4 verdict #6): lattice +
+        # hash long-range edges (gen_sparse_edges in scaling_bench.py)
+        # — the realistic input for these three (conflict/scheduling
+        # graphs are sparse; JP and greedy matching degenerate on
+        # near-cliques, and trussness' one-time triangle table on the
+        # skewed fixture is ~triangle-dense).  Result invariants
+        # (color histogram / matching size / trussness sum) must be
+        # IDENTICAL at both parallelism levels.
+        from pyspark.sql import functions as F
+
+        edges = spark.read.parquet(path).persist()
+        n_items = edges.count()
+        if job == "coloring":
+            from gminer_spark.graph.coloring import greedy_coloring
+
+            greedy_coloring(edges.limit(300_000))  # warm-up
+            secs, chk = [], 0
+            for _ in range(2):
+                t0 = time.time()
+                res = greedy_coloring(edges)
+                chk = res.agg(
+                    F.sum("color"), F.max("color"), F.count("*")
+                ).first()
+                secs.append(time.time() - t0)
+            extra = {"color_sum": int(chk[0]), "n_colors": int(chk[1]) + 1,
+                     "n_vertices": int(chk[2])}
+        elif job == "matching":
+            from gminer_spark.graph.matching import maximal_matching
+
+            maximal_matching(edges.limit(300_000))  # warm-up
+            secs, chk = [], 0
+            for _ in range(2):
+                t0 = time.time()
+                res = maximal_matching(edges)
+                chk = res.agg(
+                    F.count("*"), F.sum(F.col("src") + F.col("dst"))
+                ).first()
+                secs.append(time.time() - t0)
+            extra = {"matched_edges": int(chk[0]), "endpoint_sum": int(chk[1])}
+        else:
+            from gminer_spark.graph.trussness import trussness
+
+            trussness(edges.limit(300_000), num_iter=1)  # warm-up
+            secs, chk = [], 0
+            for _ in range(2):
+                t0 = time.time()
+                res = trussness(edges)
+                chk = res.agg(
+                    F.sum("trussness"), F.max("trussness"), F.count("*")
+                ).first()
+                secs.append(time.time() - t0)
+            extra = {"trussness_sum": int(chk[0]), "max_trussness": int(chk[1]),
+                     "n_edges_canon": int(chk[2])}
+        sec = min(secs)
+        throughput = n_items / sec
+        extra["reps_sec"] = [round(s, 1) for s in secs]
     else:
         raise SystemExit(f"unknown job {job}")
 
