@@ -564,6 +564,12 @@ def focused_clusters(
         n_live = live.count()
         global last_spark_rounds
         last_spark_rounds = 0
+        # Ball-probe cooldown: a failed entries gate at n_live=X means
+        # the stragglers sit near hubs whose radius-2 ball exceeds
+        # tail_entries — re-probing every round just adds actions to a
+        # round-trip-bound loop.  Don't probe again until the live set
+        # halves (O(log seeds) probes total instead of O(rounds)).
+        ball_retry_below = tail_broadcast
         # ONE action per round: the live-count below materializes the
         # lazy plan_barrier (origin-free leaf — the round plan
         # references the state several times: needed + join + both
@@ -584,7 +590,11 @@ def focused_clusters(
             else:
                 want = F.array_union("subg", "cand")
             needed = live.select("task_id", F.explode(want).alias("id"))
-            if not delta_pull and tail_broadcast and n_live <= tail_broadcast:
+            if (
+                not delta_pull
+                and tail_broadcast
+                and n_live <= min(tail_broadcast, ball_retry_below)
+            ):
                 # STRAGGLER BALL BROADCAST: collect the union of the
                 # live tasks' radius-2 ball adjacency ONCE (under the
                 # same entries gate as the full-graph fast path),
@@ -594,13 +604,26 @@ def focused_clusters(
                 # simply stay live and re-enter the loop
                 ids1 = needed.select("id").distinct()
                 rows1 = adj.join(ids1, on="id", how="left_semi")
-                ball_ids = (
-                    rows1.select(F.explode("adj.nb").alias("id"))
-                    .unionByName(ids1)
-                    .distinct()
-                )
-                ball = adj.join(ball_ids, on="id", how="left_semi")
-                n_entries = ball.select(F.sum(F.size("adj"))).first()[0] or 0
+                # Radius-1 entries lower-bound the radius-2 ball: when
+                # even these exceed the gate, skip the second semi-join
+                # + count entirely (one cheap action instead of two
+                # heavier ones on the guaranteed-fail path).
+                n_r1 = rows1.select(F.sum(F.size("adj"))).first()[0] or 0
+                if n_r1 > tail_entries:
+                    ball_retry_below = n_live // 2
+                    n_entries = tail_entries + 1
+                else:
+                    ball_ids = (
+                        rows1.select(F.explode("adj.nb").alias("id"))
+                        .unionByName(ids1)
+                        .distinct()
+                    )
+                    ball = adj.join(ball_ids, on="id", how="left_semi")
+                    n_entries = (
+                        ball.select(F.sum(F.size("adj"))).first()[0] or 0
+                    )
+                    if n_entries > tail_entries:
+                        ball_retry_below = n_live // 2
                 if n_entries <= tail_entries:
                     bdict = {
                         int(r["id"]): [

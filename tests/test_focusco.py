@@ -287,11 +287,21 @@ def test_focusco_full_graph_path_equals_pull_loop(spark, gseed):
     pull = _engine_rows(
         focused_clusters(_wdf(spark, wedges), p, full_graph_entries=0)
     )
-    # delta pulls (held-adjacency carry) must also be bit-identical —
-    # extra held keys only widen the exact elision loop's coverage
-    full_pull = _engine_rows(
+    # the straggler ball broadcast (tail_broadcast, on by default in
+    # `pull` above) must be bit-identical to the plain pull loop
+    no_ball = _engine_rows(
         focused_clusters(
-            _wdf(spark, wedges), p, full_graph_entries=0, delta_pull=False
+            _wdf(spark, wedges), p, full_graph_entries=0, tail_broadcast=0
         )
     )
-    assert fast == pull == full_pull and fast
+    # ... and to a gate that always FAILS the entries check (probe +
+    # cooldown path: probes happen but every one falls back to pulls)
+    tiny_gate = _engine_rows(
+        focused_clusters(
+            _wdf(spark, wedges),
+            p,
+            full_graph_entries=0,
+            tail_entries=1,
+        )
+    )
+    assert fast == pull == no_ball == tiny_gate and fast
