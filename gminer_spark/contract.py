@@ -2619,6 +2619,26 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["embedding_dedup_clusters"] = embedding_dedup_clusters
 
+    def kmeans_embeddings(s, d):
+        """Deterministic Lloyd k-means assignments (micro-int exact
+        arithmetic, md5 init, argmin tie on cid) — the semantic
+        bucketing primitive for corpus curation."""
+        from gminer_spark.sim.kmeans import kmeans
+
+        return kmeans(_doc(s, d, "embeddings"), k=8, num_iter=3)
+
+    q["kmeans_embeddings"] = kmeans_embeddings
+
+    def kmeans_reps(s, d):
+        """One representative per k-means cluster (member closest to
+        the final centroid) — diversity sampling: k spread-out
+        exemplars of the corpus."""
+        from gminer_spark.sim.kmeans import kmeans_representatives
+
+        return kmeans_representatives(_doc(s, d, "embeddings"), k=8, num_iter=3)
+
+    q["kmeans_reps"] = kmeans_reps
+
     # -- 12. multimodal plumbing ------------------------------------------------
     def multimodal_meta(s, d):
         from gminer_spark.multimodal.binary import attach_payload
@@ -3956,6 +3976,14 @@ SELECT CAST(id AS BIGINT) AS vec_id,
        id = MIN(label) AS is_canonical
 FROM reach GROUP BY id
 """
+
+    from gminer_spark.sim.kmeans import (
+        kmeans_oracle_sql,
+        kmeans_representatives_oracle_sql,
+    )
+
+    o["kmeans_embeddings"] = kmeans_oracle_sql(8, 3)
+    o["kmeans_reps"] = kmeans_representatives_oracle_sql(8, 3)
 
     o["multimodal_meta"] = """
 SELECT doc_id, 'text/plain' AS mime,

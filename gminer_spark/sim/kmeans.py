@@ -1,0 +1,246 @@
+"""Deterministic Lloyd k-means over an embedding column.
+
+The corpus-curation clustering primitive (semantic bucketing,
+diversity sampling, per-cluster quota selection) the same way
+:mod:`gminer_spark.sim.ann` is the retrieval primitive.  Reference
+analog: GMiner's aggregator-driven iterative refinement loop
+(core/aggregator.hpp:24-58 — per-round partial aggregate, global
+merge, broadcast back), which is exactly one Lloyd iteration's
+shape: per-point assignment (map), per-cluster sums (partial+final
+agg), centroid broadcast (context sync).
+
+Cross-engine-exact by construction (the repo's derandomized idiom):
+
+* vectors are quantized ONCE to micro ints (``round(x*1e6)`` as
+  BIGINT); every later step is integer arithmetic;
+* squared L2 distances are exact BIGINTs (64 dims x (1.2e6)^2 ~ 1e14
+  << 2^53, so even a double-valued ``list_dot_product`` in the
+  DuckDB oracle is exact and summation-order-free);
+* argmin ties break on the smaller centroid id (total order);
+* centroid update is one exact integer sum per (cluster, dim) and
+  ONE final division, rounded back to micro (the single-division
+  rule from CLAUDE.md);
+* empty clusters keep their previous centroid;
+* init = embeddings of the k vectors with the smallest
+  ``(h32(vec_id), vec_id)`` key — md5-derived, engine-independent.
+
+Scale posture: the per-iteration plan is a broadcast crossJoin of n
+points x k tiny centroids (JVM ``zip_with``/``aggregate``, no
+Python) followed by a posexplode'd (cluster, dim) sum — n*k distance
+rows and n*dims partial-agg rows, both shuffle-bounded and
+skew-free (cluster count is k).  Centroids are the only driver-side
+collect: O(k*dims) per iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gminer_spark.functions import h32, h32_sql
+
+MICRO = 1_000_000
+
+
+def _quantize(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * MICRO, 0).cast("long"),
+        ).alias("q"),
+    )
+
+
+def _sqdist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans(
+    embeddings: DataFrame,
+    k: int = 8,
+    num_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster, sqdist) — Lloyd assignments after
+    ``num_iter`` update rounds (assignment recomputed against the
+    final centroids, so the output is consistent with them)."""
+    spark = embeddings.sparkSession
+    q = _quantize(embeddings, id_col, vec_col).persist()
+
+    # init: k md5-smallest vectors, cluster id = that order
+    seed_rows = (
+        q.withColumn("hk", h32(F.col("vec_id").cast("string")))
+        .orderBy("hk", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    cents = [(i, list(r["q"])) for i, r in enumerate(sorted(
+        seed_rows, key=lambda r: (r["hk"], r["vec_id"])))]
+
+    def assign(cdf: DataFrame) -> DataFrame:
+        pairs = q.crossJoin(F.broadcast(cdf)).select(
+            "vec_id",
+            "cid",
+            _sqdist(F.col("q"), F.col("cv")).alias("sqdist"),
+        )
+        best = pairs.groupBy("vec_id").agg(
+            F.min(F.struct("sqdist", "cid")).alias("b")
+        )
+        return best.select(
+            "vec_id",
+            F.col("b.cid").alias("cluster"),
+            F.col("b.sqdist").alias("sqdist"),
+        )
+
+    for _ in range(num_iter):
+        cdf = spark.createDataFrame(cents, "cid int, cv array<bigint>")
+        asg = assign(cdf)
+        # per-(cluster, dim) exact integer sums -> ONE division each
+        upd = (
+            asg.join(q, on="vec_id")
+            .select("cluster", F.posexplode("q").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("c"))
+            .withColumn(
+                "dim",
+                F.round(F.col("s").cast("double") / F.col("c"), 0).cast(
+                    "long"
+                ),
+            )
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "dim"))),
+                    lambda x: x["dim"],
+                ).alias("cv")
+            )
+            .collect()
+        )
+        new = {int(r["cluster"]): list(r["cv"]) for r in upd}
+        # empty clusters keep their previous centroid
+        cents = [(cid, new.get(cid, cv)) for cid, cv in cents]
+
+    final = assign(
+        spark.createDataFrame(cents, "cid int, cv array<bigint>")
+    )
+    q.unpersist()
+    return final
+
+
+def kmeans_representatives(
+    embeddings: DataFrame,
+    k: int = 8,
+    num_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cluster, size, rep_id, rep_sqdist) — one representative per
+    cluster: the member closest to the final centroid (tie: smaller
+    vec_id).  The diversity-sampling primitive: k spread-out
+    exemplars of the corpus."""
+    asg = kmeans(embeddings, k=k, num_iter=num_iter, id_col=id_col,
+                 vec_col=vec_col)
+    return asg.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("size"),
+        F.min(F.struct("sqdist", "vec_id")).alias("b"),
+    ).select(
+        "cluster",
+        "size",
+        F.col("b.vec_id").alias("rep_id"),
+        F.col("b.sqdist").alias("rep_sqdist"),
+    )
+
+
+def _oracle_ctes(k: int, num_iter: int, table: str = "embeddings") -> list[str]:
+    """Unrolled Lloyd chain as DuckDB CTEs (MATERIALIZED per the
+    fd-limit pitfall).  Mirrors :func:`kmeans` step for step; every
+    number is an exact integer in both engines (module docstring)."""
+    hk = h32_sql("vec_id")
+    ctes = [
+        f"""q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+             x -> CAST(ROUND(x * CAST(1000000 AS DOUBLE)) AS BIGINT)) AS qv
+  FROM {table})""",
+        f"""c0 AS MATERIALIZED (
+  SELECT rn - 1 AS cid, qv AS cv FROM (
+    SELECT qv, ROW_NUMBER() OVER (ORDER BY {hk}, vec_id) AS rn FROM q)
+  WHERE rn <= {k})""",
+    ]
+    dist = (
+        "CAST(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))"
+        " - 2 * list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))"
+        " + list_dot_product(CAST(c.cv AS DOUBLE[]), CAST(c.cv AS DOUBLE[]))"
+        " AS BIGINT)"
+    )
+    for t in range(1, num_iter + 1):
+        ctes.append(
+            f"""a{t} AS MATERIALIZED (
+  SELECT vec_id, cid, sqdist FROM (
+    SELECT q.vec_id, c.cid, {dist} AS sqdist,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dist}, c.cid) AS rn
+    FROM q CROSS JOIN c{t - 1} c)
+  WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""c{t} AS MATERIALIZED (
+  SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+  FROM c{t - 1} p LEFT JOIN (
+    SELECT cid, list(dim ORDER BY pos) AS cv FROM (
+      SELECT a.cid, u.pos,
+             CAST(ROUND(CAST(SUM(u.val) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                 AS dim
+      FROM a{t} a JOIN (
+        SELECT vec_id, unnest(qv) AS val,
+               unnest(range(1, len(qv) + 1)) AS pos FROM q) u
+      USING (vec_id)
+      GROUP BY a.cid, u.pos)
+    GROUP BY cid) n ON n.cid = p.cid)"""
+        )
+    ctes.append(
+        f"""afinal AS MATERIALIZED (
+  SELECT vec_id, cid, sqdist FROM (
+    SELECT q.vec_id, c.cid, {dist} AS sqdist,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dist}, c.cid) AS rn
+    FROM q CROSS JOIN c{num_iter} c)
+  WHERE rn = 1)"""
+    )
+    return ctes
+
+
+def kmeans_oracle_sql(
+    k: int = 8, num_iter: int = 3, table: str = "embeddings"
+) -> str:
+    ctes = _oracle_ctes(k, num_iter, table)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT vec_id, cid AS cluster, sqdist FROM afinal"
+    )
+
+
+def kmeans_representatives_oracle_sql(
+    k: int = 8, num_iter: int = 3, table: str = "embeddings"
+) -> str:
+    ctes = _oracle_ctes(k, num_iter, table)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT cluster, size, rep_id, rep_sqdist FROM (
+  SELECT cid AS cluster,
+         CAST(COUNT(*) OVER (PARTITION BY cid) AS BIGINT) AS size,
+         vec_id AS rep_id, sqdist AS rep_sqdist,
+         ROW_NUMBER() OVER (PARTITION BY cid
+                            ORDER BY sqdist, vec_id) AS rn
+  FROM afinal)
+WHERE rn = 1"""
+    )

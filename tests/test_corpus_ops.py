@@ -427,3 +427,77 @@ def test_containment_symmetric_for_exact_dups(spark):
         for r in shingle_containment_pairs(d, n=3, threshold=0.9, max_df=None).collect()
     }
     assert rows == {(0, 1): 1.0, (1, 0): 1.0}
+
+
+def test_kmeans_two_obvious_blobs(spark):
+    """Two well-separated blobs, k=2: every point lands with its blob
+    and each rep is a member of its own cluster."""
+    from gminer_spark.sim.kmeans import kmeans, kmeans_representatives
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(loc=0.0, scale=0.01, size=(12, 4))
+    b = rng.normal(loc=1.0, scale=0.01, size=(12, 4))
+    vecs = np.vstack([a, b]).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], 0) for i in range(24)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    asg = {r["vec_id"]: r["cluster"] for r in kmeans(emb, k=2, num_iter=3).collect()}
+    blob_a = {asg[i] for i in range(12)}
+    blob_b = {asg[i] for i in range(12, 24)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+    reps = kmeans_representatives(emb, k=2, num_iter=3).collect()
+    assert sorted(r["size"] for r in reps) == [12, 12]
+    for r in reps:
+        assert asg[r["rep_id"]] == r["cluster"]
+
+
+def test_kmeans_matches_duckdb_oracle(spark):
+    """Bit-identical assignments and reps vs the unrolled Lloyd CTE
+    chain on a random float corpus (the micro-int / single-division /
+    md5-init discipline is exactly what makes this hold)."""
+    import duckdb
+
+    from gminer_spark.sim.kmeans import (
+        kmeans,
+        kmeans_oracle_sql,
+        kmeans_representatives,
+        kmeans_representatives_oracle_sql,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(60, 6)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]], i % 3) for i in range(60)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE embeddings AS SELECT "
+        "UNNEST($ids) AS vec_id, UNNEST($vs) AS embedding, 0 AS label",
+        params={"ids": [r[0] for r in rows], "vs": [r[1] for r in rows]},
+    )
+    got = sorted(map(tuple, kmeans(emb, k=5, num_iter=3).collect()))
+    want = sorted(map(tuple, con.sql(kmeans_oracle_sql(5, 3)).fetchall()))
+    assert got == want
+    got2 = sorted(
+        map(tuple, kmeans_representatives(emb, k=5, num_iter=3).collect())
+    )
+    want2 = sorted(
+        map(tuple, con.sql(kmeans_representatives_oracle_sql(5, 3)).fetchall())
+    )
+    assert got2 == want2
+
+
+def test_kmeans_deterministic_under_partitioning(spark):
+    from gminer_spark.sim.kmeans import kmeans
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 5)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], 0) for i in range(40)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    r1 = sorted(map(tuple, kmeans(emb.repartition(1), k=4, num_iter=2).collect()))
+    r32 = sorted(map(tuple, kmeans(emb.repartition(32), k=4, num_iter=2).collect()))
+    assert r1 == r32 and r1
