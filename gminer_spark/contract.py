@@ -1416,6 +1416,33 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["hits_micro"] = hits_micro
 
+    def salsa_micro(s, d):
+        """SALSA hubs & authorities: degree-normalized HITS (the
+        stochastic mutual-reinforcement walk, robust to the
+        tightly-knit-community effect), 10 L1-normalized iterations."""
+        from gminer_spark.graph.salsa import salsa
+
+        res = salsa(_edges(s, d), num_iter=10)
+        return res.select(
+            "id",
+            F.round(F.col("hub") * 1e6, 0).cast("long").alias("hub_micro"),
+            F.round(F.col("auth") * 1e6, 0).cast("long").alias("auth_micro"),
+        )
+
+    q["salsa_micro"] = salsa_micro
+
+    def hitting_time_micro(s, d):
+        """Truncated expected hitting time (Sarkar-Moore) to the
+        deterministic seed set — the random-walk proximity feature;
+        exact micro-int value iteration, horizon 6."""
+        from gminer_spark.graph.hitting import hitting_time
+
+        e = _edges(s, d)
+        targets = gt.vertices(e).where(F.col("id") % PPR_SEED_MOD == 0)
+        return hitting_time(e, targets, horizon=6)
+
+    q["hitting_time_micro"] = hitting_time_micro
+
     def bowtie_regions(s, d):
         """Broder bow-tie decomposition (SCC/IN/OUT/OTHER around the
         min-id pivot) over a deterministic md5-coin directed view of
@@ -2973,6 +3000,16 @@ SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id
     from gminer_spark.graph.hits import hits_oracle_sql
 
     o["hits_micro"] = hits_oracle_sql(EDGES_CTE, iters=10)
+
+    from gminer_spark.graph.salsa import salsa_oracle_sql
+
+    o["salsa_micro"] = salsa_oracle_sql(EDGES_CTE, iters=10)
+
+    from gminer_spark.graph.hitting import hitting_time_oracle_sql
+
+    o["hitting_time_micro"] = hitting_time_oracle_sql(
+        EDGES_CTE, f"v.id % {PPR_SEED_MOD} = 0", horizon=6
+    )
 
     from gminer_spark.graph.reach import bowtie_oracle_sql
 

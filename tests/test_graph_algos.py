@@ -803,6 +803,117 @@ def test_hits_matches_numpy_power_iteration(spark):
         assert abs(got[v][1] - a[idx[v]]) < 1e-9
 
 
+def test_salsa_matches_numpy_power_iteration(spark):
+    """SALSA vs a literal numpy replication: HITS's loop with the
+    row/column-stochastic (degree-normalized) matrices."""
+    import numpy as np
+
+    from gminer_spark.graph.salsa import salsa
+
+    pairs = random_graph(n=30, p=0.12, seed=45, directed=True)
+    pairs = [(a, b) for a, b in pairs if a != b]
+    ids = sorted({v for e in pairs for v in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    A = np.zeros((len(ids), len(ids)))
+    for a, b in set(pairs):
+        A[idx[a], idx[b]] = 1.0
+    out_deg = A.sum(axis=1)
+    in_deg = A.sum(axis=0)
+    Wr = np.divide(A, out_deg[:, None], where=out_deg[:, None] > 0)
+    Wc = np.divide(A, in_deg[None, :], where=in_deg[None, :] > 0)
+    h = np.ones(len(ids))
+    a = np.ones(len(ids))
+    for _ in range(10):
+        a = Wr.T @ h
+        a = a / a.sum()
+        h = Wc @ a
+        h = h / h.sum()
+    got = {
+        r["id"]: (r["hub"], r["auth"])
+        for r in salsa(edges_df(spark, pairs), num_iter=10).collect()
+    }
+    for v in ids:
+        assert abs(got[v][0] - h[idx[v]]) < 1e-9
+        assert abs(got[v][1] - a[idx[v]]) < 1e-9
+
+
+def test_salsa_damps_tight_community_vs_hits(spark):
+    """The Lempel-Moran motivation: a complete digraph (the
+    tightly-knit community) plus one high-in-degree star hub.  HITS
+    concentrates authority inside the clique (K6's A^T A eigenvalue
+    4n+1-2n = 25 beats the star's 20); SALSA's stochastic walk gives
+    the star target the top authority (mass ~ in-degree share)."""
+    from gminer_spark.graph.hits import hits
+    from gminer_spark.graph.salsa import salsa
+
+    clique = [(a, b) for a in range(6) for b in range(6) if a != b]
+    star = [(s, 99) for s in range(10, 30)]
+    edges = edges_df(spark, clique + star)
+    s = {r["id"]: r["auth"] for r in salsa(edges, num_iter=20).collect()}
+    hres = {r["id"]: r["auth"] for r in hits(edges, num_iter=20).collect()}
+    assert s[99] == max(s.values())
+    assert hres[99] < max(hres.values())  # HITS keeps the clique on top
+
+
+def test_hitting_time_matches_python_value_iteration(spark):
+    """Truncated hitting time vs a literal python replication of the
+    micro-int value iteration (exact equality — no float tolerance,
+    the whole point of the micro-int formulation)."""
+    from gminer_spark.graph.hitting import MICRO, hitting_time
+
+    pairs = random_graph(n=40, p=0.08, seed=7, directed=True)
+    pairs = sorted({(a, b) for a, b in pairs if a != b})
+    ids = sorted({v for e in pairs for v in e})
+    targets = {v for v in ids if v % 5 == 0}
+    horizon = 6
+    cap = horizon * MICRO
+    out = {v: [] for v in ids}
+    for a, b in pairs:
+        out[a].append(b)
+    h = {v: 0 if v in targets else cap for v in ids}
+    for _ in range(horizon):
+        nh = {}
+        for v in ids:
+            if v in targets:
+                nh[v] = 0
+            elif not out[v]:
+                nh[v] = cap
+            else:
+                s = sum(h[u] for u in out[v])
+                # float(s)/deg then round-half-up matches Spark F.round
+                import decimal
+
+                q = decimal.Decimal(float(s) / len(out[v])).quantize(
+                    decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+                )
+                nh[v] = min(cap, MICRO + int(q))
+        h = nh
+    e = edges_df(spark, pairs)
+    tdf = spark.createDataFrame([(v,) for v in sorted(targets)], "id long")
+    got = {
+        r["id"]: r["hit_micro"]
+        for r in hitting_time(e, tdf, horizon=horizon).collect()
+    }
+    assert got == h
+
+
+def test_hitting_time_simple_path(spark):
+    """Path 0->1->2 with target {2}: h(1)=1 step, h(0)=2 steps; a
+    vertex with no outgoing edges and not a target stays at cap."""
+    from gminer_spark.graph.hitting import MICRO, hitting_time
+
+    e = edges_df(spark, [(0, 1), (1, 2), (3, 3)])
+    tdf = spark.createDataFrame([(2,)], "id long")
+    got = {
+        r["id"]: r["hit_micro"] for r in hitting_time(e, tdf, horizon=6).collect()
+    }
+    assert got[2] == 0
+    assert got[1] == MICRO
+    assert got[0] == 2 * MICRO
+    # 3 only self-loops: never reaches the target -> capped
+    assert got[3] == 6 * MICRO
+
+
 def test_bowtie_hand_graph(spark):
     """Directed 2-cycle core with an in-tail, out-tail and an isolated
     edge — every bow-tie class exercised."""
