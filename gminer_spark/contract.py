@@ -1443,6 +1443,29 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["hitting_time_micro"] = hitting_time_micro
 
+    def katz_micro(s, d):
+        """Truncated Katz centrality (attenuated path counts,
+        alpha=1/64 dyadic, horizon 6) — exact-BIGINT rounds, the
+        PageRank-complementary link-quality feature."""
+        from gminer_spark.graph.katz import katz
+
+        return katz(_edges(s, d), horizon=6)
+
+    q["katz_micro"] = katz_micro
+
+    def community_quality(s, d):
+        """Per-community modularity terms + conductance over the
+        3-round LPA labeling: the partition-quality scoreboard
+        (which communities are actually separated)."""
+        from gminer_spark.graph.community_metrics import community_quality
+        from gminer_spark.graph.lpa import label_propagation
+
+        e = _edges(s, d)
+        labels = label_propagation(e, num_iter=LPA_ITERS).state
+        return community_quality(gt.symmetrize(e), labels)
+
+    q["community_quality"] = community_quality
+
     def bowtie_regions(s, d):
         """Broder bow-tie decomposition (SCC/IN/OUT/OTHER around the
         min-id pivot) over a deterministic md5-coin directed view of
@@ -3009,6 +3032,23 @@ SELECT id, COUNT(*) AS triangles FROM corners GROUP BY id
 
     o["hitting_time_micro"] = hitting_time_oracle_sql(
         EDGES_CTE, f"v.id % {PPR_SEED_MOD} = 0", horizon=6
+    )
+
+    from gminer_spark.graph.katz import katz_oracle_sql
+
+    o["katz_micro"] = katz_oracle_sql(EDGES_CTE, horizon=6)
+
+    from gminer_spark.graph.community_metrics import (
+        community_quality_oracle_sql,
+    )
+
+    o["community_quality"] = (
+        "WITH "
+        + EDGES_CTE.strip()
+        + ",\n"
+        + SYM_CTE.strip()
+        + ",\n"
+        + community_quality_oracle_sql(lpa_oracle_sql(), "sym")
     )
 
     from gminer_spark.graph.reach import bowtie_oracle_sql

@@ -1,0 +1,156 @@
+"""Partition quality metrics: per-community modularity terms and
+conductance over any vertex labeling (LPA, CC, focusco cores, ...).
+
+For an undirected graph given as a SYMMETRIC directed edge table
+``sym(src, dst)`` (both orientations present, no self loops) with
+``m2 = |sym| = 2m``, and a labeling ``labels(id, label)``:
+
+    vol_c       = sum of degrees inside c            (exact BIGINT)
+    internal2_c = directed intra-community edges     (= 2 * m_c)
+    cut_c       = vol_c - internal2_c                (boundary edges)
+    Q_c         = m_c/m - (vol_c / 2m)^2
+                = (internal2_c * m2 - vol_c^2) / m2^2
+    phi_c       = cut_c / min(vol_c, m2 - vol_c)     (conductance)
+
+Global modularity Q = sum_c Q_c; the per-community rows are returned
+so callers see WHICH communities are well-separated, and the judge's
+oracle compares every term.
+
+Cross-engine discipline: every count is an exact BIGINT; the only
+floats are ONE division per metric per community (the CLAUDE.md
+single-division rule), with the products promoted to DOUBLE *before*
+multiplying (the cooccur.py BIGINT-overflow advice — Spark wraps
+silently where DuckDB raises).  Products are integer-exact in double
+up to 2^53, far above contract scale; micro-rounding absorbs the
+tail beyond that.  phi_c is 0 by convention when the community is
+the whole graph (min(vol, m2-vol) = 0).
+
+Spark shape: two label equi-joins against the edge table + one
+groupBy — three shuffles total, label-partitioned, no iteration; at
+cluster scale both joins broadcast the (small) label table or
+co-partition on id.  Reference analog: the per-community aggregation
+step of apps/community.cpp (CD scores candidate communities by an
+internal-vs-boundary weight ratio; modularity/conductance are the
+standard global analogs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def community_quality(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """(label, n_nodes, volume, internal2, cut, q_micro,
+    conductance_micro) per community.
+
+    ``sym``: symmetric directed edge table (src, dst).
+    ``labels``: (id, label).
+    """
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("deg")
+    )
+    lab = labels.select("id", "label")
+    per_c = (
+        deg.join(lab, on="id")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum("deg").alias("volume"),
+        )
+    )
+    internal = (
+        sym.join(lab.select(F.col("id").alias("src"), "label"), on="src")
+        .join(
+            lab.select(
+                F.col("id").alias("dst"), F.col("label").alias("_lb")
+            ),
+            on="dst",
+        )
+        .where(F.col("label") == F.col("_lb"))
+        .groupBy("label")
+        .agg(F.count("*").alias("internal2"))
+    )
+    m2 = sym.agg(F.count("*").cast("long").alias("m2"))
+    return (
+        per_c.join(internal, on="label", how="left")
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "label",
+            "n_nodes",
+            "volume",
+            F.coalesce("internal2", F.lit(0)).cast("long").alias("internal2"),
+            (
+                F.col("volume")
+                - F.coalesce("internal2", F.lit(0))
+            ).cast("long").alias("cut"),
+            F.round(
+                (
+                    F.coalesce("internal2", F.lit(0)).cast("double")
+                    * F.col("m2").cast("double")
+                    - F.col("volume").cast("double")
+                    * F.col("volume").cast("double")
+                )
+                / (F.col("m2").cast("double") * F.col("m2").cast("double"))
+                * 1e6,
+                0,
+            ).cast("long").alias("q_micro"),
+            F.when(
+                F.least(F.col("volume"), F.col("m2") - F.col("volume")) == 0,
+                F.lit(0).cast("long"),
+            )
+            .otherwise(
+                F.round(
+                    (
+                        F.col("volume")
+                        - F.coalesce("internal2", F.lit(0))
+                    ).cast("double")
+                    / F.least(
+                        F.col("volume"), F.col("m2") - F.col("volume")
+                    ).cast("double")
+                    * 1e6,
+                    0,
+                ).cast("long")
+            )
+            .alias("conductance_micro"),
+        )
+    )
+
+
+def community_quality_oracle_sql(labels_sql: str, sym_cte_name: str = "sym") -> str:
+    """Metrics SQL over a nested labeling query.  ``labels_sql`` is a
+    complete SELECT (typically an unrolled LPA chain) returning
+    (id, label); it runs as a subquery so its internal CTE names
+    cannot clash with the outer ones.  The caller prepends the edge +
+    sym CTEs and passes their names."""
+    return f"""labels AS MATERIALIZED (
+    SELECT id, label FROM ({labels_sql}) _l),
+cdeg AS MATERIALIZED (
+    SELECT src AS id, COUNT(*) AS deg FROM {sym_cte_name} GROUP BY src),
+per_c AS MATERIALIZED (
+    SELECT l.label, COUNT(*) AS n_nodes, SUM(d.deg) AS volume
+    FROM cdeg d JOIN labels l ON d.id = l.id
+    GROUP BY l.label),
+cint AS MATERIALIZED (
+    SELECT la.label, COUNT(*) AS internal2
+    FROM {sym_cte_name} s
+    JOIN labels la ON s.src = la.id
+    JOIN labels lb ON s.dst = lb.id AND la.label = lb.label
+    GROUP BY la.label),
+m2t AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM {sym_cte_name})
+SELECT p.label,
+       CAST(p.n_nodes AS BIGINT) AS n_nodes,
+       CAST(p.volume AS BIGINT) AS volume,
+       CAST(COALESCE(i.internal2, 0) AS BIGINT) AS internal2,
+       CAST(p.volume - COALESCE(i.internal2, 0) AS BIGINT) AS cut,
+       CAST(ROUND((CAST(COALESCE(i.internal2, 0) AS DOUBLE) * m.m2
+                   - CAST(p.volume AS DOUBLE) * CAST(p.volume AS DOUBLE))
+                  / (CAST(m.m2 AS DOUBLE) * CAST(m.m2 AS DOUBLE))
+                  * 1e6) AS BIGINT) AS q_micro,
+       CAST(CASE WHEN LEAST(p.volume, m.m2 - p.volume) = 0 THEN 0
+            ELSE ROUND(CAST(p.volume - COALESCE(i.internal2, 0) AS DOUBLE)
+                       / CAST(LEAST(p.volume, m.m2 - p.volume) AS DOUBLE)
+                       * 1e6)
+            END AS BIGINT) AS conductance_micro
+FROM per_c p LEFT JOIN cint i ON p.label = i.label
+CROSS JOIN m2t m"""

@@ -914,6 +914,91 @@ def test_hitting_time_simple_path(spark):
     assert got[3] == 6 * MICRO
 
 
+def test_katz_matches_python_value_iteration(spark):
+    """Truncated Katz vs a literal integer replication — exact
+    equality (pure BIGINT arithmetic, no float anywhere)."""
+    from gminer_spark.graph.katz import ATT, CAP, MICRO, katz
+
+    pairs = random_graph(n=35, p=0.1, seed=11, directed=True)
+    pairs = sorted({(a, b) for a, b in pairs if a != b})
+    ids = sorted({v for e in pairs for v in e})
+    inn = {v: [] for v in ids}
+    for a, b in pairs:
+        inn[b].append(a)
+    horizon = 6
+    x = {v: MICRO for v in ids}
+    for _ in range(horizon):
+        x = {
+            v: MICRO + min(CAP, (sum(x[u] for u in inn[v]) + ATT // 2) // ATT)
+            for v in ids
+        }
+    got = {
+        r["id"]: r["katz_micro"]
+        for r in katz(edges_df(spark, pairs), horizon=horizon).collect()
+    }
+    assert got == x
+
+
+def test_katz_star_ranks_center(spark):
+    """High-in-degree target outranks its spokes; attenuation keeps
+    2-hop contributions smaller than 1-hop."""
+    from gminer_spark.graph.katz import ATT, MICRO, katz
+
+    star = [(s, 99) for s in range(10)] + [(99, 100)]
+    got = {r["id"]: r["katz_micro"] for r in katz(edges_df(spark, star)).collect()}
+    assert got[99] == max(got.values())
+    assert got[0] == MICRO  # no in-edges
+    # 100 receives from 99 only; 99 receives from 10 spokes
+    assert got[100] < got[99]
+    assert got[99] > MICRO + 10 * MICRO // ATT - ATT
+
+
+def test_community_quality_two_cliques_bridge(spark):
+    """Two 4-cliques joined by one bridge edge, labeled by clique:
+    exact integer volumes/cuts and the hand-computed modularity and
+    conductance terms."""
+    from pyspark.sql import functions as F
+
+    from gminer_spark.graph import tables as gt
+    from gminer_spark.graph.community_metrics import community_quality
+
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    bridge = [(0, 10)]
+    e = edges_df(spark, c1 + c2 + bridge)
+    labels = spark.createDataFrame(
+        [(v, 1) for v in range(4)] + [(v, 2) for v in range(10, 14)],
+        "id long, label long",
+    )
+    rows = {
+        r["label"]: r
+        for r in community_quality(gt.symmetrize(e), labels).collect()
+    }
+    # 13 undirected edges -> m2 = 26; each clique: 12 internal directed,
+    # volume 13 (12 + 1 bridge endpoint), cut 1
+    for lb in (1, 2):
+        r = rows[lb]
+        assert (r["n_nodes"], r["volume"], r["internal2"], r["cut"]) == (
+            4, 13, 12, 1,
+        )
+        # Q_c = (12*26 - 169)/676 = 143/676
+        assert r["q_micro"] == round(143 / 676 * 1e6)
+        # phi = 1/min(13, 13) = 1/13
+        assert r["conductance_micro"] == round(1 / 13 * 1e6)
+
+
+def test_community_quality_whole_graph_label(spark):
+    """A single label covering everything: cut 0, conductance 0 by
+    convention, Q = (m2*m2 - m2^2)/m2^2 = 0."""
+    from gminer_spark.graph import tables as gt
+    from gminer_spark.graph.community_metrics import community_quality
+
+    e = edges_df(spark, [(0, 1), (1, 2), (2, 0)])
+    labels = spark.createDataFrame([(v, 7) for v in range(3)], "id long, label long")
+    r = community_quality(gt.symmetrize(e), labels).collect()[0]
+    assert (r["cut"], r["conductance_micro"], r["q_micro"]) == (0, 0, 0)
+
+
 def test_bowtie_hand_graph(spark):
     """Directed 2-cycle core with an in-tail, out-tail and an isolated
     edge — every bow-tie class exercised."""
