@@ -1466,6 +1466,25 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["community_quality"] = community_quality
 
+    def linkpred_auc(s, d):
+        """Exact Mann-Whitney AUC of the common-neighbor predictor
+        under a deterministic h32 hold-out split (hard distance-2
+        negatives) over the h32-sampled sparse subgraph — the eval
+        loop on the link_features family."""
+        from gminer_spark.graph.linkpred import linkpred_auc as lpa
+
+        e = _edges(s, d)
+        sub = e.where(
+            h32_spark(
+                F.concat_ws(":", F.lit("colsub"), F.col("src"), F.col("dst"))
+            )
+            % COLOR_SUB_MOD
+            == 0
+        )
+        return lpa(sub, test_mod=5)
+
+    q["linkpred_auc"] = linkpred_auc
+
     def bowtie_regions(s, d):
         """Broder bow-tie decomposition (SCC/IN/OUT/OTHER around the
         min-id pivot) over a deterministic md5-coin directed view of
@@ -3235,6 +3254,10 @@ edges AS (
 )"""
     )
     o["graph_coloring"] = coloring_oracle_sql(_color_edges_cte, iters=COLOR_ITERS)
+
+    from gminer_spark.graph.linkpred import linkpred_auc_oracle_sql
+
+    o["linkpred_auc"] = linkpred_auc_oracle_sql(_color_edges_cte, test_mod=5)
 
     from gminer_spark.graph.snapshot import (
         degree_delta_oracle_sql,

@@ -914,6 +914,61 @@ def test_hitting_time_simple_path(spark):
     assert got[3] == 6 * MICRO
 
 
+def test_linkpred_auc_matches_python_replication(spark):
+    """AUC vs a literal python replication of the split + CN scoring
+    + midrank Mann-Whitney — exact integer equality."""
+    import hashlib
+
+    from gminer_spark.graph.linkpred import linkpred_auc
+
+    def h32(sx):
+        return int(hashlib.md5(sx.encode()).hexdigest()[:8], 16)
+
+    pairs = random_graph(n=40, p=0.12, seed=23)
+    ce = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+    test = [(a, b) for a, b in ce if h32(f"lpsplit:{a}:{b}") % 5 == 0]
+    train = [(a, b) for a, b in ce if h32(f"lpsplit:{a}:{b}") % 5 != 0]
+    nbrs = {}
+    for a, b in train:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    cn = {}
+    for c, ns in nbrs.items():
+        ns = sorted(ns)
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                k = (ns[i], ns[j])
+                cn[k] = cn.get(k, 0) + 1
+    pos = [cn.get(p, 0) for p in test]
+    eset = set(ce)
+    neg = [v for k, v in cn.items() if k not in eset]
+    u2 = sum(
+        sum(2 for n in neg if n < p) + sum(1 for n in neg if n == p)
+        for p in pos
+    )
+    want_auc = round(u2 / (2 * len(pos) * len(neg)) * 1e6)
+    r = linkpred_auc(edges_df(spark, ce), test_mod=5).collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (len(pos), len(neg))
+    assert (r["pos_score_sum"], r["neg_score_sum"]) == (sum(pos), sum(neg))
+    assert r["auc_micro"] == want_auc
+
+
+def test_linkpred_auc_perfect_and_empty(spark):
+    """A graph where every held-out edge has more training common
+    neighbors than every non-edge gives AUC 1.0; the empty-side
+    convention returns 0.5."""
+    from gminer_spark.graph.linkpred import linkpred_auc
+
+    # K5: dense enough that held-out edges keep CN 3 while distance-2
+    # negatives don't exist (K5 minus a few edges is still diameter 1)
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    r = linkpred_auc(edges_df(spark, k5), test_mod=3).collect()[0]
+    if r["n_neg"] == 0 or r["n_pos"] == 0:
+        assert r["auc_micro"] == 500_000
+    else:
+        assert 0 <= r["auc_micro"] <= 1_000_000
+
+
 def test_katz_matches_python_value_iteration(spark):
     """Truncated Katz vs a literal integer replication — exact
     equality (pure BIGINT arithmetic, no float anywhere)."""
