@@ -1485,6 +1485,40 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["linkpred_auc"] = linkpred_auc
 
+    def temporal_reachability(s, d):
+        """Earliest-arrival (time-respecting) reachability from the
+        deterministic seed set over order-date-stamped copurchase
+        edges — the diffusion primitive static reachability
+        over-counts (it follows edges backwards in time)."""
+        from gminer_spark.graph.temporal import earliest_arrival
+
+        li = gt.load_table(s, d, "lineitem").select("l_orderkey", "l_partkey")
+        od = gt.load_table(s, d, "orders").select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("t"),
+        )
+        lit = li.join(od, on="l_orderkey")
+        a, b = lit.alias("a"), lit.alias("b")
+        tedges = (
+            a.join(b, on="l_orderkey")
+            .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+            .select(
+                F.col("a.l_partkey").cast("long").alias("src"),
+                F.col("b.l_partkey").cast("long").alias("dst"),
+                F.col("a.t").alias("t"),
+            )
+        )
+        sources = (
+            tedges.select(F.col("src").alias("id"))
+            .distinct()
+            .where(F.col("id") % PPR_SEED_MOD == 0)
+        )
+        return earliest_arrival(tedges, sources, num_iter=4)
+
+    q["temporal_reachability"] = temporal_reachability
+
     def bowtie_regions(s, d):
         """Broder bow-tie decomposition (SCC/IN/OUT/OTHER around the
         min-id pivot) over a deterministic md5-coin directed view of
@@ -3258,6 +3292,22 @@ edges AS (
     from gminer_spark.graph.linkpred import linkpred_auc_oracle_sql
 
     o["linkpred_auc"] = linkpred_auc_oracle_sql(_color_edges_cte, test_mod=5)
+
+    from gminer_spark.graph.temporal import earliest_arrival_oracle_sql
+
+    _tedges_cte = """tedges AS MATERIALIZED (
+    SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS src,
+                    CAST(b.l_partkey AS BIGINT) AS dst,
+                    CAST(date_diff('day', DATE '1970-01-01',
+                                   o.o_orderdate) AS BIGINT) AS t
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    JOIN orders o ON o.o_orderkey = a.l_orderkey
+)"""
+    o["temporal_reachability"] = earliest_arrival_oracle_sql(
+        _tedges_cte, f"v.id % {PPR_SEED_MOD} = 0", num_iter=4
+    )
 
     from gminer_spark.graph.snapshot import (
         degree_delta_oracle_sql,

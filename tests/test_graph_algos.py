@@ -969,6 +969,58 @@ def test_linkpred_auc_perfect_and_empty(spark):
         assert 0 <= r["auc_micro"] <= 1_000_000
 
 
+def test_temporal_earliest_arrival_blocks_backward_paths(spark):
+    """0 -t=5-> 1 -t=3-> 2: statically 2 is reachable from 0, but the
+    time-respecting path is blocked (3 < 5); a later edge 1 -t=7-> 3
+    works.  Exact integer arrivals."""
+    from gminer_spark.graph.temporal import INF, earliest_arrival
+
+    te = spark.createDataFrame(
+        [(0, 1, 5), (1, 2, 3), (1, 3, 7)], "src long, dst long, t long"
+    )
+    src = spark.createDataFrame([(0,)], "id long")
+    got = {
+        r["id"]: r["arrival"]
+        for r in earliest_arrival(te, src, num_iter=4).collect()
+    }
+    assert got == {0: 0, 1: 5, 2: INF, 3: 7}
+
+
+def test_temporal_earliest_arrival_matches_python(spark):
+    """Random temporal graph vs a literal python replication of the
+    min-arrival value iteration."""
+    import hashlib
+
+    from gminer_spark.graph.temporal import INF, earliest_arrival
+
+    pairs = random_graph(n=30, p=0.1, seed=9, directed=True)
+    te = sorted(
+        {
+            (a, b, int(hashlib.md5(f"t:{a}:{b}".encode()).hexdigest()[:4], 16) % 50)
+            for a, b in pairs
+            if a != b
+        }
+    )
+    ids = sorted({v for a, b, _ in te for v in (a, b)})
+    srcs = {v for v in ids if v % 7 == 0}
+    arr = {v: 0 if v in srcs else INF for v in ids}
+    for _ in range(4):
+        msgs = {}
+        for a, b, t in te:
+            if t >= arr[a]:
+                msgs[b] = min(msgs.get(b, INF), t)
+        arr = {v: min(arr[v], msgs.get(v, INF)) for v in ids}
+    got = {
+        r["id"]: r["arrival"]
+        for r in earliest_arrival(
+            spark.createDataFrame(te, "src long, dst long, t long"),
+            spark.createDataFrame([(v,) for v in sorted(srcs)], "id long"),
+            num_iter=4,
+        ).collect()
+    }
+    assert got == arr
+
+
 def test_katz_matches_python_value_iteration(spark):
     """Truncated Katz vs a literal integer replication — exact
     equality (pure BIGINT arithmetic, no float anywhere)."""
