@@ -59,3 +59,55 @@ def test_triangles_partitioning_invariant(spark, graph):
 
     counts = {triangle_count(e) for e in _variants(graph)}
     assert len(counts) == 1
+
+
+def test_round5_micro_ops_partitioning_invariant(spark, graph):
+    """Katz / hitting-time / SALSA / temporal arrivals / linkpred AUC
+    / community metrics under three physical partitionings — all
+    exact-integer (or micro-rounded via exact sums), so equality is
+    EXACT."""
+    from pyspark.sql import functions as F
+
+    from gminer_spark.graph import tables as gt
+    from gminer_spark.graph.community_metrics import community_quality
+    from gminer_spark.graph.hitting import hitting_time
+    from gminer_spark.graph.katz import katz
+    from gminer_spark.graph.linkpred import linkpred_auc
+    from gminer_spark.graph.lpa import label_propagation
+    from gminer_spark.graph.salsa import salsa
+    from gminer_spark.graph.temporal import earliest_arrival
+
+    def run(e):
+        out = {}
+        out["katz"] = {
+            r["id"]: r["katz_micro"] for r in katz(e, horizon=4).collect()
+        }
+        tgt = gt.vertices(e).where(F.col("id") % 7 == 0)
+        out["hit"] = {
+            r["id"]: r["hit_micro"]
+            for r in hitting_time(e, tgt, horizon=4).collect()
+        }
+        out["salsa"] = {
+            r["id"]: (round(r["hub"], 9), round(r["auth"], 9))
+            for r in salsa(e, num_iter=4).collect()
+        }
+        te = e.select("src", "dst", (F.col("src") * 7 % 50).alias("t"))
+        srcs = gt.vertices(e).where(F.col("id") % 7 == 0)
+        out["temporal"] = {
+            r["id"]: r["arrival"]
+            for r in earliest_arrival(te, srcs, num_iter=3).collect()
+        }
+        out["auc"] = linkpred_auc(e, test_mod=4).collect()[0].asDict()
+        labels = label_propagation(e, num_iter=3).state
+        out["cq"] = {
+            r["label"]: (
+                r["n_nodes"], r["volume"], r["internal2"],
+                r["cut"], r["q_micro"], r["conductance_micro"],
+            )
+            for r in community_quality(gt.symmetrize(e), labels).collect()
+        }
+        return out
+
+    a, b = (run(e) for e in _variants(graph)[:2])
+    for k in a:
+        assert a[k] == b[k], k
