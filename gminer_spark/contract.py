@@ -1519,6 +1519,39 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["temporal_reachability"] = temporal_reachability
 
+    def pii_scan(s, d):
+        """PII detection + redaction fingerprints: the synthetic
+        corpus is clean, so a deterministic doc_id-derived subset is
+        enriched with emails/phones/IPs (same derivation in the
+        oracle) and the scan must find exactly those and hash the
+        scrubbed text identically."""
+        from gminer_spark.textops.pii import pii_scan as ps
+
+        docs = _doc(s, d, "documents").select("doc_id", "text")
+        enriched = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.concat(
+                        F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 7 == 0, F.lit(" call 555-867-5309")
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 11 == 0, F.lit(" from 192.168.1.42")
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return ps(enriched)
+
+    q["pii_scan"] = pii_scan
+
     def bowtie_regions(s, d):
         """Broder bow-tie decomposition (SCC/IN/OUT/OTHER around the
         min-id pivot) over a deterministic md5-coin directed view of
@@ -3308,6 +3341,21 @@ edges AS (
     o["temporal_reachability"] = earliest_arrival_oracle_sql(
         _tedges_cte, f"v.id % {PPR_SEED_MOD} = 0", num_iter=4
     )
+
+    from gminer_spark.textops.pii import pii_scan_oracle_sql
+
+    _pii_docs_cte = """docs AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 5 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com' ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+              THEN ' call 555-867-5309' ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+              THEN ' from 192.168.1.42' ELSE '' END AS text
+    FROM documents)"""
+    o["pii_scan"] = pii_scan_oracle_sql(_pii_docs_cte)
 
     from gminer_spark.graph.snapshot import (
         degree_delta_oracle_sql,

@@ -501,3 +501,50 @@ def test_kmeans_deterministic_under_partitioning(spark):
     r1 = sorted(map(tuple, kmeans(emb.repartition(1), k=4, num_iter=2).collect()))
     r32 = sorted(map(tuple, kmeans(emb.repartition(32), k=4, num_iter=2).collect()))
     assert r1 == r32 and r1
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    """Hand-built docs with known PII spans: exact counts, and the
+    redacted fingerprint equals h32 of the hand-redacted text."""
+    import hashlib
+
+    from gminer_spark.textops.pii import pii_scan
+
+    docs = spark.createDataFrame(
+        [
+            (1, "write to a.b-c_d@mail.example.org or x@y.io today"),
+            (2, "call 555-123-4567 then 555-999-0000 from 10.0.0.1"),
+            (3, "clean text with no personal data at all"),
+            (4, "ip 192.168.001.042 and半width mail: a@b.co"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scan(docs).collect()}
+    assert (got[1]["n_emails"], got[1]["n_phones"], got[1]["n_ips"]) == (2, 0, 0)
+    assert (got[2]["n_emails"], got[2]["n_phones"], got[2]["n_ips"]) == (0, 2, 1)
+    assert (got[3]["n_emails"], got[3]["n_phones"], got[3]["n_ips"]) == (0, 0, 0)
+    assert (got[4]["n_emails"], got[4]["n_ips"]) == (1, 1)
+
+    def h32(sx):
+        return int(hashlib.md5(sx.encode()).hexdigest()[:8], 16)
+
+    assert got[3]["redacted_h32"] == h32("clean text with no personal data at all")
+    assert got[2]["redacted_h32"] == h32("call [PHONE] then [PHONE] from [IP]")
+    assert got[1]["redacted_h32"] == h32("write to [EMAIL] or [EMAIL] today")
+
+
+def test_pii_scan_email_runs_before_number_patterns(spark):
+    """An address like 'a1@b2.co' must become one [EMAIL], not get its
+    digits chewed by later patterns; fixed application order."""
+    import hashlib
+
+    from gminer_spark.textops.pii import pii_scan
+
+    docs = spark.createDataFrame(
+        [(1, "mail a1@b2.co home 1.2.3.4")], "doc_id long, text string"
+    )
+    r = pii_scan(docs).collect()[0]
+    want = "mail [EMAIL] home [IP]"
+    assert r["redacted_h32"] == int(
+        hashlib.md5(want.encode()).hexdigest()[:8], 16
+    )
