@@ -1552,6 +1552,21 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["pii_scan"] = pii_scan
 
+    def brand_assortativity(s, d):
+        """Newman categorical assortativity of the copurchase graph by
+        part brand — the attribute-homophily coefficient (do same-brand
+        parts co-sell?); exact integer counts, one division."""
+        from gminer_spark.graph.community_metrics import label_assortativity
+
+        e = _edges(s, d)
+        parts = gt.load_table(s, d, "part").select(
+            F.col("p_partkey").cast("long").alias("id"),
+            F.col("p_brand").alias("label"),
+        )
+        return label_assortativity(gt.symmetrize(e), parts)
+
+    q["brand_assortativity"] = brand_assortativity
+
     def bowtie_regions(s, d):
         """Broder bow-tie decomposition (SCC/IN/OUT/OTHER around the
         min-id pivot) over a deterministic md5-coin directed view of
@@ -3356,6 +3371,22 @@ edges AS (
               THEN ' from 192.168.1.42' ELSE '' END AS text
     FROM documents)"""
     o["pii_scan"] = pii_scan_oracle_sql(_pii_docs_cte)
+
+    from gminer_spark.graph.community_metrics import (
+        label_assortativity_oracle_sql,
+    )
+
+    o["brand_assortativity"] = (
+        "WITH "
+        + EDGES_CTE.strip()
+        + ",\n"
+        + SYM_CTE.strip()
+        + ",\n"
+        + label_assortativity_oracle_sql(
+            "sym",
+            "SELECT CAST(p_partkey AS BIGINT) AS id, p_brand AS label FROM part",
+        )
+    )
 
     from gminer_spark.graph.snapshot import (
         degree_delta_oracle_sql,

@@ -154,3 +154,96 @@ SELECT p.label,
             END AS BIGINT) AS conductance_micro
 FROM per_c p LEFT JOIN cint i ON p.label = i.label
 CROSS JOIN m2t m"""
+
+
+def label_assortativity(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """One-row Newman categorical assortativity over a symmetric edge
+    table and a vertex labeling -> (m2, same2, r_micro).
+
+    With E the joint distribution of endpoint labels over directed
+    symmetric edges and vol_i the label-i degree volume,
+
+        r = (tr(E) - sum_i a_i b_i) / (1 - sum_i a_i b_i)
+          = (same2 * m2 - sum_i vol_i^2) / (m2^2 - sum_i vol_i^2)
+
+    the homophily coefficient (+1 fully assortative, 0 random, <0
+    disassortative).  Both numerator and denominator are EXACT
+    integers (same2/m2/vol_i are counts); vol_i^2 is accumulated in
+    DECIMAL(38,0) (the structure.py moment-product discipline --
+    BIGINT would wrap at ~3e9-degree volumes where DuckDB errors),
+    and ONE final division produces ``r_micro``; 0 by convention when
+    the denominator is 0 (every vertex one label).
+
+    Plan: two broadcastable label joins + two scalar aggregates --
+    no iteration, label-keyed partial aggregation throughout.
+    """
+    la = labels.select(F.col("id").alias("src"), "label")
+    lb = labels.select(
+        F.col("id").alias("dst"), F.col("label").alias("_lb")
+    )
+    tagged = sym.join(la, on="src").join(lb, on="dst")
+    tot = tagged.agg(
+        F.count("*").cast("long").alias("m2"),
+        F.sum(
+            F.when(F.col("label") == F.col("_lb"), 1).otherwise(0)
+        ).cast("long").alias("same2"),
+    )
+    vols = (
+        tagged.groupBy("label")
+        .agg(F.count("*").cast("decimal(38,0)").alias("vol"))
+        .agg(F.sum(F.col("vol") * F.col("vol")).alias("sum_vol2"))
+    )
+    return tot.crossJoin(F.broadcast(vols)).select(
+        "m2",
+        "same2",
+        F.when(
+            F.col("m2").cast("decimal(38,0)") * F.col("m2")
+            == F.col("sum_vol2"),
+            F.lit(0).cast("long"),
+        )
+        .otherwise(
+            F.round(
+                (
+                    F.col("same2").cast("double") * F.col("m2").cast("double")
+                    - F.col("sum_vol2").cast("double")
+                )
+                / (
+                    F.col("m2").cast("double") * F.col("m2").cast("double")
+                    - F.col("sum_vol2").cast("double")
+                )
+                * 1e6,
+                0,
+            ).cast("long")
+        )
+        .alias("r_micro"),
+    )
+
+
+def label_assortativity_oracle_sql(
+    sym_cte_name: str, labels_sql: str
+) -> str:
+    """Witness fragment (caller prepends edge/sym CTEs): same exact
+    integer accumulation, HUGEINT vol^2 (DuckDB's native SUM width),
+    one DOUBLE division."""
+    return f"""lab AS MATERIALIZED (
+    SELECT id, label FROM ({labels_sql}) _l),
+tagged AS MATERIALIZED (
+    SELECT la.label AS l1, lb.label AS l2
+    FROM {sym_cte_name} s
+    JOIN lab la ON s.src = la.id
+    JOIN lab lb ON s.dst = lb.id),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+           CAST(SUM(CASE WHEN l1 = l2 THEN 1 ELSE 0 END) AS BIGINT) AS same2
+    FROM tagged),
+vols AS (
+    SELECT SUM(v * v) AS sum_vol2 FROM (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS v FROM tagged GROUP BY l1) _v)
+SELECT t.m2, t.same2,
+       CAST(CASE WHEN CAST(t.m2 AS HUGEINT) * t.m2 = v.sum_vol2 THEN 0
+            ELSE ROUND((CAST(t.same2 AS DOUBLE) * t.m2
+                        - CAST(v.sum_vol2 AS DOUBLE))
+                       / (CAST(t.m2 AS DOUBLE) * t.m2
+                          - CAST(v.sum_vol2 AS DOUBLE)) * 1e6)
+            END AS BIGINT) AS r_micro
+FROM tot t CROSS JOIN vols v"""

@@ -2062,3 +2062,37 @@ def test_robustness_explicit_drop_set(spark):
         for r in hub_removal_robustness(edges_df(spark, pairs), drop=drop1).collect()
     }
     assert got2 == {7: 1}
+
+
+def test_label_assortativity_hand_values(spark):
+    """Two same-label cliques vs a fully mixed bipartite graph: exact
+    hand-computed coefficients (perfect homophily = 1e6, bipartite
+    two-label = negative)."""
+    from gminer_spark.graph import tables as gt
+    from gminer_spark.graph.community_metrics import label_assortativity
+
+    # two disjoint K3s, labels by clique -> r = 1
+    tri = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)]
+    labels = spark.createDataFrame(
+        [(v, 1) for v in (0, 1, 2)] + [(v, 2) for v in (10, 11, 12)],
+        "id long, label long",
+    )
+    r = label_assortativity(gt.symmetrize(edges_df(spark, tri)), labels).collect()[0]
+    assert (r["m2"], r["same2"], r["r_micro"]) == (12, 12, 1_000_000)
+
+    # complete bipartite K2,2 labeled by side: same2=0
+    # r = (0 - sum_vol2/m2) / (m2 - sum_vol2/m2) ... exact: m2=8,
+    # vol per label 4 -> sum_vol2=32; r=(0*8-32)/(64-32) = -1
+    bip = [(0, 10), (0, 11), (1, 10), (1, 11)]
+    labels2 = spark.createDataFrame(
+        [(0, 1), (1, 1), (10, 2), (11, 2)], "id long, label long"
+    )
+    r2 = label_assortativity(gt.symmetrize(edges_df(spark, bip)), labels2).collect()[0]
+    assert (r2["m2"], r2["same2"], r2["r_micro"]) == (8, 0, -1_000_000)
+
+    # single label -> denominator 0 -> convention 0
+    one = spark.createDataFrame([(v, 9) for v in (0, 1, 2)], "id long, label long")
+    r3 = label_assortativity(
+        gt.symmetrize(edges_df(spark, [(0, 1), (1, 2)])), one
+    ).collect()[0]
+    assert r3["r_micro"] == 0
