@@ -1567,6 +1567,28 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["brand_assortativity"] = brand_assortativity
 
+    def densest_subgraph(s, d):
+        """Parallel densest-subgraph peel (Bahmani et al. PVLDB'12):
+        per-vertex removal round + best-density-prefix membership —
+        the dense-community / spam-farm mining primitive, exact-
+        integer thresholds throughout.  Runs the Charikar-exact
+        threshold (thr_num=1) on the h32-sampled sparse subgraph: a
+        10-round peel trajectory, every round value-checked (the
+        dense graph collapses in one round — a trivial witness)."""
+        from gminer_spark.graph.densest import densest_subgraph as ds
+
+        e = _edges(s, d)
+        sub = e.where(
+            h32_spark(
+                F.concat_ws(":", F.lit("colsub"), F.col("src"), F.col("dst"))
+            )
+            % COLOR_SUB_MOD
+            == 0
+        )
+        return ds(sub, thr_num=1)
+
+    q["densest_subgraph"] = densest_subgraph
+
     def bowtie_regions(s, d):
         """Broder bow-tie decomposition (SCC/IN/OUT/OTHER around the
         min-id pivot) over a deterministic md5-coin directed view of
@@ -3386,6 +3408,14 @@ edges AS (
             "sym",
             "SELECT CAST(p_partkey AS BIGINT) AS id, p_brand AS label FROM part",
         )
+    )
+
+    from gminer_spark.graph.densest import densest_subgraph_oracle_sql
+
+    # 16 unrolled rounds over the sparse subgraph (measured fixpoint
+    # 10 at sf0.01, margin 6); loud compare failure if ever short
+    o["densest_subgraph"] = densest_subgraph_oracle_sql(
+        _color_edges_cte, thr_num=1, rounds=16
     )
 
     from gminer_spark.graph.snapshot import (

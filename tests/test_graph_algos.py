@@ -2096,3 +2096,65 @@ def test_label_assortativity_hand_values(spark):
         gt.symmetrize(edges_df(spark, [(0, 1), (1, 2)])), one
     ).collect()[0]
     assert r3["r_micro"] == 0
+
+
+def test_densest_subgraph_clique_plus_fringe(spark):
+    """K6 plus a long path of degree-<=2 fringe vertices under the
+    Charikar-exact threshold (thr_num=1): the peel strips the fringe
+    first and the best-density prefix is the clique (all 6
+    in_densest, fringe out).  thr_num=2 would peel everything in one
+    round here (K6's degree 5 < 2x the global average) — exactly the
+    approximation-vs-rounds trade the knob encodes."""
+    from gminer_spark.graph.densest import densest_subgraph
+
+    k6 = [(a, b) for a in range(6) for b in range(6) if a < b]
+    path = [(100 + i, 101 + i) for i in range(12)] + [(100, 0)]
+    rows = densest_subgraph(edges_df(spark, k6 + path), thr_num=1).collect()
+    dense = {r["id"] for r in rows if r["in_densest"]}
+    assert dense == set(range(6))
+    # fringe removed strictly before the clique
+    rr = {r["id"]: r["removal_round"] for r in rows}
+    assert max(rr[v] for v in range(100, 113)) <= min(rr[v] for v in range(6))
+
+
+def test_densest_subgraph_matches_python_replication(spark):
+    """Random graph vs a literal python replication of the integer
+    peel + cross-product best-round rule — exact equality of both
+    removal_round and in_densest."""
+    from gminer_spark.graph.densest import densest_subgraph
+
+    pairs = random_graph(n=60, p=0.07, seed=31)
+    ce = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+    ids = sorted({v for e in ce for v in e})
+    surv = set(ids)
+    removal = {}
+    history = []
+    rnd = 0
+    while True:
+        deg = {v: 0 for v in surv}
+        for a, b in ce:
+            if a in surv and b in surv:
+                deg[a] += 1
+                deg[b] += 1
+        n, m2 = len(surv), sum(deg.values())
+        if n == 0 or m2 == 0:
+            for v in surv:
+                removal[v] = rnd
+            break
+        history.append((rnd, n, m2))
+        doomed = {v for v in surv if deg[v] * n <= 2 * m2}
+        for v in doomed:
+            removal[v] = rnd
+        surv -= doomed
+        rnd += 1
+    best = 0
+    for i in range(1, len(history)):
+        if history[i][2] * history[best][1] > history[best][2] * history[i][1]:
+            best = i
+    best_round = history[best][0] if history else 0
+    got = {
+        r["id"]: (r["removal_round"], r["in_densest"])
+        for r in densest_subgraph(edges_df(spark, ce)).collect()
+    }
+    want = {v: (removal[v], removal[v] >= best_round) for v in ids}
+    assert got == want
