@@ -1589,6 +1589,22 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["densest_subgraph"] = densest_subgraph
 
+    def frequent_itemsets(s, d):
+        """A-Priori frequent itemsets (pairs + triples, min_support 2)
+        over order baskets — the set-pattern analog of the reference's
+        grow-and-prune subgraph mining (apps/maxclique.cpp candidate
+        pruning): level-k candidates generated only from surviving
+        level k-1 itemsets, semi-join pruned before the count."""
+        from gminer_spark.itemsets import frequent_itemsets as fi
+
+        li = _doc(s, d, "lineitem").select(
+            F.col("l_orderkey").alias("basket"),
+            F.col("l_partkey").alias("item"),
+        )
+        return fi(li, min_support=2, max_k=3)
+
+    q["frequent_itemsets"] = frequent_itemsets
+
     def bowtie_regions(s, d):
         """Broder bow-tie decomposition (SCC/IN/OUT/OTHER around the
         min-id pivot) over a deterministic md5-coin directed view of
@@ -3416,6 +3432,14 @@ edges AS (
     # 10 at sf0.01, margin 6); loud compare failure if ever short
     o["densest_subgraph"] = densest_subgraph_oracle_sql(
         _color_edges_cte, thr_num=1, rounds=16
+    )
+
+    from gminer_spark.itemsets import frequent_itemsets_oracle_sql
+
+    o["frequent_itemsets"] = frequent_itemsets_oracle_sql(
+        "SELECT l_orderkey AS basket, l_partkey AS item FROM lineitem",
+        min_support=2,
+        max_k=3,
     )
 
     from gminer_spark.graph.snapshot import (

@@ -1,0 +1,170 @@
+"""A-Priori frequent-itemset mining over basket tables (Agrawal &
+Srikant, VLDB'94), expressed as Spark join-chains.
+
+The reference mines *graph* patterns by growing candidate subgraphs
+level-by-level and pruning against a support bound mid-job
+(`apps/maxclique.cpp` candidate pruning, SURVEY §2.4 partial+final
+max with a mid-job bound); this is the same grow-and-prune discipline
+on *set* patterns: level k candidates are generated only from
+surviving level k-1 itemsets, so the squaring join never touches
+items that already failed the support test.
+
+Scale posture:
+* the per-basket self-join is the only quantity that squares, and it
+  squares in BASKET SIZE, not corpus size — ``max_basket`` drops
+  oversized baskets loudly (the repo's max_df discipline; a basket
+  with 10⁵ items is a crawler artifact, not a co-occurrence signal);
+* level-1 and level-2 survivors prune the next level via semi-joins
+  BEFORE the candidate join (A-Priori anti-monotonicity: a frequent
+  triple's sub-pairs are all frequent, so pruning never changes the
+  result — it only shrinks the join);
+* support counting is one shuffle per level on the itemset key, with
+  map-side partial counts (Catalyst partial+final agg).
+
+Output: one row per frequent itemset of size 2..max_k —
+``(k, itemset, support)`` with ``itemset`` the '|'-joined sorted
+member ids (string: no NULL padding, total-order friendly).
+"""
+
+from __future__ import annotations
+
+import warnings
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def frequent_itemsets(
+    baskets: DataFrame,
+    min_support: int = 2,
+    max_k: int = 3,
+    basket_col: str = "basket",
+    item_col: str = "item",
+    max_basket: int | None = None,
+) -> DataFrame:
+    """Frequent itemsets of size 2..``max_k`` (2 or 3) with support
+    >= ``min_support`` over ``baskets`` rows (basket_col, item_col).
+
+    Returns (k:long, itemset:string, support:long).
+    """
+    if max_k not in (2, 3):
+        raise ValueError("max_k must be 2 or 3")
+    b = (
+        baskets.select(
+            F.col(basket_col).cast("long").alias("basket"),
+            F.col(item_col).cast("long").alias("item"),
+        )
+        .distinct()
+        .persist()
+    )
+    if max_basket is not None:
+        sizes = b.groupBy("basket").agg(F.count("*").alias("sz"))
+        n_drop = sizes.where(F.col("sz") > max_basket).count()
+        if n_drop:
+            warnings.warn(
+                f"frequent_itemsets: dropping {n_drop} baskets larger "
+                f"than max_basket={max_basket} — their pairs are not "
+                "counted",
+                stacklevel=2,
+            )
+            b = b.join(
+                sizes.where(F.col("sz") <= max_basket).select("basket"),
+                on="basket",
+            ).persist()
+
+    # level 1: frequent items prune the pair join's BOTH sides
+    f1 = (
+        b.groupBy("item")
+        .agg(F.count("*").cast("long").alias("sup"))
+        .where(F.col("sup") >= min_support)
+        .select("item")
+    )
+    b1 = b.join(f1, on="item").select("basket", "item")
+
+    # level 2: per-basket ordered self-join, one count shuffle
+    pair_occ = b1.alias("a").join(
+        b1.alias("bb"),
+        (F.col("a.basket") == F.col("bb.basket"))
+        & (F.col("a.item") < F.col("bb.item")),
+    ).select(
+        F.col("a.basket").alias("basket"),
+        F.col("a.item").alias("x"),
+        F.col("bb.item").alias("y"),
+    )
+    p2 = (
+        pair_occ.groupBy("x", "y")
+        .agg(F.count("*").cast("long").alias("support"))
+        .where(F.col("support") >= min_support)
+        .persist()
+    )
+
+    out = p2.select(
+        F.lit(2).cast("long").alias("k"),
+        F.concat_ws("|", "x", "y").alias("itemset"),
+        "support",
+    )
+
+    if max_k >= 3:
+        # level 3: extend surviving pair OCCURRENCES (not all pairs)
+        # by a third frequent item, then A-Priori-prune candidates
+        # whose (x,z) or (y,z) sub-pair is infrequent before counting.
+        p2_occ = pair_occ.join(p2.select("x", "y"), on=["x", "y"])
+        cand = p2_occ.join(
+            b1.select("basket", F.col("item").alias("z")), on="basket"
+        ).where(F.col("z") > F.col("y"))
+        cand = cand.join(
+            p2.select(F.col("x").alias("x"), F.col("y").alias("z")).select(
+                "x", "z"
+            ),
+            on=["x", "z"],
+        ).join(
+            p2.select(F.col("x").alias("y"), F.col("y").alias("z")).select(
+                "y", "z"
+            ),
+            on=["y", "z"],
+        )
+        t3 = (
+            cand.groupBy("x", "y", "z")
+            .agg(F.count("*").cast("long").alias("support"))
+            .where(F.col("support") >= min_support)
+        )
+        out = out.unionByName(
+            t3.select(
+                F.lit(3).cast("long").alias("k"),
+                F.concat_ws("|", "x", "y", "z").alias("itemset"),
+                "support",
+            )
+        )
+    return out
+
+
+def frequent_itemsets_oracle_sql(
+    baskets_sql: str, min_support: int = 2, max_k: int = 3
+) -> str:
+    """DuckDB oracle: brute-force level counts (no pruning — A-Priori
+    anti-monotonicity makes the pruned engine result identical).
+    ``baskets_sql`` must select columns (basket, item)."""
+    triple = ""
+    if max_k >= 3:
+        triple = f"""
+UNION ALL
+SELECT CAST(3 AS BIGINT) AS k,
+       CAST(a.item AS VARCHAR) || '|' || CAST(b2.item AS VARCHAR)
+           || '|' || CAST(c.item AS VARCHAR) AS itemset,
+       CAST(COUNT(*) AS BIGINT) AS support
+FROM b a
+JOIN b b2 ON a.basket = b2.basket AND a.item < b2.item
+JOIN b c  ON a.basket = c.basket AND b2.item < c.item
+GROUP BY a.item, b2.item, c.item
+HAVING COUNT(*) >= {min_support}"""
+    return f"""
+WITH b AS MATERIALIZED (
+    SELECT DISTINCT basket, item FROM ({baskets_sql})
+)
+SELECT CAST(2 AS BIGINT) AS k,
+       CAST(a.item AS VARCHAR) || '|' || CAST(b2.item AS VARCHAR) AS itemset,
+       CAST(COUNT(*) AS BIGINT) AS support
+FROM b a
+JOIN b b2 ON a.basket = b2.basket AND a.item < b2.item
+GROUP BY a.item, b2.item
+HAVING COUNT(*) >= {min_support}{triple}"""

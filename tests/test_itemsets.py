@@ -1,0 +1,77 @@
+"""A-Priori frequent itemsets: hand fixture, brute-force replication,
+basket cap."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from gminer_spark.itemsets import frequent_itemsets
+
+
+def baskets_df(spark, rows):
+    return spark.createDataFrame(
+        [(int(b), int(i)) for b, i in rows], "basket long, item long"
+    )
+
+
+def test_itemsets_hand_values(spark):
+    rows = (
+        [(1, i) for i in (10, 20, 30)]
+        + [(2, i) for i in (10, 20, 30)]
+        + [(3, i) for i in (10, 20, 40)]
+        + [(3, 20)]  # duplicate line: distinct-per-basket must dedup
+    )
+    got = {
+        (r["k"], r["itemset"]): r["support"]
+        for r in frequent_itemsets(baskets_df(spark, rows)).collect()
+    }
+    assert got == {
+        (2, "10|20"): 3,
+        (2, "10|30"): 2,
+        (2, "20|30"): 2,
+        (3, "10|20|30"): 2,
+    }
+
+
+def test_itemsets_matches_bruteforce(spark):
+    rng = random.Random(7)
+    rows = {(rng.randrange(40), rng.randrange(25)) for _ in range(400)}
+    from collections import Counter, defaultdict
+
+    by_basket = defaultdict(set)
+    for b, i in rows:
+        by_basket[b].add(i)
+    c2, c3 = Counter(), Counter()
+    for items in by_basket.values():
+        s = sorted(items)
+        for ai in range(len(s)):
+            for bi in range(ai + 1, len(s)):
+                c2[(s[ai], s[bi])] += 1
+                for ci in range(bi + 1, len(s)):
+                    c3[(s[ai], s[bi], s[ci])] += 1
+    want = {
+        (2, f"{a}|{b}"): n for (a, b), n in c2.items() if n >= 3
+    } | {(3, f"{a}|{b}|{c}"): n for (a, b, c), n in c3.items() if n >= 3}
+    got = {
+        (r["k"], r["itemset"]): r["support"]
+        for r in frequent_itemsets(
+            baskets_df(spark, rows), min_support=3
+        ).collect()
+    }
+    assert got == want
+    assert any(k == 3 for k, _ in got)  # fixture actually exercises triples
+
+
+def test_itemsets_max_basket_cap_warns(spark):
+    rows = [(1, i) for i in range(10)] + [(2, 0), (2, 1), (3, 0), (3, 1)]
+    with pytest.warns(UserWarning, match="max_basket"):
+        got = {
+            r["itemset"]: r["support"]
+            for r in frequent_itemsets(
+                baskets_df(spark, rows), max_basket=5, max_k=2
+            ).collect()
+        }
+    # basket 1 dropped: pair (0,1) counted only from baskets 2 and 3
+    assert got == {"0|1": 2}
