@@ -1605,6 +1605,16 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["frequent_itemsets"] = frequent_itemsets
 
+    def egonet_density(s, d):
+        """OddBall egonet-density profile (near-clique vs star signal
+        per vertex) riding the oriented wedge join — exact integers,
+        one final micro division."""
+        from gminer_spark.graph.structure import egonet_density as ego
+
+        return ego(_edges(s, d))
+
+    q["egonet_density"] = egonet_density
+
     def bowtie_regions(s, d):
         """Broder bow-tie decomposition (SCC/IN/OUT/OTHER around the
         min-id pivot) over a deterministic md5-coin directed view of
@@ -3441,6 +3451,10 @@ edges AS (
         min_support=2,
         max_k=3,
     )
+
+    from gminer_spark.graph.structure import egonet_density_oracle_sql
+
+    o["egonet_density"] = egonet_density_oracle_sql(EDGES_CTE)
 
     from gminer_spark.graph.snapshot import (
         degree_delta_oracle_sql,

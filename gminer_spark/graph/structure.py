@@ -337,3 +337,80 @@ SELECT n.deg AS k, CAST(n.n_above AS BIGINT) AS n_nodes,
            AS phi_micro
 FROM nodes n LEFT JOIN ea a ON a.k = n.deg
 WHERE n.n_above >= 2"""
+
+
+def egonet_density(edges: DataFrame) -> DataFrame:
+    """(id, deg, triangles, ego_edges, ego_density_micro) — per-vertex
+    egonet edge density, the OddBall near-clique/star profile
+    (Akoglu, McGlohon & Faloutsos, PAKDD'10): a vertex whose egonet
+    has ~n_ego² edges is a near-clique (spam farm / link exchange);
+    ~n_ego edges is a star (directory hub).
+
+    The egonet of v (v plus its neighbors) has n_ego = deg(v)+1
+    vertices and ego_edges = deg(v) + triangles(v) edges — the spokes
+    plus one neighbor-neighbor edge per triangle through v — so the
+    whole profile rides the already-oriented wedge join
+    (:func:`gminer_spark.graph.triangles.triangles_per_vertex`); no
+    new quadratic quantity is introduced.  Density is exact-integer
+    2·ego_edges·1e6 over n_ego·(n_ego−1) with ONE final double
+    division (micro-int contract).
+    """
+    from gminer_spark.graph.triangles import triangles_per_vertex
+
+    sym = tables.symmetrize(edges)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    tri = triangles_per_vertex(edges)
+    prof = deg.join(tri, on="id", how="left").select(
+        "id",
+        "deg",
+        F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+    )
+    n_ego = F.col("deg") + F.lit(1)
+    ego_edges = F.col("deg") + F.col("triangles")
+    return prof.select(
+        "id",
+        "deg",
+        "triangles",
+        ego_edges.alias("ego_edges"),
+        F.round(
+            (ego_edges * F.lit(2_000_000)).cast("double")
+            / (n_ego * (n_ego - 1)),
+            0,
+        )
+        .cast("long")
+        .alias("ego_density_micro"),
+    )
+
+
+def egonet_density_oracle_sql(edges_cte: str) -> str:
+    """DuckDB mirror of :func:`egonet_density` — triangle corners via
+    the canonical oriented join, identical integer assembly."""
+    return f"""
+WITH {edges_cte.strip()},
+sym AS MATERIALIZED (
+    SELECT src, dst FROM edges
+    UNION SELECT dst AS src, src AS dst FROM edges),
+deg AS MATERIALIZED (
+    SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+tri AS MATERIALIZED (
+    SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+    FROM edges e1
+    JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+    JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+corners AS MATERIALIZED (
+    SELECT u AS id FROM tri
+    UNION ALL SELECT v FROM tri
+    UNION ALL SELECT w FROM tri),
+tcount AS MATERIALIZED (
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles
+    FROM corners GROUP BY id)
+SELECT d.id, d.deg,
+       COALESCE(t.triangles, 0) AS triangles,
+       d.deg + COALESCE(t.triangles, 0) AS ego_edges,
+       CAST(ROUND(CAST((d.deg + COALESCE(t.triangles, 0)) * 2000000
+                       AS DOUBLE)
+                  / ((d.deg + 1) * d.deg)) AS BIGINT)
+           AS ego_density_micro
+FROM deg d LEFT JOIN tcount t ON t.id = d.id"""

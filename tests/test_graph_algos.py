@@ -2158,3 +2158,28 @@ def test_densest_subgraph_matches_python_replication(spark):
     }
     want = {v: (removal[v], removal[v] >= best_round) for v in ids}
     assert got == want
+
+
+def test_egonet_density_star_and_clique(spark):
+    """Star center: ego_edges = deg, density 2/(deg+1); K5 member:
+    full egonet, density exactly 1.0 (1e6 micro)."""
+    from gminer_spark.graph.structure import egonet_density
+
+    star = [(0, i) for i in range(1, 11)]
+    k5 = [(i, j) for i in range(20, 25) for j in range(20, 25) if i < j]
+    rows = {
+        r["id"]: r
+        for r in egonet_density(edges_df(spark, star + k5)).collect()
+    }
+    c = rows[0]
+    assert (c["deg"], c["triangles"], c["ego_edges"]) == (10, 0, 10)
+    assert c["ego_density_micro"] == round(2 * 10 * 1e6 / (11 * 10))
+    k5v = rows[22]
+    assert (k5v["deg"], k5v["triangles"]) == (4, 6)
+    assert k5v["ego_density_micro"] == 1_000_000
+    leaf = rows[10]  # star leaf: deg 1, egonet = one edge, density 1
+    assert (leaf["deg"], leaf["ego_edges"], leaf["ego_density_micro"]) == (
+        1,
+        1,
+        1_000_000,
+    )
