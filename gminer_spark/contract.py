@@ -1615,6 +1615,16 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["egonet_density"] = egonet_density
 
+    def triad_census(s, d):
+        """Directed triangle census (cyclic 030C vs transitive 030T)
+        on the same md5-coin directed view as bowtie_regions — the
+        link-exchange-ring anomaly scalar, one row."""
+        from gminer_spark.graph.triangles import triad_census as tc
+
+        return tc(_edges(s, d))
+
+    q["triad_census"] = triad_census
+
     def bowtie_regions(s, d):
         """Broder bow-tie decomposition (SCC/IN/OUT/OTHER around the
         min-id pivot) over a deterministic md5-coin directed view of
@@ -3455,6 +3465,10 @@ edges AS (
     from gminer_spark.graph.structure import egonet_density_oracle_sql
 
     o["egonet_density"] = egonet_density_oracle_sql(EDGES_CTE)
+
+    from gminer_spark.graph.triangles import triad_census_oracle_sql
+
+    o["triad_census"] = triad_census_oracle_sql(EDGES_CTE)
 
     from gminer_spark.graph.snapshot import (
         degree_delta_oracle_sql,

@@ -174,3 +174,76 @@ def triangle_count_kernel(edges: DataFrame, orient: str = "degree") -> int:
     )
     res = joined.agg(F.coalesce(F.sum("tris"), F.lit(0))).first()[0]
     return int(res)
+
+
+def triad_census(edges: DataFrame, coin_salt: str = "dir") -> DataFrame:
+    """1-row ``(n_triangles, n_cyclic, n_transitive)`` — the directed
+    triangle census over the deterministic md5-coin orientation of the
+    undirected edge table (each undirected pair gets exactly one
+    direction: ``h32(salt:min:max) % 2 == 0`` means min→max — the same
+    coin as the bow-tie/SCC contract views).
+
+    Of the 8 orientations of a triangle, 2 are cycles (030C in the
+    Holland–Leinhardt taxonomy) and 6 are transitive (030T); a real
+    web graph is overwhelmingly transitive — the cyclic fraction is a
+    cheap anomaly signal for link-exchange rings.
+
+    Scale shape: rides the degree-oriented wedge join (the skew-robust
+    enumeration), then classifies each triangle with three JVM-side
+    hash bits — no extra join against a direction table, no shuffle
+    beyond the triangle count itself.
+    """
+    from gminer_spark.functions import h32
+
+    closed = _wedge_closed(edges, orient="degree")
+    a = F.least("u", "v", "w")
+    c = F.greatest("u", "v", "w")
+    b = F.col("u") + F.col("v") + F.col("w") - a - c
+
+    def fwd(x, y):  # coin says lower-id endpoint → higher-id endpoint
+        return (
+            h32(F.concat_ws(":", F.lit(coin_salt), x.cast("string"), y.cast("string")))
+            % 2
+            == 0
+        )
+
+    f_ab = fwd(a, b)
+    f_ac = fwd(a, c)
+    f_bc = fwd(b, c)
+    cyclic = (f_ab == f_bc) & (f_ab != f_ac)
+    return closed.agg(
+        F.count("*").cast("long").alias("n_triangles"),
+        F.sum(cyclic.cast("long")).cast("long").alias("n_cyclic"),
+        F.sum((~cyclic).cast("long")).cast("long").alias("n_transitive"),
+    )
+
+
+def triad_census_oracle_sql(edges_cte: str, coin_salt: str = "dir") -> str:
+    """DuckDB mirror: canonical triangle join + the identical coin."""
+    from gminer_spark.functions import h32_sql
+
+    def fwd(x, y):
+        return (
+            h32_sql(f"'{coin_salt}:' || CAST({x} AS VARCHAR) || ':' || "
+                    f"CAST({y} AS VARCHAR)")
+            + " % 2 = 0"
+        )
+
+    return f"""
+WITH {edges_cte.strip()},
+tri AS MATERIALIZED (
+    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+    FROM edges e1
+    JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+    JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+bits AS (
+    SELECT ({fwd('a', 'b')}) AS f_ab,
+           ({fwd('a', 'c')}) AS f_ac,
+           ({fwd('b', 'c')}) AS f_bc
+    FROM tri)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+       CAST(COALESCE(SUM(CASE WHEN f_ab = f_bc AND f_ab <> f_ac
+                              THEN 1 END), 0) AS BIGINT) AS n_cyclic,
+       CAST(COALESCE(SUM(CASE WHEN NOT (f_ab = f_bc AND f_ab <> f_ac)
+                              THEN 1 END), 0) AS BIGINT) AS n_transitive
+FROM bits"""

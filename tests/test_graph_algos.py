@@ -2183,3 +2183,39 @@ def test_egonet_density_star_and_clique(spark):
         1,
         1_000_000,
     )
+
+
+def test_triad_census_matches_python_coin(spark):
+    """Random graph: classify every triangle with a literal python
+    replication of the md5 coin; counts must match exactly, and
+    cyclic + transitive must partition the triangle count."""
+    import hashlib
+
+    from gminer_spark.graph.triangles import triad_census
+
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in random_graph(n=40, p=0.25, seed=9) if a != b})
+    eset = set(pairs)
+    verts = sorted({v for e in pairs for v in e})
+
+    def fwd(x, y):
+        h = int.from_bytes(
+            hashlib.md5(f"dir:{x}:{y}".encode()).digest()[:4], "big"
+        )
+        return h % 2 == 0
+
+    n_tri = n_cyc = 0
+    for i, a in enumerate(verts):
+        for b in verts[i + 1:]:
+            if (a, b) not in eset:
+                continue
+            for c in verts:
+                if c <= b or (a, c) not in eset or (b, c) not in eset:
+                    continue
+                n_tri += 1
+                f_ab, f_ac, f_bc = fwd(a, b), fwd(a, c), fwd(b, c)
+                if f_ab == f_bc and f_ab != f_ac:
+                    n_cyc += 1
+    row = triad_census(edges_df(spark, pairs)).collect()[0]
+    assert (row["n_triangles"], row["n_cyclic"]) == (n_tri, n_cyc)
+    assert row["n_transitive"] == n_tri - n_cyc
+    assert 0 < n_cyc < n_tri  # fixture exercises both classes
