@@ -1625,6 +1625,26 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["triad_census"] = triad_census
 
+    def dag_layers(s, d):
+        """Longest-path topological layering (critical-path levels) of
+        the h32-sampled canonical src<dst DAG — MAX-propagation
+        supersteps, one fused action per round; measured depth 19 at
+        sf0.01 (the full canonical DAG is depth ~208 — layering is for
+        bounded-depth dependency DAGs, hence the sampled input)."""
+        from gminer_spark.graph.dag import dag_layers as dl
+
+        e = _edges(s, d)
+        sub = e.where(
+            h32_spark(
+                F.concat_ws(":", F.lit("colsub"), F.col("src"), F.col("dst"))
+            )
+            % COLOR_SUB_MOD
+            == 0
+        )
+        return dl(sub)
+
+    q["dag_layers"] = dag_layers
+
     def bowtie_regions(s, d):
         """Broder bow-tie decomposition (SCC/IN/OUT/OTHER around the
         min-id pivot) over a deterministic md5-coin directed view of
@@ -3469,6 +3489,12 @@ edges AS (
     from gminer_spark.graph.triangles import triad_census_oracle_sql
 
     o["triad_census"] = triad_census_oracle_sql(EDGES_CTE)
+
+    from gminer_spark.graph.dag import dag_layers_oracle_sql
+
+    # 26 unrolled MAX rounds (measured critical path 19 at sf0.01,
+    # margin 7); loud compare failure if ever short
+    o["dag_layers"] = dag_layers_oracle_sql(_color_edges_cte, rounds=26)
 
     from gminer_spark.graph.snapshot import (
         degree_delta_oracle_sql,

@@ -2219,3 +2219,48 @@ def test_triad_census_matches_python_coin(spark):
     assert (row["n_triangles"], row["n_cyclic"]) == (n_tri, n_cyc)
     assert row["n_transitive"] == n_tri - n_cyc
     assert 0 < n_cyc < n_tri  # fixture exercises both classes
+
+
+def test_dag_layers_hand_values(spark):
+    """Diamond + tail: layer = longest path, not BFS depth."""
+    from gminer_spark.graph.dag import dag_layers
+
+    # 1→2→3→4 and 1→4 (longest path to 4 is 3), 4→5
+    got = {
+        r["id"]: r["layer"]
+        for r in dag_layers(
+            edges_df(spark, [(1, 2), (2, 3), (3, 4), (1, 4), (4, 5)])
+        ).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_dag_layers_cycle_warns(spark):
+    import pytest as _pytest
+
+    from gminer_spark.graph.dag import dag_layers
+
+    with _pytest.warns(UserWarning, match="cycle"):
+        dag_layers(edges_df(spark, CYCLE6), max_rounds=8).collect()
+
+
+def test_dag_layers_matches_topological_dp(spark):
+    """Random canonical (src<dst) DAG vs a python longest-path DP."""
+    from gminer_spark.graph.dag import dag_layers
+
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in random_graph(n=80, p=0.04, seed=13) if a != b})
+    import collections
+
+    adj_in = collections.defaultdict(list)
+    verts = set()
+    for s_, d_ in pairs:
+        adj_in[d_].append(s_)
+        verts |= {s_, d_}
+    want = {}
+    for v in sorted(verts):
+        want[v] = max((want[u] + 1 for u in adj_in[v]), default=0)
+    got = {
+        r["id"]: r["layer"]
+        for r in dag_layers(edges_df(spark, pairs)).collect()
+    }
+    assert got == want
