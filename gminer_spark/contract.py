@@ -2612,6 +2612,17 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["corpus_retrieval"] = corpus_retrieval
 
+    def doc_keywords(s, d):
+        """Per-document top-5 TF-IDF keywords (log-free ratio idiom):
+        the document-side dual of corpus_retrieval — topic tags /
+        cluster labels for every doc in one pass, top-k via a per-doc
+        window (never a global sort)."""
+        from gminer_spark.textops.retrieval import doc_keywords as dk
+
+        return dk(_doc(s, d, "documents"), k=5)
+
+    q["doc_keywords"] = doc_keywords
+
     def boilerplate_shingles(s, d):
         """Per-source boilerplate shingles (df >= ceil(frac*n_docs)):
         the template detector a web-corpus cleaning pass runs before
@@ -4007,6 +4018,10 @@ FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
     from gminer_spark.textops.retrieval import bm25_oracle_sql
 
     o["corpus_retrieval"] = bm25_oracle_sql(WORDS_CTE, RETRIEVAL_TERMS, k=50)
+
+    from gminer_spark.textops.retrieval import doc_keywords_oracle_sql
+
+    o["doc_keywords"] = doc_keywords_oracle_sql(WORDS_CTE, k=5)
 
     o["dedup_containment"] = f"""
 WITH {WORDS_CTE.strip()},

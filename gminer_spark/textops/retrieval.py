@@ -146,3 +146,101 @@ topk AS (SELECT * FROM scored
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id ASC) AS INT) AS rk,
        doc_id, n_hits, score_micro
 FROM topk"""
+
+
+def doc_keywords(
+    documents: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF keywords
+    ``(doc_id, rk, word, tf, score_micro)`` — the document-side dual
+    of :func:`bm25_scores`: instead of scoring docs against a query,
+    surface each doc's most distinctive terms (index summaries, topic
+    tags, cluster labels).
+
+    Log-free discipline: score = tf · N / (df · dl) as the raw ratio
+    (the lift idiom) — exact-integer numerator and denominator
+    promoted to double (overflow-safe at tf·N ~ 1e18 on a trillion
+    docs), ONE rounding per (doc, word).  Top-k per doc is a window
+    over doc_id — bounded by the doc's distinct-word count, never a
+    global sort; df is one map-side-combined aggregate over the
+    distinct (word, doc) pairs.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != ""
+    )
+    words = documents.select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dl = words.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    dft = tf.groupBy("word").agg(F.count("*").cast("long").alias("df"))
+    # N over docs with >=1 token (an all-whitespace doc has no tf rows
+    # and must not inflate every other doc's idf ratio)
+    n_docs = words.select(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    scored = (
+        tf.join(dft, on="word")
+        .join(dl, on="doc_id")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            F.round(
+                F.col("tf").cast("double")
+                * F.col("n_docs").cast("double")
+                / (F.col("df").cast("double") * F.col("dl").cast("double"))
+                * F.lit(1e6),
+                0,
+            )
+            .cast("long")
+            .alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "rk", "word", "tf", "score_micro")
+    )
+
+
+def doc_keywords_oracle_sql(words_cte: str, k: int = 5) -> str:
+    """DuckDB mirror over ``words(doc_id, word, pos)`` — identical
+    ratio tree, CAST-to-DOUBLE per the decimal-literal pitfall."""
+    return f"""
+WITH {words_cte.strip()},
+w2 AS MATERIALIZED (SELECT doc_id, word FROM words WHERE word <> ''),
+tf AS MATERIALIZED (
+    SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM w2 GROUP BY doc_id, word),
+dl AS MATERIALIZED (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM w2 GROUP BY doc_id),
+dft AS MATERIALIZED (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word),
+stats AS MATERIALIZED (
+    SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM w2),
+scored AS MATERIALIZED (
+    SELECT t.doc_id, t.word, t.tf,
+           CAST(ROUND(CAST(t.tf AS DOUBLE) * CAST(s.n_docs AS DOUBLE)
+                      / (CAST(f.df AS DOUBLE) * CAST(d.dl AS DOUBLE))
+                      * 1e6) AS BIGINT) AS score_micro
+    FROM tf t JOIN dft f USING (word) JOIN dl d USING (doc_id)
+    CROSS JOIN stats s)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score_micro DESC, word ASC)
+            AS INT) AS rk,
+       word, tf, score_micro
+FROM scored
+QUALIFY rk <= {k}"""

@@ -548,3 +548,37 @@ def test_pii_scan_email_runs_before_number_patterns(spark):
     assert r["redacted_h32"] == int(
         hashlib.md5(want.encode()).hexdigest()[:8], 16
     )
+
+
+def test_doc_keywords_hand_values(spark):
+    """3 tiny docs: the ubiquitous word scores lowest; a doc-unique
+    word wins its doc; ties break on word asc; empty doc excluded
+    from N and output."""
+    from gminer_spark.textops.retrieval import doc_keywords
+
+    d = docs_df(
+        spark,
+        [
+            "the cat sat",       # doc 0
+            "the dog ran fast",  # doc 1
+            "the the zebra",     # doc 2
+            "   ",               # doc 3: whitespace-only
+        ],
+    )
+    rows = doc_keywords(d, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc
+    # N = 3; doc 0: cat/sat score 3*1e6/(1*3)=1e6 each, 'the' 1/3e6
+    top0 = sorted(by_doc[0], key=lambda r: r["rk"])
+    assert [(r["word"], r["score_micro"]) for r in top0] == [
+        ("cat", 1_000_000),
+        ("sat", 1_000_000),
+    ]
+    # doc 2: tf(the)=2, dl=3 -> 2*3e6/(3*3)=666667; zebra 1e6
+    top2 = sorted(by_doc[2], key=lambda r: r["rk"])
+    assert [(r["word"], r["tf"], r["score_micro"]) for r in top2] == [
+        ("zebra", 1, 1_000_000),
+        ("the", 2, 666_667),
+    ]
