@@ -1615,6 +1615,21 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["egonet_density"] = egonet_density
 
+    def association_rules(s, d):
+        """Directed pair rules x→y over the frequent-pair table with
+        confidence >= 0.10 (132 rules at sf0.01) — confidence and
+        chance-normalized lift in micro units, double-promoted
+        products (the cooccur BIGINT-wrap discipline)."""
+        from gminer_spark.itemsets import association_rules as ar
+
+        li = _doc(s, d, "lineitem").select(
+            F.col("l_orderkey").alias("basket"),
+            F.col("l_partkey").alias("item"),
+        )
+        return ar(li, min_support=2, min_confidence_micro=100_000)
+
+    q["association_rules"] = association_rules
+
     def triad_census(s, d):
         """Directed triangle census (cyclic 030C vs transitive 030T)
         on the same md5-coin directed view as bowtie_regions — the
@@ -3496,6 +3511,14 @@ edges AS (
     from gminer_spark.graph.structure import egonet_density_oracle_sql
 
     o["egonet_density"] = egonet_density_oracle_sql(EDGES_CTE)
+
+    from gminer_spark.itemsets import association_rules_oracle_sql
+
+    o["association_rules"] = association_rules_oracle_sql(
+        "SELECT l_orderkey AS basket, l_partkey AS item FROM lineitem",
+        min_support=2,
+        min_confidence_micro=100_000,
+    )
 
     from gminer_spark.graph.triangles import triad_census_oracle_sql
 

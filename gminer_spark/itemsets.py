@@ -168,3 +168,150 @@ FROM b a
 JOIN b b2 ON a.basket = b2.basket AND a.item < b2.item
 GROUP BY a.item, b2.item
 HAVING COUNT(*) >= {min_support}{triple}"""
+
+
+def association_rules(
+    baskets: DataFrame,
+    min_support: int = 2,
+    min_confidence_micro: int = 250_000,
+    basket_col: str = "basket",
+    item_col: str = "item",
+    max_basket: int | None = None,
+) -> DataFrame:
+    """Pair association rules x→y from the frequent-pair table:
+    ``(antecedent, consequent, support, confidence_micro,
+    lift_micro)`` — both directions of every frequent pair, filtered
+    by confidence ≥ ``min_confidence_micro`` (micro-units).
+
+    confidence(x→y) = sup(x,y)/sup(x);
+    lift(x→y) = sup(x,y)·n_baskets / (sup(x)·sup(y)) — symmetric, the
+    co-purchase strength normalized by chance (the log-free lift
+    idiom; products promoted to double before the division, the
+    BIGINT-wrap pitfall from cooccur.py).
+
+    One extra aggregate (item supports) and one broadcast-able join
+    beyond :func:`frequent_itemsets` — the rule table is the
+    recommender / "customers also bought" surface of basket mining.
+    """
+    b = (
+        baskets.select(
+            F.col(basket_col).cast("long").alias("basket"),
+            F.col(item_col).cast("long").alias("item"),
+        )
+        .distinct()
+        .persist()
+    )
+    if max_basket is not None:
+        sizes = b.groupBy("basket").agg(F.count("*").alias("sz"))
+        b = b.join(
+            sizes.where(F.col("sz") <= max_basket).select("basket"),
+            on="basket",
+        )
+    n_baskets = b.select(
+        F.countDistinct("basket").cast("long").alias("n_baskets")
+    )
+    isup = b.groupBy("item").agg(F.count("*").cast("long").alias("sup"))
+    pairs = (
+        b.alias("a")
+        .join(
+            b.alias("bb"),
+            (F.col("a.basket") == F.col("bb.basket"))
+            & (F.col("a.item") < F.col("bb.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("x"), F.col("bb.item").alias("y")
+        )
+        .agg(F.count("*").cast("long").alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    directed = pairs.select(
+        F.col("x").alias("antecedent"),
+        F.col("y").alias("consequent"),
+        "support",
+    ).unionByName(
+        pairs.select(
+            F.col("y").alias("antecedent"),
+            F.col("x").alias("consequent"),
+            "support",
+        )
+    )
+    enriched = (
+        directed.join(
+            isup.select(
+                F.col("item").alias("antecedent"),
+                F.col("sup").alias("sup_a"),
+            ),
+            on="antecedent",
+        )
+        .join(
+            isup.select(
+                F.col("item").alias("consequent"),
+                F.col("sup").alias("sup_c"),
+            ),
+            on="consequent",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "support",
+            F.round(
+                F.col("support").cast("double")
+                / F.col("sup_a").cast("double")
+                * F.lit(1e6),
+                0,
+            )
+            .cast("long")
+            .alias("confidence_micro"),
+            F.round(
+                F.col("support").cast("double")
+                * F.col("n_baskets").cast("double")
+                / (F.col("sup_a").cast("double") * F.col("sup_c").cast("double"))
+                * F.lit(1e6),
+                0,
+            )
+            .cast("long")
+            .alias("lift_micro"),
+        )
+    )
+    return enriched.where(
+        F.col("confidence_micro") >= min_confidence_micro
+    )
+
+
+def association_rules_oracle_sql(
+    baskets_sql: str,
+    min_support: int = 2,
+    min_confidence_micro: int = 250_000,
+) -> str:
+    """DuckDB mirror of :func:`association_rules` — identical ratio
+    trees, CAST-to-DOUBLE per the decimal-literal pitfall."""
+    return f"""
+WITH b AS MATERIALIZED (
+    SELECT DISTINCT basket, item FROM ({baskets_sql})
+),
+nb AS MATERIALIZED (
+    SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets FROM b),
+isup AS MATERIALIZED (
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS sup FROM b GROUP BY item),
+p AS MATERIALIZED (
+    SELECT a.item AS x, b2.item AS y, CAST(COUNT(*) AS BIGINT) AS support
+    FROM b a JOIN b b2 ON a.basket = b2.basket AND a.item < b2.item
+    GROUP BY a.item, b2.item
+    HAVING COUNT(*) >= {min_support}),
+d AS (
+    SELECT x AS antecedent, y AS consequent, support FROM p
+    UNION ALL
+    SELECT y, x, support FROM p),
+r AS (
+    SELECT d.antecedent, d.consequent, d.support,
+           CAST(ROUND(CAST(d.support AS DOUBLE) / CAST(sa.sup AS DOUBLE)
+                      * 1e6) AS BIGINT) AS confidence_micro,
+           CAST(ROUND(CAST(d.support AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)
+                      / (CAST(sa.sup AS DOUBLE) * CAST(sc.sup AS DOUBLE))
+                      * 1e6) AS BIGINT) AS lift_micro
+    FROM d
+    JOIN isup sa ON sa.item = d.antecedent
+    JOIN isup sc ON sc.item = d.consequent
+    CROSS JOIN nb)
+SELECT * FROM r WHERE confidence_micro >= {min_confidence_micro}"""

@@ -75,3 +75,42 @@ def test_itemsets_max_basket_cap_warns(spark):
         }
     # basket 1 dropped: pair (0,1) counted only from baskets 2 and 3
     assert got == {"0|1": 2}
+
+
+def test_association_rules_hand_values(spark):
+    """Baskets: {a,b} x3, {a} x1, {b,c} x1 → rule b→a: conf 3/4,
+    a→b: conf 3/4, lift = 3*5/(4*4)."""
+    rows = [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 20),
+            (4, 10), (5, 20), (5, 30)]
+    from gminer_spark.itemsets import association_rules
+
+    got = {
+        (r["antecedent"], r["consequent"]): (
+            r["support"],
+            r["confidence_micro"],
+            r["lift_micro"],
+        )
+        for r in association_rules(
+            baskets_df(spark, rows), min_confidence_micro=0
+        ).collect()
+    }
+    # sup(10)=4, sup(20)=4, sup(10,20)=3, n_baskets=5
+    lift = round(3 * 5 / (4 * 4) * 1e6)
+    assert got == {
+        (10, 20): (3, 750_000, lift),
+        (20, 10): (3, 750_000, lift),
+    }
+
+
+def test_association_rules_confidence_filter(spark):
+    rows = [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 20), (4, 10)]
+    from gminer_spark.itemsets import association_rules
+
+    got = {
+        (r["antecedent"], r["consequent"])
+        for r in association_rules(
+            baskets_df(spark, rows), min_confidence_micro=800_000
+        ).collect()
+    }
+    # 20→10 has conf 1.0 (sup(20)=3, sup pair=3); 10→20 conf 3/4 < 0.8
+    assert got == {(20, 10)}
