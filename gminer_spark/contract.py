@@ -1660,6 +1660,27 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["dag_layers"] = dag_layers
 
+    def ppr_sweep_cut(s, d):
+        """Andersen–Chung–Lang local clustering: conductance sweep
+        over the score/degree order of the value-green PPR chain
+        (same seed set as ppr_micro) — per-prefix cut/volume/
+        conductance plus the minimum-conductance prefix (the seeds'
+        local community).  Exact-integer cut identity, one double
+        division per prefix, unrounded-ratio argmin."""
+        from gminer_spark.graph.pagerank import pagerank
+        from gminer_spark.graph.sweep import conductance_sweep
+
+        e = _edges(s, d)
+        seeds = gt.vertices(e).where(F.col("id") % PPR_SEED_MOD == 0)
+        res = pagerank(e, num_iter=PR_ITERS, reset=seeds)
+        scores = res.state.select(
+            "id",
+            F.round(F.col("rank") * 1e6, 0).cast("long").alias("rank_micro"),
+        )
+        return conductance_sweep(e, scores, sweep_n=200)
+
+    q["ppr_sweep_cut"] = ppr_sweep_cut
+
     def bowtie_regions(s, d):
         """Broder bow-tie decomposition (SCC/IN/OUT/OTHER around the
         min-id pivot) over a deterministic md5-coin directed view of
@@ -3529,6 +3550,14 @@ edges AS (
     # 26 unrolled MAX rounds (measured critical path 19 at sf0.01,
     # margin 7); loud compare failure if ever short
     o["dag_layers"] = dag_layers_oracle_sql(_color_edges_cte, rounds=26)
+
+    from gminer_spark.graph.sweep import conductance_sweep_oracle_sql
+
+    # the unrolled PPR chain embeds as a derived table (inner WITH
+    # scope shadows the sweep's own edges/sym/deg CTEs)
+    o["ppr_sweep_cut"] = conductance_sweep_oracle_sql(
+        EDGES_CTE, ppr_oracle_sql(), sweep_n=200
+    )
 
     from gminer_spark.graph.snapshot import (
         degree_delta_oracle_sql,

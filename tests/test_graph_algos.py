@@ -2264,3 +2264,70 @@ def test_dag_layers_matches_topological_dp(spark):
         for r in dag_layers(edges_df(spark, pairs)).collect()
     }
     assert got == want
+
+
+def test_conductance_sweep_barbell(spark):
+    """Two K4s joined by one bridge; scores rank clique A first: the
+    best prefix is exactly clique A (cut 1, conductance 1/13)."""
+    from gminer_spark.graph.sweep import conductance_sweep
+
+    k4a = [(i, j) for i in range(4) for j in range(4) if i < j]
+    k4b = [(i, j) for i in range(10, 14) for j in range(10, 14) if i < j]
+    bridge = [(0, 10)]
+    edges = edges_df(spark, k4a + k4b + bridge)
+    # scores: clique A high (40..37 by id), clique B low (4..1)
+    scores = spark.createDataFrame(
+        [(i, 40 - i) for i in range(4)]
+        + [(i, 14 - i) for i in range(10, 14)],
+        "id long, rank_micro long",
+    )
+    rows = sorted(
+        conductance_sweep(edges, scores, sweep_n=8).collect(),
+        key=lambda r: r["rank"],
+    )
+    # order: 1 (deg4,score 39/4) ... wait deg(0)=4 others 3
+    by_rank = [(r["id"], r["cut_edges"], r["volume"], r["in_best"]) for r in rows]
+    # vol_total = 2*13 = 26
+    # best prefix must be {0,1,2,3} with cut 1, vol 13, cond 1/13
+    prefix4 = rows[3]
+    assert {r["id"] for r in rows[:4]} == {0, 1, 2, 3}
+    assert (prefix4["cut_edges"], prefix4["volume"]) == (1, 13)
+    assert prefix4["conductance_micro"] == round(1e6 / 13)
+    assert prefix4["in_best"]
+    assert all(r["in_best"] for r in rows[:4])
+    assert not any(r["in_best"] for r in rows[4:])
+
+
+def test_conductance_sweep_matches_bruteforce(spark):
+    """Random graph + arbitrary deterministic scores: every prefix's
+    cut and volume must equal a literal python recount."""
+    from gminer_spark.graph.sweep import conductance_sweep
+
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in random_graph(n=50, p=0.08, seed=17) if a != b})
+    verts = sorted({v for e in pairs for v in e})
+    scores = [(v, (v * 7919) % 101 + 1) for v in verts]
+    got = sorted(
+        conductance_sweep(
+            edges_df(spark, pairs),
+            spark.createDataFrame(scores, "id long, rank_micro long"),
+            sweep_n=30,
+        ).collect(),
+        key=lambda r: r["rank"],
+    )
+    import collections
+
+    deg = collections.Counter()
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    smap = dict(scores)
+    order = sorted(
+        verts, key=lambda v: (-smap[v] / deg[v], -smap[v], v)
+    )[:30]
+    pref = set()
+    for i, v in enumerate(order):
+        pref.add(v)
+        cut = sum(1 for a, b in pairs if (a in pref) != (b in pref))
+        vol = sum(deg[x] for x in pref)
+        r = got[i]
+        assert (r["id"], r["cut_edges"], r["volume"]) == (v, cut, vol)
