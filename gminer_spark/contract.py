@@ -1630,6 +1630,32 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["association_rules"] = association_rules
 
+    def itemset_maintainer(s, d):
+        """Streaming frequent-pair maintenance fed the lineitem
+        baskets in 3 deterministic h32 batches (baskets span batches
+        by construction) — the maintained counts must equal the
+        one-shot pair table, which is the oracle."""
+        from gminer_spark.itemsets import ItemsetMaintainer
+
+        li = _doc(s, d, "lineitem").select(
+            F.col("l_orderkey").alias("basket"),
+            F.col("l_partkey").alias("item"),
+        )
+        m = ItemsetMaintainer(min_support=2)
+        for i in range(3):
+            m.update(
+                li.where(
+                    h32_spark(
+                        F.concat_ws(":", F.lit("ibat"), "basket", "item")
+                    )
+                    % 3
+                    == i
+                )
+            )
+        return m.frequent_pairs()
+
+    q["itemset_maintainer"] = itemset_maintainer
+
     def triad_census(s, d):
         """Directed triangle census (cyclic 030C vs transitive 030T)
         on the same md5-coin directed view as bowtie_regions — the
@@ -3532,6 +3558,13 @@ edges AS (
     from gminer_spark.graph.structure import egonet_density_oracle_sql
 
     o["egonet_density"] = egonet_density_oracle_sql(EDGES_CTE)
+
+    # the maintained stream state must equal the ONE-SHOT pair table
+    o["itemset_maintainer"] = frequent_itemsets_oracle_sql(
+        "SELECT l_orderkey AS basket, l_partkey AS item FROM lineitem",
+        min_support=2,
+        max_k=2,
+    )
 
     from gminer_spark.itemsets import association_rules_oracle_sql
 

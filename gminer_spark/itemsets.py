@@ -315,3 +315,106 @@ r AS (
     JOIN isup sc ON sc.item = d.consequent
     CROSS JOIN nb)
 SELECT * FROM r WHERE confidence_micro >= {min_confidence_micro}"""
+
+
+class ItemsetMaintainer:
+    """Streaming frequent-pair maintenance: feed (basket, item) row
+    batches (e.g. from ``foreachBatch``), read ``frequent_pairs``
+    between updates.
+
+    Baskets may SPAN batches: each update reduces the batch to the
+    genuinely new (basket, item) rows (anti-join against the
+    accumulated item table), then adds exactly the pair occurrences
+    those rows create — new×new within the batch plus new×old against
+    the accumulated table — so the maintained counts equal the
+    one-shot :func:`frequent_itemsets` pair counts on the union (the
+    pair count is order-independent; the two-phase contract witness
+    checks the equality on split feeds).
+
+    State is two flat tables behind ``localCheckpoint`` (lineage never
+    chains across batches — the maintainer-twin discipline of
+    PageRankMaintainer / CCMaintainer): the seen (basket, item) rows
+    partitioned by basket, and the (x, y, support) counts.
+    """
+
+    def __init__(self, min_support: int = 2) -> None:
+        self.min_support = min_support
+        self.items: DataFrame | None = None
+        self.counts: DataFrame | None = None
+
+    def update(self, batch: DataFrame) -> DataFrame:
+        b = batch.select(
+            F.col("basket").cast("long").alias("basket"),
+            F.col("item").cast("long").alias("item"),
+        ).distinct()
+        if self.items is None:
+            new = b
+        else:
+            new = b.join(self.items, on=["basket", "item"], how="left_anti")
+        new = new.localCheckpoint()
+
+        nn = (
+            new.alias("a")
+            .join(
+                new.alias("bb"),
+                (F.col("a.basket") == F.col("bb.basket"))
+                & (F.col("a.item") < F.col("bb.item")),
+            )
+            .select(
+                F.col("a.item").alias("x"), F.col("bb.item").alias("y")
+            )
+        )
+        deltas = [nn]
+        if self.items is not None:
+            no = new.alias("n").join(
+                self.items.alias("o"), on="basket"
+            ).where(F.col("n.item") != F.col("o.item"))
+            deltas.append(
+                no.select(
+                    F.least("n.item", "o.item").alias("x"),
+                    F.greatest("n.item", "o.item").alias("y"),
+                )
+            )
+        delta = deltas[0]
+        for d in deltas[1:]:
+            delta = delta.unionByName(d)
+        dcount = delta.groupBy("x", "y").agg(
+            F.count("*").cast("long").alias("d")
+        )
+
+        if self.counts is None:
+            merged = dcount.select(
+                "x", "y", F.col("d").alias("support")
+            )
+        else:
+            merged = (
+                self.counts.join(dcount, on=["x", "y"], how="full")
+                .select(
+                    "x",
+                    "y",
+                    (
+                        F.coalesce("support", F.lit(0))
+                        + F.coalesce("d", F.lit(0))
+                    ).cast("long").alias("support"),
+                )
+            )
+        self.counts = merged.localCheckpoint()
+        self.items = (
+            new
+            if self.items is None
+            else self.items.unionByName(new)
+        ).localCheckpoint()
+        return self.frequent_pairs()
+
+    def frequent_pairs(self) -> DataFrame:
+        """(k, itemset, support) for pairs at ``min_support`` — the
+        same shape as :func:`frequent_itemsets` with max_k=2."""
+        if self.counts is None:
+            raise ValueError("no batches fed yet")
+        return self.counts.where(
+            F.col("support") >= self.min_support
+        ).select(
+            F.lit(2).cast("long").alias("k"),
+            F.concat_ws("|", "x", "y").alias("itemset"),
+            "support",
+        )

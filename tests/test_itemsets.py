@@ -114,3 +114,70 @@ def test_association_rules_confidence_filter(spark):
     }
     # 20→10 has conf 1.0 (sup(20)=3, sup pair=3); 10→20 conf 3/4 < 0.8
     assert got == {(20, 10)}
+
+
+def test_itemset_maintainer_matches_oneshot(spark):
+    """Cross-batch baskets: items of the same basket arriving in
+    different batches (and re-arriving as duplicates) must yield the
+    identical pair-count table as the one-shot engine."""
+    import random as _random
+
+    from gminer_spark.itemsets import ItemsetMaintainer, frequent_itemsets
+
+    rng = _random.Random(23)
+    rows = [(rng.randrange(30), rng.randrange(20)) for _ in range(300)]
+    m = ItemsetMaintainer(min_support=2)
+    for i in range(3):
+        chunk = rows[i::3] + rows[:5]  # overlap re-feeds duplicates
+        m.update(
+            spark.createDataFrame(chunk, "basket long, item long")
+        )
+    got = {
+        r["itemset"]: r["support"] for r in m.frequent_pairs().collect()
+    }
+    want = {
+        r["itemset"]: r["support"]
+        for r in frequent_itemsets(
+            spark.createDataFrame(set(rows), "basket long, item long"),
+            min_support=2,
+            max_k=2,
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_itemset_maintainer_foreachbatch(spark, tmp_path):
+    """Structured-streaming feed via foreachBatch parquet batches."""
+    from gminer_spark.itemsets import ItemsetMaintainer, frequent_itemsets
+
+    rows = [(b, i) for b in range(12) for i in range(b % 5 + 1)]
+    halves = [rows[0::2], rows[1::2]]
+    src = str(tmp_path / "basket_batches")
+    for batch in halves:
+        spark.createDataFrame(batch, "basket long, item long").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    m = ItemsetMaintainer(min_support=3)
+    stream = (
+        spark.readStream.schema("basket long, item long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(
+        lambda batch, _id: (m.update(batch), None)[1]
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["itemset"]: r["support"] for r in m.frequent_pairs().collect()}
+    want = {
+        r["itemset"]: r["support"]
+        for r in frequent_itemsets(
+            spark.createDataFrame(rows, "basket long, item long"),
+            min_support=3,
+            max_k=2,
+        ).collect()
+    }
+    assert got == want and got
