@@ -1656,6 +1656,30 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["itemset_maintainer"] = itemset_maintainer
 
+    def site_tree(s, d):
+        """Hierarchical URL path rollup (crawl-budget / sitemap view):
+        page + URL counts per (host, depth<=2 path prefix) over a
+        deterministic URL synthesis with repeated pages and query
+        strings (n_urls > n_pages exercises the distinct)."""
+        from gminer_spark.web.sitetree import site_tree as st
+
+        li = _doc(s, d, "lineitem")
+        urls = li.select(
+            F.concat(
+                F.lit("https://s"),
+                (F.col("l_suppkey") % 101).cast("string"),
+                F.lit(".example.com/cat"),
+                (F.col("l_partkey") % 13).cast("string"),
+                F.lit("/item/"),
+                F.col("l_partkey").cast("string"),
+                F.lit("?ln="),
+                F.col("l_linenumber").cast("string"),
+            ).alias("url")
+        )
+        return st(urls, depth=2)
+
+    q["site_tree"] = site_tree
+
     def triad_census(s, d):
         """Directed triangle census (cyclic 030C vs transitive 030T)
         on the same md5-coin directed view as bowtie_regions — the
@@ -3558,6 +3582,19 @@ edges AS (
     from gminer_spark.graph.structure import egonet_density_oracle_sql
 
     o["egonet_density"] = egonet_density_oracle_sql(EDGES_CTE)
+
+    from gminer_spark.web.sitetree import site_tree_oracle_sql
+
+    o["site_tree"] = site_tree_oracle_sql(
+        """urls AS (
+    SELECT 'https://s' || CAST(l_suppkey % 101 AS VARCHAR)
+               || '.example.com/cat' || CAST(l_partkey % 13 AS VARCHAR)
+               || '/item/' || CAST(l_partkey AS VARCHAR)
+               || '?ln=' || CAST(l_linenumber AS VARCHAR)
+               AS url
+    FROM lineitem)""",
+        depth=2,
+    )
 
     # the maintained stream state must equal the ONE-SHOT pair table
     o["itemset_maintainer"] = frequent_itemsets_oracle_sql(

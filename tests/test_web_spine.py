@@ -398,3 +398,30 @@ def test_robots_filter_rules(spark):
         ("https://b.com/other", 4),
         ("https://free.com/item/1", 7),
     }
+
+
+def test_site_tree_hand_values(spark):
+    """Query-string variants collapse into one page; depth-1 and
+    depth-2 prefixes roll up; path-less URLs drop."""
+    from gminer_spark.web.sitetree import site_tree
+
+    urls = spark.createDataFrame(
+        [
+            ("https://A.example.com/docs/api/x?v=1",),
+            ("https://a.example.com/docs/api/x?v=2",),
+            ("https://a.example.com/docs/guide",),
+            ("https://a.example.com/blog",),
+            ("https://a.example.com",),  # no path: dropped
+        ],
+        "url string",
+    )
+    got = {
+        (r["host"], r["depth"], r["prefix"]): (r["n_urls"], r["n_pages"])
+        for r in site_tree(urls, depth=2).collect()
+    }
+    assert got == {
+        ("a.example.com", 1, "/docs"): (3, 2),
+        ("a.example.com", 1, "/blog"): (1, 1),
+        ("a.example.com", 2, "/docs/api"): (2, 1),
+        ("a.example.com", 2, "/docs/guide"): (1, 1),
+    }
