@@ -1680,6 +1680,16 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["site_tree"] = site_tree
 
+    def edge_embeddedness(s, d):
+        """Per-edge neighborhood-overlap Jaccard (weak-tie / bridge
+        signal) riding the k-truss wedge join — exact integers, one
+        final micro division, zero-union guard."""
+        from gminer_spark.graph.structure import edge_embeddedness as ee
+
+        return ee(_edges(s, d))
+
+    q["edge_embeddedness"] = edge_embeddedness
+
     def triad_census(s, d):
         """Directed triangle census (cyclic 030C vs transitive 030T)
         on the same md5-coin directed view as bowtie_regions — the
@@ -3610,6 +3620,10 @@ edges AS (
         min_support=2,
         min_confidence_micro=100_000,
     )
+
+    from gminer_spark.graph.structure import edge_embeddedness_oracle_sql
+
+    o["edge_embeddedness"] = edge_embeddedness_oracle_sql(EDGES_CTE)
 
     from gminer_spark.graph.triangles import triad_census_oracle_sql
 

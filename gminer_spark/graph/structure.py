@@ -414,3 +414,124 @@ SELECT d.id, d.deg,
                   / ((d.deg + 1) * d.deg)) AS BIGINT)
            AS ego_density_micro
 FROM deg d LEFT JOIN tcount t ON t.id = d.id"""
+
+
+def edge_embeddedness(edges: DataFrame) -> DataFrame:
+    """(src, dst, support, deg_src, deg_dst, embeddedness_micro) per
+    canonical (src < dst) undirected edge — neighborhood-overlap
+    Jaccard: |N(u)∩N(v)| / |N(u)∪N(v)\\{u,v}| (Granovetter weak-tie /
+    Onnela et al. edge-strength signal: embeddedness 0 marks bridges,
+    the edges whose removal fragments communities).
+
+    support rides the same degree-oriented wedge join as k-truss
+    (per-edge triangle count); the union size is assembled from exact
+    integers (deg_u + deg_v − 2 − support) with ONE final micro
+    division, 0 when the union is empty (a two-leaf bridge).
+    """
+    from gminer_spark.graph.triangles import _wedge_closed
+
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    sym = tables.symmetrize(edges)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    closed = _wedge_closed(canon, orient="degree")
+    pairs = (
+        closed.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionAll(closed.select(F.col("u").alias("a"), F.col("w").alias("b")))
+        .unionAll(closed.select(F.col("v").alias("a"), F.col("w").alias("b")))
+        .select(
+            F.least("a", "b").alias("src"),
+            F.greatest("a", "b").alias("dst"),
+        )
+    )
+    support = pairs.groupBy("src", "dst").agg(
+        F.count("*").cast("long").alias("support")
+    )
+    denom = (
+        F.col("deg_src") + F.col("deg_dst") - 2 - F.col("support")
+    )
+    return (
+        canon.join(support, on=["src", "dst"], how="left")
+        .join(
+            deg.select(F.col("id").alias("src"), F.col("deg").alias("deg_src")),
+            on="src",
+        )
+        .join(
+            deg.select(F.col("id").alias("dst"), F.col("deg").alias("deg_dst")),
+            on="dst",
+        )
+        .select(
+            "src",
+            "dst",
+            F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+            "deg_src",
+            "deg_dst",
+        )
+        .select(
+            "src",
+            "dst",
+            "support",
+            "deg_src",
+            "deg_dst",
+            F.when(denom <= 0, F.lit(0))
+            .otherwise(
+                F.round(
+                    F.col("support").cast("double")
+                    / denom.cast("double")
+                    * F.lit(1e6),
+                    0,
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("embeddedness_micro"),
+        )
+    )
+
+
+def edge_embeddedness_oracle_sql(edges_cte: str) -> str:
+    """DuckDB mirror — canonical triangle join for per-edge support,
+    identical integer assembly, zero-denominator CASE guard (the
+    Spark-4 ANSI DIVIDE_BY_ZERO pitfall mirrored)."""
+    return f"""
+WITH {edges_cte.strip()},
+canon AS MATERIALIZED (
+    SELECT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+    FROM edges WHERE src <> dst
+    GROUP BY 1, 2),
+sym AS MATERIALIZED (
+    SELECT src, dst FROM canon
+    UNION SELECT dst AS src, src AS dst FROM canon),
+deg AS MATERIALIZED (
+    SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+tri AS MATERIALIZED (
+    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+    FROM canon e1
+    JOIN canon e2 ON e1.src = e2.src AND e1.dst < e2.dst
+    JOIN canon e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+sup AS MATERIALIZED (
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS support FROM (
+        SELECT a AS src, b AS dst FROM tri
+        UNION ALL SELECT a, c FROM tri
+        UNION ALL SELECT b, c FROM tri)
+    GROUP BY src, dst)
+SELECT c.src, c.dst,
+       COALESCE(s.support, 0) AS support,
+       du.deg AS deg_src, dv.deg AS deg_dst,
+       CASE WHEN du.deg + dv.deg - 2 - COALESCE(s.support, 0) <= 0
+            THEN 0
+            ELSE CAST(ROUND(CAST(COALESCE(s.support, 0) AS DOUBLE)
+                 / CAST(du.deg + dv.deg - 2 - COALESCE(s.support, 0)
+                        AS DOUBLE) * 1e6) AS BIGINT)
+       END AS embeddedness_micro
+FROM canon c
+LEFT JOIN sup s ON s.src = c.src AND s.dst = c.dst
+JOIN deg du ON du.id = c.src
+JOIN deg dv ON dv.id = c.dst"""

@@ -2331,3 +2331,35 @@ def test_conductance_sweep_matches_bruteforce(spark):
         vol = sum(deg[x] for x in pref)
         r = got[i]
         assert (r["id"], r["cut_edges"], r["volume"]) == (v, cut, vol)
+
+
+def test_edge_embeddedness_hand_values(spark):
+    """Barbell: bridge edge has embeddedness 0; K4-internal edges
+    have overlap 2 of union 2 -> 1.0; two-leaf bridge guard."""
+    from gminer_spark.graph.structure import edge_embeddedness
+
+    k4a = [(i, j) for i in range(4) for j in range(4) if i < j]
+    k4b = [(i, j) for i in range(10, 14) for j in range(10, 14) if i < j]
+    rows = {
+        (r["src"], r["dst"]): r
+        for r in edge_embeddedness(
+            edges_df(spark, k4a + k4b + [(0, 10), (20, 21)])
+        ).collect()
+    }
+    bridge = rows[(0, 10)]
+    assert (bridge["support"], bridge["embeddedness_micro"]) == (0, 0)
+    internal = rows[(1, 2)]
+    # N(1)∩N(2) = {0,3}; union = {0,3} -> 1.0
+    assert (internal["support"], internal["embeddedness_micro"]) == (
+        2,
+        1_000_000,
+    )
+    mixed = rows[(0, 1)]
+    # N(0) = {1,2,3,10}, N(1) = {0,2,3}: overlap {2,3}=2, union {2,3,10}=3
+    assert (mixed["support"], mixed["deg_src"], mixed["embeddedness_micro"]) == (
+        2,
+        4,
+        666_667,
+    )
+    leafpair = rows[(20, 21)]  # zero-union guard
+    assert (leafpair["deg_src"], leafpair["embeddedness_micro"]) == (1, 0)
