@@ -1690,6 +1690,20 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["edge_embeddedness"] = edge_embeddedness
 
+    def community_quotient(s, d):
+        """Quotient graph over the value-green LPA(3) labeling: one
+        supernode per community, inter/intra edge counts — the
+        coarsening primitive (the BDG block-info aggregate with the
+        labeling as a parameter)."""
+        from gminer_spark.graph.lpa import label_propagation
+        from gminer_spark.graph.quotient import quotient_graph
+
+        e = _edges(s, d)
+        labels = label_propagation(e, num_iter=LPA_ITERS).state
+        return quotient_graph(e, labels)
+
+    q["community_quotient"] = community_quotient
+
     def triad_census(s, d):
         """Directed triangle census (cyclic 030C vs transitive 030T)
         on the same md5-coin directed view as bowtie_regions — the
@@ -3624,6 +3638,12 @@ edges AS (
     from gminer_spark.graph.structure import edge_embeddedness_oracle_sql
 
     o["edge_embeddedness"] = edge_embeddedness_oracle_sql(EDGES_CTE)
+
+    from gminer_spark.graph.quotient import quotient_graph_oracle_sql
+
+    o["community_quotient"] = quotient_graph_oracle_sql(
+        EDGES_CTE, lpa_oracle_sql()
+    )
 
     from gminer_spark.graph.triangles import triad_census_oracle_sql
 

@@ -2363,3 +2363,22 @@ def test_edge_embeddedness_hand_values(spark):
     )
     leafpair = rows[(20, 21)]  # zero-union guard
     assert (leafpair["deg_src"], leafpair["embeddedness_micro"]) == (1, 0)
+
+
+def test_quotient_graph_hand_values(spark):
+    """Two triangles + one cross edge, labeled by component."""
+    from gminer_spark.graph.quotient import quotient_graph
+
+    edges = edges_df(
+        spark,
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+    )
+    labels = spark.createDataFrame(
+        [(v, 100) for v in (1, 2, 3)] + [(v, 200) for v in (10, 11, 12)],
+        "id long, label long",
+    )
+    got = {
+        (r["src_label"], r["dst_label"]): r["n_edges"]
+        for r in quotient_graph(edges, labels).collect()
+    }
+    assert got == {(100, 100): 3, (200, 200): 3, (100, 200): 1}
