@@ -1704,6 +1704,17 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["community_quotient"] = community_quotient
 
+    def k_center(s, d):
+        """Greedy farthest-point k-center (Gonzalez 2-approx, k=4)
+        with nearest-center assignment — landmark/probe placement
+        spread to the periphery by construction; max-dist/min-id
+        next-center rule, strict-improvement reassignment."""
+        from gminer_spark.graph.kcenter import k_center as kc
+
+        return kc(_edges(s, d), k=4, max_depth=6)
+
+    q["k_center"] = k_center
+
     def triad_census(s, d):
         """Directed triangle census (cyclic 030C vs transitive 030T)
         on the same md5-coin directed view as bowtie_regions — the
@@ -3644,6 +3655,10 @@ edges AS (
     o["community_quotient"] = quotient_graph_oracle_sql(
         EDGES_CTE, lpa_oracle_sql()
     )
+
+    from gminer_spark.graph.kcenter import k_center_oracle_sql
+
+    o["k_center"] = k_center_oracle_sql(EDGES_CTE, k=4, depth=6)
 
     from gminer_spark.graph.triangles import triad_census_oracle_sql
 

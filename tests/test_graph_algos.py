@@ -2382,3 +2382,53 @@ def test_quotient_graph_hand_values(spark):
         for r in quotient_graph(edges, labels).collect()
     }
     assert got == {(100, 100): 3, (200, 200): 3, (100, 200): 1}
+
+
+def test_k_center_path(spark):
+    """Path 0..9, k=2: start min-id 0, farthest 9; assignment splits
+    at the midpoint with strict-improvement keeping center 0 on the
+    equidistant side (no ties on an odd path)."""
+    from gminer_spark.graph.kcenter import k_center
+
+    got = {
+        r["id"]: (r["center"], r["dist"])
+        for r in k_center(
+            edges_df(spark, [(i, i + 1) for i in range(9)]),
+            k=2,
+            max_depth=12,
+        ).collect()
+    }
+    for v in range(10):
+        want_center = 0 if v <= 4 else 9
+        want_dist = min(v, 9 - v)
+        assert got[v] == (want_center, want_dist), (v, got[v])
+
+
+def test_k_center_unreached_sentinel(spark):
+    """Two components, k=1: the far component keeps center -1 / INF."""
+    from gminer_spark.graph.kcenter import INF, k_center
+
+    got = {
+        r["id"]: (r["center"], r["dist"])
+        for r in k_center(
+            edges_df(spark, [(1, 2), (10, 11)]), k=1, max_depth=4
+        ).collect()
+    }
+    assert got[1] == (1, 0) and got[2] == (1, 1)
+    assert got[10] == (-1, INF) and got[11] == (-1, INF)
+
+
+def test_k_center_second_component_reached(spark):
+    """k=2 on two components: the second center lands in the other
+    component (dist INF wins the farthest rule, min id breaks ties)."""
+    from gminer_spark.graph.kcenter import k_center
+
+    got = {
+        r["id"]: r["center"]
+        for r in k_center(
+            edges_df(spark, [(1, 2), (10, 11), (11, 12)]),
+            k=2,
+            max_depth=4,
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 10: 10, 11: 10, 12: 10}
