@@ -1715,6 +1715,17 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["k_center"] = k_center
 
+    def mmr_selection(s, d):
+        """Maximal Marginal Relevance picks (λ=1/2, k=6) from the
+        embeddings table against the vec_id-0 query — the retrieval-
+        side dedup of a RAG pipeline; BIGINT objective over
+        1e-6-rounded cosines, min-id ties."""
+        from gminer_spark.sim.mmr import mmr_select
+
+        return mmr_select(_doc(s, d, "embeddings"), query_id=0, k=6)
+
+    q["mmr_selection"] = mmr_selection
+
     def triad_census(s, d):
         """Directed triangle census (cyclic 030C vs transitive 030T)
         on the same md5-coin directed view as bowtie_regions — the
@@ -3659,6 +3670,10 @@ edges AS (
     from gminer_spark.graph.kcenter import k_center_oracle_sql
 
     o["k_center"] = k_center_oracle_sql(EDGES_CTE, k=4, depth=6)
+
+    from gminer_spark.sim.mmr import mmr_oracle_sql
+
+    o["mmr_selection"] = mmr_oracle_sql(query_id=0, k=6)
 
     from gminer_spark.graph.triangles import triad_census_oracle_sql
 

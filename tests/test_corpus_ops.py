@@ -582,3 +582,46 @@ def test_doc_keywords_hand_values(spark):
         ("zebra", 1, 1_000_000),
         ("the", 2, 666_667),
     ]
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """Query q=[1,0]; a=[1,0] (dup of best), b=[.9,.44], c=[0,1].
+    Pure top-2 would pick the two near-copies; MMR's second pick must
+    skip the redundant near-duplicate."""
+    from gminer_spark.sim.mmr import mmr_select
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),      # query
+        (1, [0.99, 0.1, 0.0]),     # best hit
+        (2, [0.99, 0.11, 0.0]),    # near-copy of the best hit
+        (3, [0.7, 0.0, 0.71]),     # relevant but diverse (3rd axis)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    picks = sorted(
+        mmr_select(emb, query_id=0, k=3).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [p["vec_id"] for p in picks] == [1, 3, 2]
+    assert picks[0]["score2_micro"] == picks[0]["rel_micro"]
+    # pick 2's objective: rel(3) - sim(3, 1) < rel(3)
+    assert picks[1]["score2_micro"] < picks[1]["rel_micro"]
+
+
+def test_mmr_tie_breaks_min_id(spark):
+    """Two identical candidates: the smaller vec_id wins each round."""
+    from gminer_spark.sim.mmr import mmr_select
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (5, [0.5, 0.5]),
+        (7, [0.5, 0.5]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    picks = [
+        r["vec_id"]
+        for r in sorted(
+            mmr_select(emb, query_id=0, k=2).collect(),
+            key=lambda r: r["rank"],
+        )
+    ]
+    assert picks == [5, 7]
