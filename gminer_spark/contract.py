@@ -1726,6 +1726,16 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["mmr_selection"] = mmr_selection
 
+    def event_bursts(s, d):
+        """Trailing-window burst hours per event type (dense hour
+        grid, exact-integer cnt*m >= factor*prev_sum rule) — the
+        ops-alerting / trending primitive over the events table."""
+        from gminer_spark.streaming.bursts import event_bursts as eb
+
+        return eb(_doc(s, d, "events"), factor=3, m=3, min_count=5)
+
+    q["event_bursts"] = event_bursts
+
     def triad_census(s, d):
         """Directed triangle census (cyclic 030C vs transitive 030T)
         on the same md5-coin directed view as bowtie_regions — the
@@ -3674,6 +3684,10 @@ edges AS (
     from gminer_spark.sim.mmr import mmr_oracle_sql
 
     o["mmr_selection"] = mmr_oracle_sql(query_id=0, k=6)
+
+    from gminer_spark.streaming.bursts import event_bursts_oracle_sql
+
+    o["event_bursts"] = event_bursts_oracle_sql(factor=3, m=3, min_count=5)
 
     from gminer_spark.graph.triangles import triad_census_oracle_sql
 

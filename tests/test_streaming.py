@@ -425,3 +425,30 @@ def test_behavior_pagerank_uniform_on_symmetric_transitions(spark):
     pr = {r.id: r.rank for r in pagerank(edges, num_iter=10, weight_col="w").state.collect()}
     vals = sorted(pr.values())
     assert abs(vals[0] - vals[1]) < 1e-9 and abs(sum(vals) - 1.0) < 1e-6
+
+
+def test_event_bursts_hand_values(spark):
+    """Hand timeline: steady 2/hour then a 9-spike; the spike bursts
+    (9*3 >= 3*6), the warm-up hours carry no verdict, a zero-history
+    spike below min_count is suppressed."""
+    import datetime as dt
+
+    from gminer_spark.streaming.bursts import event_bursts
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # type A: hours 0-3 have 2 events each; hour 4 has 9 (burst)
+    for h, n in [(0, 2), (1, 2), (2, 2), (3, 2), (4, 9)]:
+        rows += [("A", base + dt.timedelta(hours=h, minutes=i)) for i in range(n)]
+    # type B: quiet then a 4-spike at hour 4 (< min_count 5: suppressed)
+    rows += [("B", base)]
+    rows += [("B", base + dt.timedelta(hours=4, minutes=i)) for i in range(4)]
+    ev = spark.createDataFrame(
+        [(i, t, 1, ty, 0.0, "") for i, (ty, t) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {
+        (r["event_type"], r["hour_ts"]): (r["cnt"], r["prev_sum"])
+        for r in event_bursts(ev, factor=3, m=3, min_count=5).collect()
+    }
+    assert got == {("A", "2024-01-01 04:00"): (9, 6)}
