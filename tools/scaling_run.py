@@ -294,6 +294,37 @@ def main() -> None:
         sec = min(secs)
         throughput = n_items / sec
         extra = {"coreness_sum": int(chk), "reps_sec": [round(s, 1) for s in secs]}
+    elif job == "densest":
+        # parallel densest-subgraph peel (thr_num=2: the O(log n)
+        # 2(1+eps)-approx band) on the skewed 10M-edge graph — one
+        # degree-agg + anti-join shuffle per round.  Peel trajectory
+        # and best-prefix membership must be IDENTICAL at both
+        # parallelism levels (exact-integer thresholds).
+        from pyspark.sql import functions as F
+
+        from gminer_spark.graph.densest import densest_subgraph
+
+        edges = spark.read.parquet(path).persist()
+        n_items = edges.count()
+        densest_subgraph(edges.limit(200_000))  # warm-up
+        secs, chk = [], None
+        for _ in range(2):
+            t0 = time.time()
+            res = densest_subgraph(edges, thr_num=2)
+            chk = res.agg(
+                F.sum(F.col("in_densest").cast("long")),
+                F.sum("removal_round"),
+                F.max("removal_round"),
+            ).first()
+            secs.append(time.time() - t0)
+        sec = min(secs)
+        throughput = n_items / sec
+        extra = {
+            "n_in_densest": int(chk[0]),
+            "removal_round_sum": int(chk[1]),
+            "peel_rounds": int(chk[2]),
+            "reps_sec": [round(s, 1) for s in secs],
+        }
     elif job in ("coloring", "matching", "trussness"):
         # the 10M-edge BOUNDED-DEGREE band (r4 verdict #6): lattice +
         # hash long-range edges (gen_sparse_edges in scaling_bench.py)
