@@ -1736,6 +1736,19 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["event_bursts"] = event_bursts
 
+    def widest_paths(s, d):
+        """Maximum-bottleneck (widest) path capacity from the PPR seed
+        set over shared-order weights — the max-min semiring on the
+        SSSP superstep shape; exact BIGINT, fixpoint 7 rounds at
+        sf0.01 (longer paths can out-widen direct edges)."""
+        from gminer_spark.graph.sssp import widest_paths as wp
+
+        we = gt.copurchase_weighted_edges(s, d)
+        srcs = gt.vertices(we).where(F.col("id") % PPR_SEED_MOD == 0)
+        return wp(we, srcs, weight_col="w")
+
+    q["widest_paths"] = widest_paths
+
     def triad_census(s, d):
         """Directed triangle census (cyclic 030C vs transitive 030T)
         on the same md5-coin directed view as bowtie_regions — the
@@ -3689,6 +3702,26 @@ edges AS (
 
     o["event_bursts"] = event_bursts_oracle_sql(factor=3, m=3, min_count=5)
 
+    from gminer_spark.graph.sssp import widest_paths_oracle_sql
+
+    _sssp_wedges = """
+edges AS (
+    SELECT CAST(a.l_partkey AS BIGINT) AS src,
+           CAST(b.l_partkey AS BIGINT) AS dst,
+           COUNT(*) AS w
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+)"""
+
+    # 10 unrolled max-min rounds (measured fixpoint 7 at sf0.01)
+    o["widest_paths"] = widest_paths_oracle_sql(
+        _sssp_wedges.replace("edges AS (", "wedges AS (", 1),
+        f"id % {PPR_SEED_MOD} = 0",
+        iters=10,
+    )
+
     from gminer_spark.graph.triangles import triad_census_oracle_sql
 
     o["triad_census"] = triad_census_oracle_sql(EDGES_CTE)
@@ -3958,16 +3991,7 @@ GROUP BY 1, 2"""
     o["sssp_hops"] = sssp_oracle_sql(
         EDGES_CTE, f"id % {PPR_SEED_MOD} = 0", iters=SSSP_ITERS
     )
-    _sssp_wedges = """
-edges AS (
-    SELECT CAST(a.l_partkey AS BIGINT) AS src,
-           CAST(b.l_partkey AS BIGINT) AS dst,
-           COUNT(*) AS w
-    FROM lineitem a
-    JOIN lineitem b
-      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    GROUP BY 1, 2
-)"""
+    # _sssp_wedges is defined above (widest_paths shares it)
     o["sssp_weighted"] = sssp_oracle_sql(
         _sssp_wedges, f"id % {PPR_SEED_MOD} = 0", iters=SSSP_ITERS, weighted=True
     )

@@ -164,3 +164,111 @@ def sssp_oracle_sql(
         + ",\n".join(ctes)
         + f"\nSELECT id, CAST(dist AS BIGINT) AS dist FROM d{iters}"
     )
+
+
+WIDEST_INF = 1 << 30
+
+
+def widest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    weight_col: str = "w",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Maximum-bottleneck (widest) path capacity from a ``sources(id)``
+    set: bottleneck(v) = max over paths of the MIN edge weight along
+    the path — the max-min semiring on the same superstep shape as
+    :func:`shortest_paths` (network capacity / weakest-link quality of
+    the best route; a LONGER path can beat a direct edge, so rounds
+    are bounded by the longest widening path, not the hop diameter —
+    measured 7 at sf0.01).
+
+    Sources carry bottleneck = WIDEST_INF (2^30: reach yourself over
+    no edges).  Values only increase and are bounded by the max
+    weight, so the loop converges; returns (id, bottleneck) for
+    reached vertices.  Exact BIGINT throughout.
+    """
+    n_shuffle = tables.shuffle_partitions(edges.sparkSession)
+    base = edges.select("src", "dst", F.col(weight_col).cast("long").alias("w"))
+    rel = (
+        base.unionByName(
+            base.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.max("w").alias("w"))  # parallel edges: keep the widest
+        .repartition(n_shuffle, "src")
+        .persist()
+    )
+    rel.count()
+    state = tables.plan_barrier(
+        rel.select(F.col("src").alias("id"))
+        .distinct()
+        .join(sources.select("id").distinct(), on="id")
+        .select("id", F.lit(WIDEST_INF).cast("long").alias("bn"))
+    )
+    for _ in range(max_iter):
+        cand = (
+            rel.join(state.withColumnRenamed("id", "src"), on="src")
+            .select(
+                F.col("dst").alias("id"),
+                F.least("bn", "w").alias("cand"),
+            )
+            .groupBy("id")
+            .agg(F.max("cand").alias("cand"))
+        )
+        merged = tables.plan_barrier(
+            state.join(cand, on="id", how="full")
+            .select(
+                F.col("id"),
+                F.greatest(
+                    F.coalesce("bn", F.lit(-1)), F.coalesce("cand", F.lit(-1))
+                ).alias("bn"),
+                (
+                    F.coalesce("cand", F.lit(-1))
+                    > F.coalesce("bn", F.lit(-1))
+                ).alias("grew"),
+            ),
+            eager=False,
+        )
+        n_changed = merged.where("grew").count()
+        state = merged.select("id", "bn")
+        if n_changed == 0:
+            break
+    rel.unpersist()
+    return state.select("id", F.col("bn").alias("bottleneck"))
+
+
+def widest_paths_oracle_sql(
+    weighted_edges_cte: str, source_pred: str, iters: int
+) -> str:
+    """Unrolled max-min rounds over a CTE ``wedges(src, dst, w)``;
+    ``iters`` must cover the engine fixpoint (compare fails loudly if
+    short)."""
+    ctes = [
+        weighted_edges_cte.strip(),
+        """wrel AS MATERIALIZED (
+    SELECT src, dst, MAX(w) AS w FROM (
+        SELECT src, dst, w FROM wedges WHERE src <> dst
+        UNION ALL
+        SELECT dst AS src, src AS dst, w FROM wedges WHERE src <> dst)
+    GROUP BY src, dst)""",
+        f"""w0 AS MATERIALIZED (
+    SELECT id, CAST({WIDEST_INF} AS BIGINT) AS bn
+    FROM (SELECT DISTINCT src AS id FROM wrel) v WHERE {source_pred})""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""w{i} AS MATERIALIZED (
+    SELECT id, MAX(bn) AS bn FROM (
+        SELECT id, bn FROM w{i - 1}
+        UNION ALL
+        SELECT e.dst AS id, LEAST(p.bn, e.w) AS bn
+        FROM wrel e JOIN w{i - 1} p ON p.id = e.src)
+    GROUP BY id)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(bn AS BIGINT) AS bottleneck FROM w{iters}"
+    )

@@ -2432,3 +2432,21 @@ def test_k_center_second_component_reached(spark):
         ).collect()
     }
     assert got == {1: 1, 2: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_widest_paths_longer_path_wins(spark):
+    """Source 1: direct edge 1-4 of weight 1 vs path 1-2-3-4 with
+    weights 9/8/7 — the bottleneck of 4 must be 7, not 1; and the
+    max-min fixpoint needs more rounds than the hop distance."""
+    from gminer_spark.graph.sssp import WIDEST_INF, widest_paths
+
+    we = spark.createDataFrame(
+        [(1, 4, 1), (1, 2, 9), (2, 3, 8), (3, 4, 7), (4, 5, 2)],
+        "src long, dst long, w long",
+    )
+    src = spark.createDataFrame([(1,)], "id long")
+    got = {
+        r["id"]: r["bottleneck"]
+        for r in widest_paths(we, src).collect()
+    }
+    assert got == {1: WIDEST_INF, 2: 9, 3: 8, 4: 7, 5: 2}
