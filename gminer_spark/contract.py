@@ -1749,6 +1749,18 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["widest_paths"] = widest_paths
 
+    def dedup_snm(s, d):
+        """Sorted-neighborhood near-dup pairs (prefix-blocked SNM,
+        window 3, exact 3-shingle Jaccard verify at 0.30) — the 7th
+        candidate-generation modality of the dedup family."""
+        from gminer_spark.textops.dedup import snm_pairs
+
+        return snm_pairs(
+            _doc(s, d, "documents"), window=3, threshold_micro=300_000
+        )
+
+    q["dedup_snm"] = dedup_snm
+
     def triad_census(s, d):
         """Directed triangle census (cyclic 030C vs transitive 030T)
         on the same md5-coin directed view as bowtie_regions — the
@@ -3720,6 +3732,12 @@ edges AS (
         _sssp_wedges.replace("edges AS (", "wedges AS (", 1),
         f"id % {PPR_SEED_MOD} = 0",
         iters=10,
+    )
+
+    from gminer_spark.textops.dedup import snm_pairs_oracle_sql
+
+    o["dedup_snm"] = snm_pairs_oracle_sql(
+        WORDS_CTE, SHINGLES_CTE, window=3, threshold_micro=300_000
     )
 
     from gminer_spark.graph.triangles import triad_census_oracle_sql

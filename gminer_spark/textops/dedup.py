@@ -477,3 +477,180 @@ def shingle_containment_pairs(
         )
         .where(F.col("containment") >= threshold)
     )
+
+
+def snm_pairs(
+    documents: DataFrame,
+    window: int = 3,
+    key_len: int = 24,
+    block_len: int = 4,
+    threshold_micro: int = 300_000,
+    max_block: int = 10_000,
+) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs (Hernández & Stolfo,
+    SIGMOD'95) — the entity-resolution classic, the 7th candidate-
+    generation modality of this family (exact / inverted-index /
+    MinHash-LSH / SimHash / containment / embedding / SNM): sort
+    documents by a normalized key prefix and compare only rows within
+    ``window`` positions of each other.
+
+    Distributed shape: the global sort is replaced by PREFIX BLOCKING
+    (first ``block_len`` chars of the key) + an in-block sort — the
+    standard blocked SNM; cross-block adjacency is lost by design
+    (blocking trades recall for scale, like every other modality's
+    banding).  A hot block (every doc starting "the ") would make the
+    in-block sort a straggler, so blocks larger than ``max_block``
+    are dropped with a loud warning (the max_df discipline).
+    Candidates are then verified with the exact 3-shingle Jaccard
+    (same definition as the inverted-index dedup) and kept at
+    ``threshold_micro``.
+
+    Returns (doc_a, doc_b, jaccard_micro), doc_a < doc_b ordering by
+    sort position.
+    """
+    import warnings
+
+    from pyspark.sql import Window as W
+
+    key = F.substring(
+        F.regexp_replace(F.lower(F.col("text")), "\\s+", " "), 1, key_len
+    )
+    keyed = documents.select(
+        "doc_id", "text", key.alias("key")
+    ).select(
+        "doc_id", "text", "key", F.substring("key", 1, block_len).alias("blk")
+    )
+    sizes = keyed.groupBy("blk").agg(F.count("*").alias("bsz"))
+    n_drop = sizes.where(F.col("bsz") > max_block).count()
+    if n_drop:
+        warnings.warn(
+            f"snm_pairs: dropping {n_drop} blocks larger than "
+            f"max_block={max_block} — their pairs are not compared",
+            stacklevel=2,
+        )
+        keyed = keyed.join(
+            sizes.where(F.col("bsz") <= max_block).select("blk"), on="blk"
+        )
+    pos = F.row_number().over(
+        W.partitionBy("blk").orderBy("key", "doc_id")
+    )
+    ranked = keyed.select("doc_id", "blk", pos.alias("pos")).persist()
+    cand = (
+        ranked.alias("a")
+        .join(
+            ranked.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("b.pos") > F.col("a.pos"))
+            & (F.col("b.pos") <= F.col("a.pos") + window),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+    )
+
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "\\s+"), lambda t: t != ""
+    )
+    words = documents.select(
+        "doc_id", F.posexplode(toks).alias("pos", "w")
+    )
+    lead_w = W.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        words.select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                "w",
+                F.lead("w", 1).over(lead_w),
+                F.lead("w", 2).over(lead_w),
+            ).alias("s"),
+            F.lead("w", 2).over(lead_w).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+        .select("doc_id", "s")
+        .distinct()
+        .persist()
+    )
+    nsh = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    inter = (
+        sh.select(F.col("doc_id").alias("doc_a"), "s")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "s"), on="s")
+        .join(cand, on=["doc_a", "doc_b"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    out = (
+        inter.join(
+            nsh.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            on="doc_a",
+        )
+        .join(
+            nsh.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            on="doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("jaccard_micro"),
+        )
+        .where(F.col("jaccard_micro") >= threshold_micro)
+    )
+    return out
+
+
+def snm_pairs_oracle_sql(
+    words_cte: str,
+    shingles_cte: str,
+    window: int = 3,
+    key_len: int = 24,
+    block_len: int = 4,
+    threshold_micro: int = 300_000,
+) -> str:
+    """DuckDB mirror over the shared words/shingles CTEs — identical
+    key normalization (regexp_replace needs the 'g' flag: DuckDB is
+    first-match-only by default, the documented pitfall), blocking,
+    window join, and Jaccard assembly."""
+    return f"""
+WITH {words_cte.strip()},
+{shingles_cte.strip()},
+keyed AS MATERIALIZED (
+    SELECT doc_id,
+           substr(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                  1, {key_len}) AS key
+    FROM documents),
+ranked AS MATERIALIZED (
+    SELECT doc_id, substr(key, 1, {block_len}) AS blk,
+           ROW_NUMBER() OVER (PARTITION BY substr(key, 1, {block_len})
+                              ORDER BY key, doc_id) AS pos
+    FROM keyed),
+cand AS MATERIALIZED (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM ranked a JOIN ranked b
+    ON a.blk = b.blk AND b.pos > a.pos AND b.pos <= a.pos + {window}),
+nsh AS MATERIALIZED (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+    FROM shingles GROUP BY doc_id),
+inter AS MATERIALIZED (
+    SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS i
+    FROM cand c
+    JOIN shingles x ON x.doc_id = c.doc_a
+    JOIN shingles y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+    GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b,
+       CAST(ROUND(CAST(i.i AS DOUBLE)
+                  / CAST(na.n + nb.n - i.i AS DOUBLE) * 1e6) AS BIGINT)
+           AS jaccard_micro
+FROM inter i
+JOIN nsh na ON na.doc_id = i.doc_a
+JOIN nsh nb ON nb.doc_id = i.doc_b
+WHERE CAST(ROUND(CAST(i.i AS DOUBLE)
+                 / CAST(na.n + nb.n - i.i AS DOUBLE) * 1e6) AS BIGINT)
+      >= {threshold_micro}"""

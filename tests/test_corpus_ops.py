@@ -625,3 +625,40 @@ def test_mmr_tie_breaks_min_id(spark):
         )
     ]
     assert picks == [5, 7]
+
+
+def test_snm_pairs_finds_prefix_neighbors_only(spark):
+    """Two near-identical docs sharing a prefix are found; an
+    identical-content doc whose first words differ lands in another
+    block and is (by design) missed — the blocking trade-off."""
+    from gminer_spark.textops.dedup import snm_pairs
+
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d = docs_df(
+        spark,
+        [
+            body + " one",            # 0
+            body + " two",            # 1: same prefix, near-dup of 0
+            "zz " + body,             # 2: same content, different block
+            "totally different text here with many other words now",
+        ],
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_micro"]
+        for r in snm_pairs(d, window=3, threshold_micro=300_000).collect()
+    }
+    assert set(got) == {(0, 1)}
+    assert got[(0, 1)] >= 700_000
+
+
+def test_snm_pairs_max_block_cap_warns(spark):
+    import pytest as _pytest
+
+    from gminer_spark.textops.dedup import snm_pairs
+
+    d = docs_df(spark, ["same prefix words here %d" % i for i in range(6)])
+    with _pytest.warns(UserWarning, match="max_block"):
+        rows = snm_pairs(
+            d, window=5, threshold_micro=0, max_block=3
+        ).collect()
+    assert rows == []  # the single hot block was dropped
