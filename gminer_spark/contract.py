@@ -1761,6 +1761,20 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["dedup_snm"] = dedup_snm
 
+    def msf_boruvka(s, d):
+        """Borůvka minimum spanning forest over shared-order weights
+        ((w, src, dst) total order -> unique Kruskal-equal forest,
+        pytest-replicated): min-edge pick per component via struct-min
+        groupBy (no per-component window straggler), pointer-doubling
+        contraction; measured 2 rounds / chain 5 at sf0.01."""
+        from gminer_spark.graph.msf import minimum_spanning_forest
+
+        return minimum_spanning_forest(
+            gt.copurchase_weighted_edges(s, d), weight_col="w"
+        )
+
+    q["msf_boruvka"] = msf_boruvka
+
     def triad_census(s, d):
         """Directed triangle census (cyclic 030C vs transitive 030T)
         on the same md5-coin directed view as bowtie_regions — the
@@ -3738,6 +3752,16 @@ edges AS (
 
     o["dedup_snm"] = snm_pairs_oracle_sql(
         WORDS_CTE, SHINGLES_CTE, window=3, threshold_micro=300_000
+    )
+
+    from gminer_spark.graph.msf import minimum_spanning_forest_oracle_sql
+
+    # 4 unrolled Boruvka rounds (measured fixpoint 2 at sf0.01) with
+    # 6 pointer-doubling steps (measured max chain 5)
+    o["msf_boruvka"] = minimum_spanning_forest_oracle_sql(
+        _sssp_wedges.replace("edges AS (", "wedges AS (", 1),
+        rounds=4,
+        pointer_rounds=6,
     )
 
     from gminer_spark.graph.triangles import triad_census_oracle_sql

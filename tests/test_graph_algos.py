@@ -2450,3 +2450,57 @@ def test_widest_paths_longer_path_wins(spark):
         for r in widest_paths(we, src).collect()
     }
     assert got == {1: WIDEST_INF, 2: 9, 3: 8, 4: 7, 5: 2}
+
+
+def test_msf_matches_kruskal(spark):
+    """Random weighted graph: the Boruvka forest under the
+    (w, src, dst) total order must equal Kruskal with the same
+    tie-break — same edge set, same total weight, |V|-#components
+    edges."""
+    import random as _random
+
+    from gminer_spark.graph.msf import minimum_spanning_forest
+
+    rng = _random.Random(5)
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in random_graph(n=70, p=0.05, seed=11) if a != b})
+    wedges = [(s, d, rng.randrange(1, 9)) for s, d in pairs]
+    we = spark.createDataFrame(wedges, "src long, dst long, w long")
+
+    # python Kruskal with union-find, ordered by (w, src, dst)
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    kru = set()
+    for w, s, d in sorted((w, s, d) for s, d, w in wedges):
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rs] = rd
+            kru.add((s, d, w))
+
+    got = {
+        (r["src"], r["dst"], r["w"])
+        for r in minimum_spanning_forest(we).collect()
+    }
+    assert got == kru
+    verts = {v for s, d, _ in wedges for v in (s, d)}
+    n_comp = len({find(v) for v in verts})
+    assert len(got) == len(verts) - n_comp
+
+
+def test_msf_two_components(spark):
+    from gminer_spark.graph.msf import minimum_spanning_forest
+
+    we = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 1), (1, 3, 2), (10, 11, 7)],
+        "src long, dst long, w long",
+    )
+    got = {
+        (r["src"], r["dst"], r["w"])
+        for r in minimum_spanning_forest(we).collect()
+    }
+    assert got == {(2, 3, 1), (1, 3, 2), (10, 11, 7)}
