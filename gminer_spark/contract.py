@@ -1775,6 +1775,17 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["msf_boruvka"] = msf_boruvka
 
+    def single_linkage(s, d):
+        """Single-linkage clusters at cut height 1 via the Boruvka
+        forest + hash-min CC; the oracle derives the same clusters
+        INDEPENDENTLY (recursive CC over the thresholded ORIGINAL
+        edges — the dendrogram property is what's checked)."""
+        from gminer_spark.graph.msf import single_linkage as sl
+
+        return sl(gt.copurchase_weighted_edges(s, d), threshold=1)
+
+    q["single_linkage"] = single_linkage
+
     def triad_census(s, d):
         """Directed triangle census (cyclic 030C vs transitive 030T)
         on the same md5-coin directed view as bowtie_regions — the
@@ -3762,6 +3773,12 @@ edges AS (
         _sssp_wedges.replace("edges AS (", "wedges AS (", 1),
         rounds=4,
         pointer_rounds=6,
+    )
+
+    from gminer_spark.graph.msf import single_linkage_oracle_sql
+
+    o["single_linkage"] = single_linkage_oracle_sql(
+        _sssp_wedges.replace("edges AS (", "wedges AS (", 1), threshold=1
     )
 
     from gminer_spark.graph.triangles import triad_census_oracle_sql

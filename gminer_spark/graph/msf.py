@@ -264,3 +264,57 @@ def minimum_spanning_forest_oracle_sql(
         + "\n"
         + "\nUNION ALL\n".join(sel_rows)
     )
+
+
+def single_linkage(
+    edges: DataFrame, weight_col: str = "w", threshold: int = 1
+) -> DataFrame:
+    """(id, cluster) single-linkage clusters at cut height
+    ``threshold``: connected components of the MSF edges with
+    w <= threshold (standard dendrogram property: identical to CC
+    over ALL original edges with w <= threshold, which is exactly
+    what the oracle computes — an independent derivation, not a
+    mirror).  Vertices with no surviving edge are singleton clusters;
+    cluster label = min vertex id (hash-min CC semantics).
+
+    The point of routing through the forest: the MSF is computed ONCE
+    and every cut height is then a filter + CC over |V|−1 edges —
+    the scalable way to explore a clustering hierarchy over a
+    similarity graph (dedup families, host clustering).
+    """
+    from gminer_spark.graph.cc import connected_components
+
+    msf = minimum_spanning_forest(edges, weight_col=weight_col)
+    cut = msf.where(F.col("w") <= threshold).select("src", "dst")
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .where(F.col("id").isNotNull())
+        .distinct()
+    )
+    labels = connected_components(cut).state
+    return verts.join(labels, on="id", how="left").select(
+        "id", F.coalesce("component", F.col("id")).alias("cluster")
+    )
+
+
+def single_linkage_oracle_sql(weighted_edges_cte: str, threshold: int) -> str:
+    """Recursive-CC oracle over the THRESHOLDED ORIGINAL edges —
+    independent of the engine's MSF route (the dendrogram property is
+    what is being checked)."""
+    return f"""
+WITH RECURSIVE {weighted_edges_cte.strip()},
+slcut AS (
+    SELECT src, dst FROM wedges WHERE src <> dst AND w <= {threshold}),
+slsym AS (
+    SELECT src, dst FROM slcut
+    UNION SELECT dst AS src, src AS dst FROM slcut),
+slverts AS (
+    SELECT DISTINCT src AS id FROM wedges
+    UNION SELECT DISTINCT dst FROM wedges),
+reach(id, label) AS (
+    SELECT id, id FROM slverts
+    UNION
+    SELECT s.dst, r.label FROM reach r JOIN slsym s ON s.src = r.id
+)
+SELECT id, MIN(label) AS cluster FROM reach GROUP BY id"""

@@ -2504,3 +2504,24 @@ def test_msf_two_components(spark):
         for r in minimum_spanning_forest(we).collect()
     }
     assert got == {(2, 3, 1), (1, 3, 2), (10, 11, 7)}
+
+
+def test_single_linkage_cut_heights(spark):
+    """Chain 1-2-3 with weights 1,5 and isolated heavy pair: cutting
+    at 1 separates what the weight-5 edge joins; cutting at 5 merges."""
+    from gminer_spark.graph.msf import single_linkage
+
+    we = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 5), (10, 11, 9)],
+        "src long, dst long, w long",
+    )
+    at1 = {
+        r["id"]: r["cluster"]
+        for r in single_linkage(we, threshold=1).collect()
+    }
+    assert at1 == {1: 1, 2: 1, 3: 3, 10: 10, 11: 11}
+    at5 = {
+        r["id"]: r["cluster"]
+        for r in single_linkage(we, threshold=5).collect()
+    }
+    assert at5 == {1: 1, 2: 1, 3: 1, 10: 10, 11: 11}
