@@ -1786,6 +1786,21 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["single_linkage"] = single_linkage
 
+    def hybrid_rrf(s, d):
+        """Reciprocal Rank Fusion of the BM25 and cosine retrievers
+        (the hybrid-search combiner): per-list 1/(60+rank) micro
+        contributions, exact BIGINT fusion, top-20."""
+        from gminer_spark.textops.retrieval import hybrid_rrf as hr
+
+        return hr(
+            _doc(s, d, "documents"),
+            _doc(s, d, "embeddings"),
+            RETRIEVAL_TERMS,
+            query_vec_id=0,
+        )
+
+    q["hybrid_rrf"] = hybrid_rrf
+
     def triad_census(s, d):
         """Directed triangle census (cyclic 030C vs transitive 030T)
         on the same md5-coin directed view as bowtie_regions — the
@@ -3779,6 +3794,12 @@ edges AS (
 
     o["single_linkage"] = single_linkage_oracle_sql(
         _sssp_wedges.replace("edges AS (", "wedges AS (", 1), threshold=1
+    )
+
+    from gminer_spark.textops.retrieval import hybrid_rrf_oracle_sql
+
+    o["hybrid_rrf"] = hybrid_rrf_oracle_sql(
+        WORDS_CTE, RETRIEVAL_TERMS, query_vec_id=0
     )
 
     from gminer_spark.graph.triangles import triad_census_oracle_sql

@@ -244,3 +244,126 @@ SELECT doc_id,
        word, tf, score_micro
 FROM scored
 QUALIFY rk <= {k}"""
+
+
+RRF_K = 60  # the standard Cormack/Clarke/Buettcher constant
+
+
+def hybrid_rrf(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    k_each: int = 50,
+    k_out: int = 20,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR'09)
+    of the lexical (BM25) and vector (cosine) retrievers — the
+    standard hybrid-search combiner: per retriever contribution
+    1/(60 + rank), summed per document.
+
+    Exactness: each contribution is micro-rounded ONCE
+    (round(1e6/(60+rank)) — a pure function of the integer rank) and
+    the fusion is an exact BIGINT sum, so the fused ranking is
+    deterministic wherever the two input rankings are (both are
+    value-green: bm25_topk / cosine_topk total orders).  Assumes the
+    embeddings row ``vec_id = doc_id`` (the testdata convention).
+
+    Returns (rk, doc_id, rrf_micro, bm25_rank, cos_rank) — top
+    ``k_out`` by (rrf DESC, doc_id ASC); absent-from-one-list ranks
+    are 0 (contribution 0).
+    """
+    from pyspark.sql import Window
+
+    from gminer_spark.sim.ann import cosine_topk
+
+    lex = bm25_topk(documents, query_terms, k=k_each).select(
+        "doc_id", F.col("rk").alias("bm25_rank")
+    )
+    w = Window.orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    vec = (
+        cosine_topk(embeddings, [query_vec_id], k=k_each)
+        .withColumn("cos_rank", F.row_number().over(w))
+        .select(F.col("neighbor_id").alias("doc_id"), "cos_rank")
+    )
+    contrib = (
+        lex.join(vec, on="doc_id", how="full")
+        .select(
+            "doc_id",
+            F.coalesce("bm25_rank", F.lit(0)).cast("long").alias("bm25_rank"),
+            F.coalesce("cos_rank", F.lit(0)).cast("long").alias("cos_rank"),
+        )
+        .select(
+            "doc_id",
+            "bm25_rank",
+            "cos_rank",
+            (
+                F.when(
+                    F.col("bm25_rank") > 0,
+                    F.round(F.lit(1e6) / (F.lit(RRF_K) + F.col("bm25_rank")), 0),
+                ).otherwise(F.lit(0))
+                + F.when(
+                    F.col("cos_rank") > 0,
+                    F.round(F.lit(1e6) / (F.lit(RRF_K) + F.col("cos_rank")), 0),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("rrf_micro"),
+        )
+    )
+    topw = Window.orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+    return (
+        contrib.orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+        .limit(k_out)
+        .withColumn("rk", F.row_number().over(topw).cast("int"))
+        .select("rk", "doc_id", "rrf_micro", "bm25_rank", "cos_rank")
+    )
+
+
+def hybrid_rrf_oracle_sql(
+    words_cte: str,
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    k_each: int = 50,
+    k_out: int = 20,
+) -> str:
+    """DuckDB mirror: the BM25 chain embedded as a derived table (its
+    own WITH scope), the cosine ranks computed inline, identical
+    1/(60+rank) micro contributions and BIGINT fusion."""
+    bm25 = bm25_oracle_sql(words_cte, query_terms, k=k_each)
+    return f"""
+WITH rrf_lex AS MATERIALIZED (
+    SELECT doc_id, CAST(rk AS BIGINT) AS bm25_rank FROM ({bm25})),
+rrf_q AS MATERIALIZED (
+    SELECT CAST(embedding AS DOUBLE[]) AS qv
+    FROM embeddings WHERE vec_id = {query_vec_id}),
+rrf_cos AS MATERIALIZED (
+    SELECT e.vec_id AS doc_id,
+           ROUND(list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))),
+                 6) AS cos
+    FROM embeddings e CROSS JOIN rrf_q q
+    WHERE e.vec_id <> {query_vec_id}),
+rrf_vec AS MATERIALIZED (
+    SELECT doc_id, CAST(rn AS BIGINT) AS cos_rank FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id ASC) AS rn
+        FROM rrf_cos) WHERE rn <= {k_each}),
+fused AS MATERIALIZED (
+    SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+           COALESCE(l.bm25_rank, 0) AS bm25_rank,
+           COALESCE(v.cos_rank, 0) AS cos_rank,
+           CAST(CASE WHEN l.bm25_rank IS NOT NULL
+                     THEN ROUND(1e6 / ({RRF_K} + l.bm25_rank)) ELSE 0 END
+                + CASE WHEN v.cos_rank IS NOT NULL
+                       THEN ROUND(1e6 / ({RRF_K} + v.cos_rank)) ELSE 0 END
+                AS BIGINT) AS rrf_micro
+    FROM rrf_lex l FULL JOIN rrf_vec v ON v.doc_id = l.doc_id)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id ASC)
+            AS INT) AS rk,
+       doc_id, rrf_micro, bm25_rank, cos_rank
+FROM fused
+ORDER BY rrf_micro DESC, doc_id ASC
+LIMIT {k_out}"""

@@ -662,3 +662,43 @@ def test_snm_pairs_max_block_cap_warns(spark):
             d, window=5, threshold_micro=0, max_block=3
         ).collect()
     assert rows == []  # the single hot block was dropped
+
+
+def test_hybrid_rrf_fuses_both_lists(spark):
+    """A doc ranked #1 lexically and #2 vectorially must outscore a
+    doc that tops one list but misses the other; absent ranks
+    contribute 0."""
+    from gminer_spark.textops.retrieval import hybrid_rrf
+
+    d = docs_df(
+        spark,
+        [
+            "query apple banana apple",   # 0: strong lexical hit
+            "apple only once here",       # 1: weak lexical
+            "nothing relevant at all",    # 2: no lexical hit
+        ],
+    )
+    # embeddings: vec 9 is the query; doc 0 close, doc 2 closest
+    emb = spark.createDataFrame(
+        [
+            (9, [1.0, 0.0]),
+            (0, [0.9, 0.1]),
+            (1, [0.0, 1.0]),
+            (2, [0.99, 0.01]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in hybrid_rrf(
+            d, emb, ["apple"], query_vec_id=9, k_each=3, k_out=10
+        ).collect()
+    }
+    # doc 0: bm25 rank 1 + cos rank 2 -> 1e6/61 + 1e6/62
+    assert rows[0]["rrf_micro"] == round(1e6 / 61) + round(1e6 / 62)
+    assert (rows[0]["bm25_rank"], rows[0]["cos_rank"]) == (1, 2)
+    # doc 2: cos rank 1 only
+    assert rows[2]["rrf_micro"] == round(1e6 / 61)
+    assert (rows[2]["bm25_rank"], rows[2]["cos_rank"]) == (0, 1)
+    # fused order: doc 0 first
+    assert rows[0]["rk"] == 1
