@@ -1801,6 +1801,17 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["hybrid_rrf"] = hybrid_rrf
 
+    def forman_curvature(s, d):
+        """Augmented Forman-Ricci edge curvature (4 - du - dv + 3t):
+        pure-BIGINT network geometry — strongly negative edges are
+        inter-community bottlenecks, the complement signal to
+        edge_embeddedness."""
+        from gminer_spark.graph.structure import forman_curvature as fc
+
+        return fc(_edges(s, d))
+
+    q["forman_curvature"] = forman_curvature
+
     def triad_census(s, d):
         """Directed triangle census (cyclic 030C vs transitive 030T)
         on the same md5-coin directed view as bowtie_regions — the
@@ -3801,6 +3812,10 @@ edges AS (
     o["hybrid_rrf"] = hybrid_rrf_oracle_sql(
         WORDS_CTE, RETRIEVAL_TERMS, query_vec_id=0
     )
+
+    from gminer_spark.graph.structure import forman_curvature_oracle_sql
+
+    o["forman_curvature"] = forman_curvature_oracle_sql(EDGES_CTE)
 
     from gminer_spark.graph.triangles import triad_census_oracle_sql
 

@@ -535,3 +535,116 @@ FROM canon c
 LEFT JOIN sup s ON s.src = c.src AND s.dst = c.dst
 JOIN deg du ON du.id = c.src
 JOIN deg dv ON dv.id = c.dst"""
+
+
+def forman_curvature(edges: DataFrame) -> DataFrame:
+    """(src, dst, support, deg_src, deg_dst, curvature) per canonical
+    undirected edge — the augmented Forman–Ricci curvature for
+    triangle-closed graphs (Samal et al., Sci. Rep. 2018):
+
+        F#(u,v) = 4 − deg(u) − deg(v) + 3·t(u,v)
+
+    with t the edge's triangle count.  Strongly negative edges are
+    geometric BOTTLENECKS (high-degree endpoints, no common
+    neighborhood — inter-community bridges, the complement signal to
+    :func:`edge_embeddedness`'s ratio); positive edges sit inside
+    dense cliques.  Pure BIGINT arithmetic over the same degree +
+    wedge-join tables as embeddedness — no division, no rounding, the
+    strongest oracle class.
+    """
+    from gminer_spark.graph.triangles import _wedge_closed
+
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    sym = tables.symmetrize(edges)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    closed = _wedge_closed(canon, orient="degree")
+    pairs = (
+        closed.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionAll(closed.select(F.col("u").alias("a"), F.col("w").alias("b")))
+        .unionAll(closed.select(F.col("v").alias("a"), F.col("w").alias("b")))
+        .select(
+            F.least("a", "b").alias("src"),
+            F.greatest("a", "b").alias("dst"),
+        )
+    )
+    support = pairs.groupBy("src", "dst").agg(
+        F.count("*").cast("long").alias("support")
+    )
+    return (
+        canon.join(support, on=["src", "dst"], how="left")
+        .join(
+            deg.select(F.col("id").alias("src"), F.col("deg").alias("deg_src")),
+            on="src",
+        )
+        .join(
+            deg.select(F.col("id").alias("dst"), F.col("deg").alias("deg_dst")),
+            on="dst",
+        )
+        .select(
+            "src",
+            "dst",
+            F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+            "deg_src",
+            "deg_dst",
+        )
+        .select(
+            "src",
+            "dst",
+            "support",
+            "deg_src",
+            "deg_dst",
+            (
+                F.lit(4)
+                - F.col("deg_src")
+                - F.col("deg_dst")
+                + 3 * F.col("support")
+            )
+            .cast("long")
+            .alias("curvature"),
+        )
+    )
+
+
+def forman_curvature_oracle_sql(edges_cte: str) -> str:
+    """DuckDB mirror — identical integer formula, canonical triangle
+    join for support."""
+    return f"""
+WITH {edges_cte.strip()},
+canon AS MATERIALIZED (
+    SELECT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+    FROM edges WHERE src <> dst
+    GROUP BY 1, 2),
+sym AS MATERIALIZED (
+    SELECT src, dst FROM canon
+    UNION SELECT dst AS src, src AS dst FROM canon),
+deg AS MATERIALIZED (
+    SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+tri AS MATERIALIZED (
+    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+    FROM canon e1
+    JOIN canon e2 ON e1.src = e2.src AND e1.dst < e2.dst
+    JOIN canon e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+sup AS MATERIALIZED (
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS support FROM (
+        SELECT a AS src, b AS dst FROM tri
+        UNION ALL SELECT a, c FROM tri
+        UNION ALL SELECT b, c FROM tri)
+    GROUP BY src, dst)
+SELECT c.src, c.dst,
+       COALESCE(s.support, 0) AS support,
+       du.deg AS deg_src, dv.deg AS deg_dst,
+       CAST(4 - du.deg - dv.deg + 3 * COALESCE(s.support, 0) AS BIGINT)
+           AS curvature
+FROM canon c
+LEFT JOIN sup s ON s.src = c.src AND s.dst = c.dst
+JOIN deg du ON du.id = c.src
+JOIN deg dv ON dv.id = c.dst"""

@@ -2525,3 +2525,20 @@ def test_single_linkage_cut_heights(spark):
         for r in single_linkage(we, threshold=5).collect()
     }
     assert at5 == {1: 1, 2: 1, 3: 1, 10: 10, 11: 11}
+
+
+def test_forman_curvature_hand_values(spark):
+    """K4 internal edge: 4-3-3+3*2 = 4 (positive, clique); bridge
+    between two K4s: 4-4-4+0 = -4 (bottleneck)."""
+    from gminer_spark.graph.structure import forman_curvature
+
+    k4a = [(i, j) for i in range(4) for j in range(4) if i < j]
+    k4b = [(i, j) for i in range(10, 14) for j in range(10, 14) if i < j]
+    rows = {
+        (r["src"], r["dst"]): r["curvature"]
+        for r in forman_curvature(
+            edges_df(spark, k4a + k4b + [(0, 10)])
+        ).collect()
+    }
+    assert rows[(1, 2)] == 4 - 3 - 3 + 3 * 2
+    assert rows[(0, 10)] == 4 - 4 - 4 + 0
