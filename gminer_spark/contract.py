@@ -1812,6 +1812,17 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["forman_curvature"] = forman_curvature
 
+    def bond_percolation(s, d):
+        """Bond-percolation robustness curve (keep-p 20/50/80 md5
+        coins): kept edges, component count (isolated vertices
+        included), giant size per probe — the random-LINK-loss
+        complement of hub_removal's targeted-vertex rows."""
+        from gminer_spark.graph.percolation import bond_percolation as bp
+
+        return bp(_edges(s, d), probs_pct=[20, 50, 80])
+
+    q["bond_percolation"] = bond_percolation
+
     def triad_census(s, d):
         """Directed triangle census (cyclic 030C vs transitive 030T)
         on the same md5-coin directed view as bowtie_regions — the
@@ -3816,6 +3827,12 @@ edges AS (
     from gminer_spark.graph.structure import forman_curvature_oracle_sql
 
     o["forman_curvature"] = forman_curvature_oracle_sql(EDGES_CTE)
+
+    from gminer_spark.graph.percolation import bond_percolation_oracle_sql
+
+    o["bond_percolation"] = bond_percolation_oracle_sql(
+        EDGES_CTE, probs_pct=[20, 50, 80]
+    )
 
     from gminer_spark.graph.triangles import triad_census_oracle_sql
 

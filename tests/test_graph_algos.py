@@ -2542,3 +2542,48 @@ def test_forman_curvature_hand_values(spark):
     }
     assert rows[(1, 2)] == 4 - 3 - 3 + 3 * 2
     assert rows[(0, 10)] == 4 - 4 - 4 + 0
+
+
+def test_bond_percolation_monotone_and_exact(spark):
+    """p=100 keeps everything (components = CC of the full graph);
+    p=0 keeps nothing (every vertex isolated); kept-edge counts
+    monotone in p."""
+    from gminer_spark.graph.percolation import bond_percolation
+
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in random_graph(n=60, p=0.05, seed=3) if a != b})
+    rows = {
+        r["p_pct"]: r
+        for r in bond_percolation(
+            edges_df(spark, pairs), probs_pct=[0, 40, 100]
+        ).collect()
+    }
+    verts = {v for e in pairs for v in e}
+    assert rows[0]["n_kept_edges"] == 0
+    assert rows[0]["n_components"] == len(verts)
+    assert rows[0]["giant_size"] == 1
+    assert rows[100]["n_kept_edges"] == len(pairs)
+    assert rows[0]["n_kept_edges"] <= rows[40]["n_kept_edges"] <= rows[100]["n_kept_edges"]
+    # full-graph CC cross-check in python
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    seen, comps, giant = set(), 0, 0
+    for v in verts:
+        if v in seen:
+            continue
+        comps += 1
+        stack, size = [v], 0
+        seen.add(v)
+        while stack:
+            u = stack.pop()
+            size += 1
+            for x in adj[u]:
+                if x not in seen:
+                    seen.add(x)
+                    stack.append(x)
+        giant = max(giant, size)
+    assert rows[100]["n_components"] == comps
+    assert rows[100]["giant_size"] == giant
