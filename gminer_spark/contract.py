@@ -1823,6 +1823,18 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["bond_percolation"] = bond_percolation
 
+    def louvain_moves(s, d):
+        """Parity-activated parallel Louvain local moves (4 fixed
+        rounds from singletons): exact-integer modularity-gain
+        argmax (m2*e - k*vol cross-products), strict-improvement
+        rule, md5 activation coin — the modularity-ascent community
+        op alongside LPA's mode vote."""
+        from gminer_spark.graph.louvain import louvain_moves as lm
+
+        return lm(_edges(s, d), num_rounds=4)
+
+    q["louvain_moves"] = louvain_moves
+
     def triad_census(s, d):
         """Directed triangle census (cyclic 030C vs transitive 030T)
         on the same md5-coin directed view as bowtie_regions — the
@@ -3833,6 +3845,10 @@ edges AS (
     o["bond_percolation"] = bond_percolation_oracle_sql(
         EDGES_CTE, probs_pct=[20, 50, 80]
     )
+
+    from gminer_spark.graph.louvain import louvain_moves_oracle_sql
+
+    o["louvain_moves"] = louvain_moves_oracle_sql(EDGES_CTE, num_rounds=4)
 
     from gminer_spark.graph.triangles import triad_census_oracle_sql
 

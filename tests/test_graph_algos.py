@@ -2587,3 +2587,35 @@ def test_bond_percolation_monotone_and_exact(spark):
         giant = max(giant, size)
     assert rows[100]["n_components"] == comps
     assert rows[100]["giant_size"] == giant
+
+
+def test_louvain_moves_barbell_two_communities(spark):
+    """Two K5s joined by one bridge: modularity moves must converge to
+    exactly the two cliques (6 parity rounds are ample)."""
+    from gminer_spark.graph.louvain import louvain_moves
+
+    k5a = [(i, j) for i in range(5) for j in range(5) if i < j]
+    k5b = [(i, j) for i in range(10, 15) for j in range(10, 15) if i < j]
+    got = {
+        r["id"]: r["community"]
+        for r in louvain_moves(
+            edges_df(spark, k5a + k5b + [(0, 10)]), num_rounds=6
+        ).collect()
+    }
+    assert len({got[v] for v in range(5)}) == 1
+    assert len({got[v] for v in range(10, 15)}) == 1
+    assert got[0] != got[10]
+
+
+def test_louvain_moves_strict_improvement_keeps_singletons(spark):
+    """A single edge between two vertices: joining is strictly
+    improving, so they merge; an isolated pair of paths stays
+    deterministic under partitioning (determinism is covered by the
+    contract oracle; here just the merge)."""
+    from gminer_spark.graph.louvain import louvain_moves
+
+    got = {
+        r["id"]: r["community"]
+        for r in louvain_moves(edges_df(spark, [(1, 2)]), num_rounds=4).collect()
+    }
+    assert got[1] == got[2]
