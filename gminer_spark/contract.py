@@ -1835,6 +1835,16 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["louvain_moves"] = louvain_moves
 
+    def louvain_two_level(s, d):
+        """FULL two-phase Louvain: level-1 moves -> weighted quotient
+        (intra-community mass as supernode self-loops) -> level-2
+        weighted moves (salt lv2) -> label projection."""
+        from gminer_spark.graph.louvain import louvain_two_level as l2
+
+        return l2(_edges(s, d), rounds1=4, rounds2=4)
+
+    q["louvain_two_level"] = louvain_two_level
+
     def triad_census(s, d):
         """Directed triangle census (cyclic 030C vs transitive 030T)
         on the same md5-coin directed view as bowtie_regions — the
@@ -3849,6 +3859,12 @@ edges AS (
     from gminer_spark.graph.louvain import louvain_moves_oracle_sql
 
     o["louvain_moves"] = louvain_moves_oracle_sql(EDGES_CTE, num_rounds=4)
+
+    from gminer_spark.graph.louvain import louvain_two_level_oracle_sql
+
+    o["louvain_two_level"] = louvain_two_level_oracle_sql(
+        EDGES_CTE, rounds1=4, rounds2=4
+    )
 
     from gminer_spark.graph.triangles import triad_census_oracle_sql
 

@@ -2619,3 +2619,54 @@ def test_louvain_moves_strict_improvement_keeps_singletons(spark):
         for r in louvain_moves(edges_df(spark, [(1, 2)]), num_rounds=4).collect()
     }
     assert got[1] == got[2]
+
+
+def test_louvain_two_level_merges_clique_chain(spark):
+    """Chain of 4 K4s, consecutive cliques bridged: level 1 finds the
+    cliques; level 2 on the quotient may merge neighbors — and the
+    projected labels must stay a coarsening of level 1 (never split a
+    level-1 community)."""
+    from gminer_spark.graph.louvain import louvain_moves, louvain_two_level
+
+    edges = []
+    for b in range(4):
+        base = b * 10
+        edges += [
+            (base + i, base + j) for i in range(4) for j in range(4) if i < j
+        ]
+    edges += [(3, 10), (13, 20), (23, 30)]
+    df = edges_df(spark, edges)
+    l1 = {r["id"]: r["community"] for r in louvain_moves(df, 4).collect()}
+    l2 = {r["id"]: r["community"] for r in louvain_two_level(df, 4, 4).collect()}
+    assert set(l2) == set(l1)
+    # coarsening: same level-1 community => same final community
+    for u in l1:
+        for v in l1:
+            if l1[u] == l1[v]:
+                assert l2[u] == l2[v]
+    # each K4 still ends up internally together
+    for b in range(4):
+        base = b * 10
+        assert len({l2[base + i] for i in range(4)}) == 1
+
+
+def test_louvain_weighted_selfloop_changes_decision(spark):
+    """Self-loops enter degrees/volumes but never e(v, c): vertex 2
+    (the only round-0-active vertex here) ties between supernodes 3
+    and 5 without the self-loop (min label 3 wins); a self-loop on 3
+    inflates vol(3) and flips the pick to 5 — the volume penalty in
+    one deterministic round."""
+    from gminer_spark.graph.louvain import louvain_moves_weighted
+
+    def run(selfw):
+        rows = [(2, 3, 1), (2, 5, 1)] + (
+            [(3, 3, selfw)] if selfw else []
+        )
+        we = spark.createDataFrame(rows, "src long, dst long, w long")
+        return {
+            r["id"]: r["community"]
+            for r in louvain_moves_weighted(we, num_rounds=1).collect()
+        }
+
+    assert run(0)[2] == 3  # tie -> smaller community label
+    assert run(1)[2] == 5  # self-loop volume penalty flips the pick
