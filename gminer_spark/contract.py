@@ -1845,6 +1845,41 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["louvain_two_level"] = louvain_two_level
 
+    def modularity_compare(s, d):
+        """Global Newman Q of three labelings over the SAME graph —
+        LPA(3), Louvain local moves (4), full two-level Louvain — the
+        method-comparison row a community-detection user actually
+        reads.  Qnum exact BIGINT, one division per method."""
+        from gminer_spark.graph.community_metrics import global_modularity
+        from gminer_spark.graph.louvain import (
+            louvain_moves,
+            louvain_two_level,
+        )
+        from gminer_spark.graph.lpa import label_propagation
+
+        e = _edges(s, d)
+        sym = gt.symmetrize(e).localCheckpoint()
+        methods = {
+            "lpa": label_propagation(e, num_iter=LPA_ITERS).state,
+            "louvain1": louvain_moves(e, num_rounds=4).withColumnRenamed(
+                "community", "label"
+            ),
+            "louvain2": louvain_two_level(e, 4, 4).withColumnRenamed(
+                "community", "label"
+            ),
+        }
+        out = None
+        for name, lab in methods.items():
+            row = global_modularity(sym, lab).select(
+                F.lit(name).alias("method"),
+                "n_communities",
+                "modularity_micro",
+            )
+            out = row if out is None else out.unionByName(row)
+        return out
+
+    q["modularity_compare"] = modularity_compare
+
     def triad_census(s, d):
         """Directed triangle census (cyclic 030C vs transitive 030T)
         on the same md5-coin directed view as bowtie_regions — the
@@ -3864,6 +3899,76 @@ edges AS (
 
     o["louvain_two_level"] = louvain_two_level_oracle_sql(
         EDGES_CTE, rounds1=4, rounds2=4
+    )
+
+    # modularity_compare: splice the LPA chain and the two-level
+    # Louvain chain into ONE WITH scope (derived-table embedding is
+    # impossible here: DuckDB rejects duplicate CTE aliases across
+    # nested scopes and both chains define `edges`), then compute the
+    # exact-integer global Q per labeling.
+    _lpa_q = lpa_oracle_sql()
+    _lpa_body, _sep, _lpa_tail = _lpa_q.rpartition("\nSELECT id, label FROM ")
+    assert _sep, "unexpected LPA oracle shape"
+    _lpa_final = _lpa_tail.strip()
+    _lpa_ctes = _lpa_body[len("WITH ") :]
+    _l2_q = louvain_two_level_oracle_sql(EDGES_CTE, rounds1=4, rounds2=4)
+    _l2_body, _sep2, _ = _l2_q.rpartition("\nSELECT c1.id")
+    assert _sep2, "unexpected two-level oracle shape"
+    _l2_ctes_full = _l2_body[len("WITH ") :]
+    _edges_frag = EDGES_CTE.strip() + ",\n"
+    assert _l2_ctes_full.startswith(EDGES_CTE.strip())
+    _l2_ctes = _l2_ctes_full[len(_edges_frag) :]
+
+    def _q_block(prefix: str, labels_sql: str) -> str:
+        return f"""{prefix}_vol AS MATERIALIZED (
+    SELECT l.lab, CAST(SUM(d.deg) AS BIGINT) AS vol
+    FROM ({labels_sql}) l JOIN qdeg d ON d.id = l.id
+    GROUP BY l.lab),
+{prefix}_int AS MATERIALIZED (
+    SELECT a.lab, CAST(COUNT(*) AS BIGINT) AS i2
+    FROM sym e
+    JOIN ({labels_sql}) a ON a.id = e.src
+    JOIN ({labels_sql}) b ON b.id = e.dst AND b.lab = a.lab
+    GROUP BY a.lab),
+{prefix}_q AS MATERIALIZED (
+    SELECT CAST(COUNT(*) AS BIGINT) AS nc,
+           CAST(SUM(COALESCE(i.i2, 0) * (SELECT m2 FROM qm2)
+                    - v.vol * v.vol) AS BIGINT) AS qnum
+    FROM {prefix}_vol v LEFT JOIN {prefix}_int i ON i.lab = v.lab)"""
+
+    def _q_row(prefix: str, name: str) -> str:
+        return f"""SELECT '{name}' AS method, nc AS n_communities,
+       CAST(ROUND(CAST(qnum AS DOUBLE)
+                  / (CAST((SELECT m2 FROM qm2) AS DOUBLE)
+                     * CAST((SELECT m2 FROM qm2) AS DOUBLE))
+                  * 1e6) AS BIGINT) AS modularity_micro
+FROM {prefix}_q"""
+
+    o["modularity_compare"] = (
+        "WITH "
+        + _lpa_ctes
+        + ",\n"
+        + _l2_ctes
+        + f""",
+mcl2 AS MATERIALIZED (
+    SELECT c1.id, l2.community
+    FROM cm4 c1 JOIN wm4 l2 ON l2.id = c1.community),
+qdeg AS MATERIALIZED (
+    SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM sym GROUP BY src),
+qm2 AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM sym),
+"""
+        + _q_block("qa", f"SELECT id, label AS lab FROM {_lpa_final}")
+        + ",\n"
+        + _q_block("qb", "SELECT id, community AS lab FROM cm4")
+        + ",\n"
+        + _q_block("qc", "SELECT id, community AS lab FROM mcl2")
+        + "\n"
+        + _q_row("qa", "lpa")
+        + "\nUNION ALL\n"
+        + _q_row("qb", "louvain1")
+        + "\nUNION ALL\n"
+        + _q_row("qc", "louvain2")
     )
 
     from gminer_spark.graph.triangles import triad_census_oracle_sql

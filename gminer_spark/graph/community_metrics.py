@@ -247,3 +247,60 @@ SELECT t.m2, t.same2,
                           - CAST(v.sum_vol2 AS DOUBLE)) * 1e6)
             END AS BIGINT) AS r_micro
 FROM tot t CROSS JOIN vols v"""
+
+
+def global_modularity(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """1-row ``(n_communities, modularity_micro)`` — Newman global Q
+    of a labeling, assembled EXACTLY: Qnum = Σ_c (internal2_c·m2 −
+    vol_c²) in BIGINT, then ONE double division by m2² (the per-
+    community q_micro rows of :func:`community_quality` sum the
+    ROUNDED terms; this is the exact global).  ``labels``: (id, label).
+    """
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    lab = labels.select("id", "label")
+    vol = (
+        deg.join(lab, on="id")
+        .groupBy("label")
+        .agg(F.sum("deg").cast("long").alias("vol"))
+    )
+    internal = (
+        sym.join(lab.select(F.col("id").alias("src"), "label"), on="src")
+        .join(
+            lab.select(
+                F.col("id").alias("dst"), F.col("label").alias("_lb")
+            ),
+            on="dst",
+        )
+        .where(F.col("label") == F.col("_lb"))
+        .groupBy("label")
+        .agg(F.count("*").cast("long").alias("i2"))
+    )
+    m2 = sym.agg(F.count("*").cast("long").alias("m2"))
+    per = (
+        vol.join(internal, on="label", how="left")
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "label",
+            (
+                F.coalesce("i2", F.lit(0)) * F.col("m2")
+                - F.col("vol") * F.col("vol")
+            ).alias("qterm"),
+            "m2",
+        )
+    )
+    return per.groupBy("m2").agg(
+        F.count("*").cast("long").alias("n_communities"),
+        F.sum("qterm").cast("long").alias("qnum"),
+    ).select(
+        "n_communities",
+        F.round(
+            F.col("qnum").cast("double")
+            / (F.col("m2").cast("double") * F.col("m2").cast("double"))
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("modularity_micro"),
+    )

@@ -2670,3 +2670,24 @@ def test_louvain_weighted_selfloop_changes_decision(spark):
 
     assert run(0)[2] == 3  # tie -> smaller community label
     assert run(1)[2] == 5  # self-loop volume penalty flips the pick
+
+
+def test_global_modularity_hand_values(spark):
+    """Two triangles + bridge, perfect labeling: Q = sum over the two
+    communities of (i2*m2 - vol^2)/m2^2 computed by hand."""
+    from gminer_spark.graph import tables as gt
+    from gminer_spark.graph.community_metrics import global_modularity
+
+    edges = edges_df(
+        spark, [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    )
+    sym = gt.symmetrize(edges)
+    labels = spark.createDataFrame(
+        [(v, 100) for v in (1, 2, 3)] + [(v, 200) for v in (10, 11, 12)],
+        "id long, label long",
+    )
+    row = global_modularity(sym, labels).collect()[0]
+    # m2 = 14; each community: i2 = 6 (3 internal edges), vol = 7
+    qnum = 2 * (6 * 14 - 49)
+    assert row["n_communities"] == 2
+    assert row["modularity_micro"] == round(qnum / (14 * 14) * 1e6)
