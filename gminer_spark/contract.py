@@ -1761,6 +1761,19 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["dedup_snm"] = dedup_snm
 
+    def dedup_allpairs(s, d):
+        """EXACT all-pairs similarity join via prefix filtering
+        (Bayardo et al. WWW'07) — completeness-guaranteed, the 8th
+        dedup modality; the oracle is an INDEPENDENT brute-force
+        all-pairs join, so the compare checks the prefix lemma."""
+        from gminer_spark.textops.dedup import allpairs_jaccard
+
+        return allpairs_jaccard(
+            _doc(s, d, "documents"), threshold_micro=300_000
+        )
+
+    q["dedup_allpairs"] = dedup_allpairs
+
     def msf_boruvka(s, d):
         """Borůvka minimum spanning forest over shared-order weights
         ((w, src, dst) total order -> unique Kruskal-equal forest,
@@ -3857,6 +3870,12 @@ edges AS (
 
     o["dedup_snm"] = snm_pairs_oracle_sql(
         WORDS_CTE, SHINGLES_CTE, window=3, threshold_micro=300_000
+    )
+
+    from gminer_spark.textops.dedup import allpairs_jaccard_oracle_sql
+
+    o["dedup_allpairs"] = allpairs_jaccard_oracle_sql(
+        WORDS_CTE, SHINGLES_CTE, threshold_micro=300_000
     )
 
     from gminer_spark.graph.msf import minimum_spanning_forest_oracle_sql

@@ -654,3 +654,146 @@ JOIN nsh nb ON nb.doc_id = i.doc_b
 WHERE CAST(ROUND(CAST(i.i AS DOUBLE)
                  / CAST(na.n + nb.n - i.i AS DOUBLE) * 1e6) AS BIGINT)
       >= {threshold_micro}"""
+
+
+def allpairs_jaccard(
+    documents: DataFrame,
+    threshold_micro: int = 300_000,
+) -> DataFrame:
+    """EXACT all-pairs similarity join via prefix filtering (Bayardo,
+    Ma & Srikant, WWW'07 "Scaling Up All Pairs") — the 8th candidate-
+    generation modality of this family, and the only one besides
+    brute force with a COMPLETENESS GUARANTEE: every pair with
+    3-shingle Jaccard >= t is returned (LSH/SimHash/SNM trade recall
+    for scale; prefix filtering trades nothing).
+
+    Prefix lemma: order the shingle universe by ANY common total
+    order (here (df ASC, shingle ASC) — rarest first, which keeps the
+    inverted prefix index's posting lists short); if J(A,B) >= t the
+    two docs must share a shingle within each one's first
+    |d| - ceil(t*|d|) + 1 shingles of that order.  Index only those
+    prefixes, join, verify candidates with the exact Jaccard.
+
+    Scale shape: NO global shingle sort — the prefix is selected with
+    a per-doc window (bounded by doc size) over (df, shingle); the
+    candidate join runs on the rare-shingle prefix index; the
+    verification is a semi-joined intersection count.  The oracle is
+    an INDEPENDENT brute-force all-pairs join — what's checked is the
+    completeness lemma itself.
+
+    Returns (doc_a, doc_b, jaccard_micro), doc_a < doc_b by id.
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "\\s+"), lambda t: t != ""
+    )
+    words = documents.select(
+        "doc_id", F.posexplode(toks).alias("pos", "w")
+    )
+    lead_w = W.partitionBy("doc_id").orderBy("pos")
+    sh = (
+        words.select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                "w",
+                F.lead("w", 1).over(lead_w),
+                F.lead("w", 2).over(lead_w),
+            ).alias("s"),
+            F.lead("w", 2).over(lead_w).alias("w2"),
+        )
+        .where(F.col("w2").isNotNull())
+        .select("doc_id", "s")
+        .distinct()
+        .persist()
+    )
+    nsh = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    dfs = sh.groupBy("s").agg(F.count("*").cast("long").alias("df"))
+    ranked = sh.join(dfs, on="s").select(
+        "doc_id",
+        "s",
+        F.row_number()
+        .over(
+            W.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("s"))
+        )
+        .alias("rn"),
+    )
+    # prefix length for threshold t = threshold_micro/1e6:
+    # n - ceil(t*n) + 1, all integer (ceil(a*n/1e6) via (a*n+999999)//1e6).
+    # The output filter compares the MICRO-ROUNDED Jaccard, which can
+    # admit J = t - eps (eps < 5e-7); size the prefix for t_micro - 1
+    # so those boundary pairs are still generated.
+    t_num = int(threshold_micro) - 1
+    pref = ranked.join(nsh, on="doc_id").where(
+        F.col("rn")
+        <= F.col("n")
+        - F.floor((F.lit(t_num) * F.col("n") + 999_999) / 1_000_000)
+        + 1
+    )
+    cand = (
+        pref.select(F.col("doc_id").alias("doc_a"), "s")
+        .join(pref.select(F.col("doc_id").alias("doc_b"), "s"), on="s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    inter = (
+        sh.select(F.col("doc_id").alias("doc_a"), "s")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "s"), on="s")
+        .join(cand, on=["doc_a", "doc_b"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("i"))
+    )
+    return (
+        inter.join(
+            nsh.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            on="doc_a",
+        )
+        .join(
+            nsh.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            on="doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("jaccard_micro"),
+        )
+        .where(F.col("jaccard_micro") >= threshold_micro)
+    )
+
+
+def allpairs_jaccard_oracle_sql(
+    words_cte: str, shingles_cte: str, threshold_micro: int = 300_000
+) -> str:
+    """INDEPENDENT brute-force all-pairs oracle (no prefix logic —
+    the completeness lemma is what the compare checks)."""
+    return f"""
+WITH {words_cte.strip()},
+{shingles_cte.strip()},
+nsh AS MATERIALIZED (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+    FROM shingles GROUP BY doc_id),
+inter AS MATERIALIZED (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS i
+    FROM shingles a
+    JOIN shingles b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b,
+       CAST(ROUND(CAST(i.i AS DOUBLE)
+                  / CAST(na.n + nb.n - i.i AS DOUBLE) * 1e6) AS BIGINT)
+           AS jaccard_micro
+FROM inter i
+JOIN nsh na ON na.doc_id = i.doc_a
+JOIN nsh nb ON nb.doc_id = i.doc_b
+WHERE CAST(ROUND(CAST(i.i AS DOUBLE)
+                 / CAST(na.n + nb.n - i.i AS DOUBLE) * 1e6) AS BIGINT)
+      >= {threshold_micro}"""

@@ -702,3 +702,41 @@ def test_hybrid_rrf_fuses_both_lists(spark):
     assert (rows[2]["bm25_rank"], rows[2]["cos_rank"]) == (0, 1)
     # fused order: doc 0 first
     assert rows[0]["rk"] == 1
+
+
+def test_allpairs_jaccard_complete_vs_bruteforce(spark):
+    """The prefix-filtered join must return EXACTLY the brute-force
+    pair set (completeness lemma), on a corpus where blocking-style
+    methods would miss cross-prefix pairs."""
+    from gminer_spark.textops.dedup import allpairs_jaccard
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        base + " one two three",
+        "zz yy " + base,                   # same content, different prefix
+        base.replace("delta", "delta2") + " four",
+        "totally different words entirely here now and then again",
+        "alpha beta gamma something else entirely different now ok",
+    ]
+    d = docs_df(spark, docs)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_micro"]
+        for r in allpairs_jaccard(d, threshold_micro=250_000).collect()
+    }
+    # brute force in python over 3-shingle sets
+    def shset(t):
+        w = t.lower().split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    want = {}
+    ss = [shset(t) for t in docs]
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            i = len(ss[a] & ss[b])
+            if not i:
+                continue
+            jm = round(i / len(ss[a] | ss[b]) * 1e6)
+            if jm >= 250_000:
+                want[(a, b)] = jm
+    assert got == want
+    assert (0, 1) in got  # the cross-prefix pair SNM-style blocking misses
