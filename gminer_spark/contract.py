@@ -2922,6 +2922,16 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["doc_keywords"] = doc_keywords
 
+    def vocab_growth(s, d):
+        """Heaps-law vocabulary growth over 10 doc-ordered corpus
+        slices — cumulative tokens vs distinct words, one pass via
+        first-appearance buckets (no per-prefix rescans)."""
+        from gminer_spark.textops.analysis import vocab_growth as vg
+
+        return vg(_doc(s, d, "documents"), n_buckets=10)
+
+    q["vocab_growth"] = vocab_growth
+
     def boilerplate_shingles(s, d):
         """Per-source boilerplate shingles (df >= ceil(frac*n_docs)):
         the template detector a web-corpus cleaning pass runs before
@@ -4514,6 +4524,10 @@ FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
     from gminer_spark.textops.retrieval import doc_keywords_oracle_sql
 
     o["doc_keywords"] = doc_keywords_oracle_sql(WORDS_CTE, k=5)
+
+    from gminer_spark.textops.analysis import vocab_growth_oracle_sql
+
+    o["vocab_growth"] = vocab_growth_oracle_sql(WORDS_CTE, n_buckets=10)
 
     o["dedup_containment"] = f"""
 WITH {WORDS_CTE.strip()},

@@ -213,3 +213,93 @@ SELECT doc_id, n_tokens,
                 CAST(0 AS DOUBLE)) AS top_bigram_share
 FROM tok LEFT JOIN bga USING (doc_id)
 """
+
+
+def vocab_growth(documents: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Heaps-law vocabulary growth curve: split the corpus into
+    ``n_buckets`` doc-id-ordered slices and report, per cumulative
+    prefix, the token count and the DISTINCT-word count — the
+    "how much new vocabulary does 10× more data buy" planning curve
+    for corpus scaling.
+
+    One pass, no per-prefix rescan: each word's first-appearance
+    bucket is min(bucket) over its occurrences; the cumulative
+    distinct count at prefix k is the number of words whose first
+    bucket <= k (a bucket histogram + running sum over n_buckets
+    rows).  Buckets are doc_id rank ntiles — deterministic, total
+    order.  All counts exact BIGINTs.
+
+    Returns (bucket, n_docs, n_tokens, n_distinct_words) with
+    cumulative n_tokens / n_distinct_words, bucket 1..n_buckets.
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "\\s+"), lambda t: t != ""
+    )
+    raw_words = documents.select("doc_id", F.explode(toks).alias("word"))
+    # bucket only docs with >=1 token: an empty doc must not shift the
+    # ntile boundaries (the oracle derives its universe from words)
+    docs = raw_words.select("doc_id").distinct()
+    bucketed = docs.select(
+        "doc_id",
+        F.ntile(n_buckets).over(W.orderBy("doc_id")).alias("bucket"),
+    )
+    words = raw_words.join(bucketed, on="doc_id")
+    per_bucket = words.groupBy("bucket").agg(
+        F.countDistinct("doc_id").cast("long").alias("b_docs"),
+        F.count("*").cast("long").alias("b_tokens"),
+    )
+    first_seen = words.groupBy("word").agg(
+        F.min("bucket").alias("bucket")
+    )
+    new_words = first_seen.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("b_new_words")
+    )
+    cum = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        per_bucket.join(new_words, on="bucket", how="left")
+        .select(
+            "bucket",
+            "b_docs",
+            "b_tokens",
+            F.coalesce("b_new_words", F.lit(0)).alias("b_new"),
+        )
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.sum("b_docs").over(cum).cast("long").alias("n_docs"),
+            F.sum("b_tokens").over(cum).cast("long").alias("n_tokens"),
+            F.sum("b_new").over(cum).cast("long").alias("n_distinct_words"),
+        )
+    )
+
+
+def vocab_growth_oracle_sql(words_cte: str, n_buckets: int = 10) -> str:
+    """DuckDB mirror over ``words(doc_id, word, pos)`` — identical
+    ntile bucketing, first-appearance histogram, running sums."""
+    return f"""
+WITH {words_cte.strip()},
+w2 AS MATERIALIZED (SELECT doc_id, word FROM words WHERE word <> ''),
+bk AS MATERIALIZED (
+    SELECT doc_id, NTILE({n_buckets}) OVER (ORDER BY doc_id) AS bucket
+    FROM (SELECT DISTINCT doc_id FROM w2)),
+wb AS MATERIALIZED (
+    SELECT w.doc_id, w.word, b.bucket
+    FROM w2 w JOIN bk b ON b.doc_id = w.doc_id),
+pb AS MATERIALIZED (
+    SELECT bucket, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS b_docs,
+           CAST(COUNT(*) AS BIGINT) AS b_tokens
+    FROM wb GROUP BY bucket),
+fs AS MATERIALIZED (
+    SELECT word, MIN(bucket) AS bucket FROM wb GROUP BY word),
+nw AS MATERIALIZED (
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS b_new
+    FROM fs GROUP BY bucket)
+SELECT CAST(p.bucket AS BIGINT) AS bucket,
+       CAST(SUM(p.b_docs) OVER (ORDER BY p.bucket
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_docs,
+       CAST(SUM(p.b_tokens) OVER (ORDER BY p.bucket
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_tokens,
+       CAST(SUM(COALESCE(n.b_new, 0)) OVER (ORDER BY p.bucket
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_distinct_words
+FROM pb p LEFT JOIN nw n ON n.bucket = p.bucket"""

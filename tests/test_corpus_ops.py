@@ -740,3 +740,23 @@ def test_allpairs_jaccard_complete_vs_bruteforce(spark):
                 want[(a, b)] = jm
     assert got == want
     assert (0, 1) in got  # the cross-prefix pair SNM-style blocking misses
+
+
+def test_vocab_growth_hand_values(spark):
+    """4 docs, 2 buckets: cumulative tokens and the
+    first-appearance-bucket distinct counts."""
+    from gminer_spark.textops.analysis import vocab_growth
+
+    d = docs_df(
+        spark,
+        [
+            "a b c",        # bucket 1
+            "a b d",        # bucket 1
+            "a e",          # bucket 2
+            "f f f f",      # bucket 2
+        ],
+    )
+    got = {r["bucket"]: r for r in vocab_growth(d, n_buckets=2).collect()}
+    b1, b2 = got[1], got[2]
+    assert (b1["n_docs"], b1["n_tokens"], b1["n_distinct_words"]) == (2, 6, 4)
+    assert (b2["n_docs"], b2["n_tokens"], b2["n_distinct_words"]) == (4, 12, 6)
