@@ -1656,6 +1656,32 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["itemset_maintainer"] = itemset_maintainer
 
+    def basket_recommendations(s, d):
+        """Top-5 'customers also bought' per customer from the
+        association-rule table: rules fire on owned items, owned
+        consequents anti-joined away, exact lift-sum scoring."""
+        from gminer_spark.itemsets import (
+            association_rules as ar,
+            recommend_items,
+        )
+
+        li = _doc(s, d, "lineitem")
+        od = _doc(s, d, "orders")
+        baskets = li.select(
+            F.col("l_orderkey").alias("basket"),
+            F.col("l_partkey").alias("item"),
+        )
+        rules = ar(baskets, min_support=2, min_confidence_micro=100_000)
+        ui = li.join(
+            od, li.l_orderkey == od.o_orderkey
+        ).select(
+            F.col("o_custkey").alias("user"),
+            F.col("l_partkey").alias("item"),
+        )
+        return recommend_items(ui, rules, k=5)
+
+    q["basket_recommendations"] = basket_recommendations
+
     def site_tree(s, d):
         """Hierarchical URL path rollup (crawl-budget / sitemap view):
         page + URL counts per (host, depth<=2 path prefix) over a
@@ -3817,6 +3843,17 @@ edges AS (
                AS url
     FROM lineitem)""",
         depth=2,
+    )
+
+    from gminer_spark.itemsets import recommend_items_oracle_sql
+
+    o["basket_recommendations"] = recommend_items_oracle_sql(
+        "SELECT l_orderkey AS basket, l_partkey AS item FROM lineitem",
+        """SELECT o_custkey AS "user", l_partkey AS item
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+        min_support=2,
+        min_confidence_micro=100_000,
+        k=5,
     )
 
     # the maintained stream state must equal the ONE-SHOT pair table

@@ -418,3 +418,87 @@ class ItemsetMaintainer:
             F.concat_ws("|", "x", "y").alias("itemset"),
             "support",
         )
+
+
+def recommend_items(
+    user_items: DataFrame,
+    rules: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """(user, rk, item, score_micro) — top-``k`` recommendations per
+    user from an association-rule table (:func:`association_rules`):
+    for every rule whose antecedent the user owns, the consequent is
+    a candidate; candidates the user ALREADY owns are anti-joined
+    away; score = Σ lift_micro over the firing rules (exact BIGINT —
+    lift is per-rule micro-rounded once); ties (score DESC, item
+    ASC).
+
+    The "customers also bought" surface of the basket-mining family.
+    Scale shape: rules are a broadcast-able dimension (bounded by the
+    frequent-pair count); the candidate join is user_items × rules on
+    the item key; top-k per user is a window bounded by the user's
+    candidate count.
+    """
+    from pyspark.sql import Window as W
+
+    ui = user_items.select(
+        F.col("user").cast("long").alias("user"),
+        F.col("item").cast("long").alias("item"),
+    ).distinct()
+    cand = (
+        ui.join(
+            rules.select(
+                F.col("antecedent").alias("item"),
+                F.col("consequent"),
+                "lift_micro",
+            ),
+            on="item",
+        )
+        .select("user", F.col("consequent").alias("item"), "lift_micro")
+        .join(ui, on=["user", "item"], how="left_anti")
+        .groupBy("user", "item")
+        .agg(F.sum("lift_micro").cast("long").alias("score_micro"))
+    )
+    w = W.partitionBy("user").orderBy(F.desc("score_micro"), F.asc("item"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+        .select("user", "rk", "item", "score_micro")
+    )
+
+
+def recommend_items_oracle_sql(
+    baskets_sql: str,
+    user_items_sql: str,
+    min_support: int = 2,
+    min_confidence_micro: int = 100_000,
+    k: int = 5,
+) -> str:
+    """DuckDB mirror: the rule table re-derived by the value-green
+    :func:`association_rules_oracle_sql` body, the same anti-join and
+    exact lift-sum scoring."""
+    rules = association_rules_oracle_sql(
+        baskets_sql, min_support, min_confidence_micro
+    )
+    return f"""
+WITH rec_rules AS MATERIALIZED (SELECT * FROM ({rules})),
+rec_ui AS MATERIALIZED (
+    SELECT DISTINCT CAST("user" AS BIGINT) AS usr,
+           CAST(item AS BIGINT) AS item
+    FROM ({user_items_sql})),
+rec_cand AS MATERIALIZED (
+    SELECT u.usr, r.consequent AS item,
+           CAST(SUM(r.lift_micro) AS BIGINT) AS score_micro
+    FROM rec_ui u
+    JOIN rec_rules r ON r.antecedent = u.item
+    WHERE NOT EXISTS (
+        SELECT 1 FROM rec_ui o
+        WHERE o.usr = u.usr AND o.item = r.consequent)
+    GROUP BY u.usr, r.consequent)
+SELECT usr AS "user",
+       CAST(ROW_NUMBER() OVER (PARTITION BY usr
+                               ORDER BY score_micro DESC, item ASC)
+            AS INT) AS rk,
+       item, score_micro
+FROM rec_cand
+QUALIFY rk <= {k}"""

@@ -181,3 +181,28 @@ def test_itemset_maintainer_foreachbatch(spark, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_recommend_items_hand_values(spark):
+    """Rules a->b (lift 2e6), a->c (lift 3e6), b->c (lift 1e6); user
+    owns {a, b}: c scores 3e6+1e6 (both rules fire), b excluded
+    (owned)."""
+    from gminer_spark.itemsets import recommend_items
+
+    rules = spark.createDataFrame(
+        [
+            (10, 20, 3, 500_000, 2_000_000),
+            (10, 30, 3, 500_000, 3_000_000),
+            (20, 30, 3, 500_000, 1_000_000),
+        ],
+        "antecedent long, consequent long, support long, "
+        "confidence_micro long, lift_micro long",
+    )
+    ui = spark.createDataFrame(
+        [(1, 10), (1, 20)], "user long, item long"
+    )
+    got = [
+        (r["rk"], r["item"], r["score_micro"])
+        for r in recommend_items(ui, rules, k=5).collect()
+    ]
+    assert got == [(1, 30, 4_000_000)]
