@@ -1752,6 +1752,16 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["mmr_selection"] = mmr_selection
 
+    def rknn_counts(s, d):
+        """Reverse-kNN counts over the embedding table (k=5): the
+        embedding-space hub signal — semantic attractors vs outliers
+        nobody's top-k points at."""
+        from gminer_spark.sim.mmr import rknn_counts as rk
+
+        return rk(_doc(s, d, "embeddings"), k=5)
+
+    q["rknn_counts"] = rknn_counts
+
     def event_bursts(s, d):
         """Trailing-window burst hours per event type (dense hour
         grid, exact-integer cnt*m >= factor*prev_sum rule) — the
@@ -3888,6 +3898,10 @@ edges AS (
     from gminer_spark.sim.mmr import mmr_oracle_sql
 
     o["mmr_selection"] = mmr_oracle_sql(query_id=0, k=6)
+
+    from gminer_spark.sim.mmr import rknn_oracle_sql
+
+    o["rknn_counts"] = rknn_oracle_sql(k=5)
 
     from gminer_spark.streaming.bursts import event_bursts_oracle_sql
 

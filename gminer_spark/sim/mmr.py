@@ -155,3 +155,75 @@ def mmr_oracle_sql(query_id: int = 0, k: int = 6) -> str:
             f" FROM s{r}"
         )
     return "WITH " + ",\n".join(ctes) + "\n" + prev_union
+
+
+def rknn_counts(embeddings: DataFrame, k: int = 5) -> DataFrame:
+    """(vec_id, rknn) — how many OTHER vectors have this one in their
+    cosine top-``k`` (the reverse-k-nearest-neighbor count): the
+    embedding-space hub/influence signal — a vector with high rknn is
+    a semantic attractor (cluster medoid, near-dup magnet), one with
+    rknn 0 is an outlier no one points at.
+
+    Exactness: per-query neighbor ranking by (1e-6-rounded cosine
+    DESC, vec_id ASC) — the ann_cosine contract order; counts are
+    exact BIGINTs, vectors with zero reverse neighbors included via a
+    left join (rknn = 0).
+
+    Scale: all-queries top-k is the N×N cosine join — fine gated at
+    contract scale (the ann_ivf/LSH variants are the documented scale
+    path for candidate generation; rknn then rides their output)."""
+    from pyspark.sql import Window as W
+
+    from gminer_spark.sim.ann import _cos
+
+    e = embeddings.select("vec_id", "embedding")
+    pairs = (
+        e.select(F.col("vec_id").alias("q"), F.col("embedding").alias("qv"))
+        .crossJoin(
+            e.select(
+                F.col("vec_id").alias("n"), F.col("embedding").alias("nv")
+            )
+        )
+        .where(F.col("q") != F.col("n"))
+        .select(
+            "q",
+            "n",
+            F.round(_cos(F.col("qv"), F.col("nv")), 6).alias("cos"),
+        )
+    )
+    w = W.partitionBy("q").orderBy(F.desc("cos"), F.asc("n"))
+    topk = pairs.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    )
+    counts = topk.groupBy(F.col("n").alias("vec_id")).agg(
+        F.count("*").cast("long").alias("rknn")
+    )
+    return e.select("vec_id").join(counts, on="vec_id", how="left").select(
+        "vec_id", F.coalesce("rknn", F.lit(0)).cast("long").alias("rknn")
+    )
+
+
+def rknn_oracle_sql(k: int = 5) -> str:
+    """DuckDB mirror over the ``embeddings`` view — identical cosine
+    rounding, rank order, and zero-fill."""
+    return f"""
+WITH e AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS MATERIALIZED (
+    SELECT a.vec_id AS q, b.vec_id AS n,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+topk AS MATERIALIZED (
+    SELECT q, n FROM (
+        SELECT q, n,
+               ROW_NUMBER() OVER (PARTITION BY q
+                                  ORDER BY cos DESC, n ASC) AS rn
+        FROM pairs)
+    WHERE rn <= {k}),
+cnt AS MATERIALIZED (
+    SELECT n AS vec_id, CAST(COUNT(*) AS BIGINT) AS rknn
+    FROM topk GROUP BY n)
+SELECT e.vec_id, COALESCE(c.rknn, 0) AS rknn
+FROM e LEFT JOIN cnt c ON c.vec_id = e.vec_id"""

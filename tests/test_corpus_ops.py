@@ -760,3 +760,24 @@ def test_vocab_growth_hand_values(spark):
     b1, b2 = got[1], got[2]
     assert (b1["n_docs"], b1["n_tokens"], b1["n_distinct_words"]) == (2, 6, 4)
     assert (b2["n_docs"], b2["n_tokens"], b2["n_distinct_words"]) == (4, 12, 6)
+
+
+def test_rknn_counts_hub_and_outlier(spark):
+    """A tight cluster of 3 + a far outlier with k=1: cluster members
+    point at each other; nobody points at the outlier (rknn 0), the
+    outlier points at its nearest cluster member."""
+    from gminer_spark.sim.mmr import rknn_counts
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.99, 0.14]),
+            (3, [0.99, -0.14]),
+            (9, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r["rknn"] for r in rknn_counts(emb, k=1).collect()}
+    assert got[9] == 0
+    assert sum(got.values()) == 4  # every vector emits exactly one vote
+    assert got[1] >= 1  # 9's vote goes to 1 (cos -1 vs ~-0.99 for 2,3)
