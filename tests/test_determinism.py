@@ -111,3 +111,56 @@ def test_round5_micro_ops_partitioning_invariant(spark, graph):
     a, b = (run(e) for e in _variants(graph)[:2])
     for k in a:
         assert a[k] == b[k], k
+
+
+def test_round5_session2_ops_partitioning_invariant(spark, graph):
+    """Densest peel / DAG layers / k-center / widest paths / Boruvka
+    MSF / Louvain moves under different physical partitionings —
+    exact-integer trajectories, so equality is EXACT."""
+    from pyspark.sql import functions as F
+
+    from gminer_spark.graph.dag import dag_layers
+    from gminer_spark.graph.densest import densest_subgraph
+    from gminer_spark.graph.kcenter import k_center
+    from gminer_spark.graph.louvain import louvain_moves
+    from gminer_spark.graph.msf import minimum_spanning_forest
+    from gminer_spark.graph.sssp import widest_paths
+
+    def run(e):
+        out = {}
+        out["densest"] = {
+            r["id"]: (r["removal_round"], r["in_densest"])
+            for r in densest_subgraph(e, thr_num=2).collect()
+        }
+        dag = e.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        ).where(F.col("src") != F.col("dst"))
+        out["layers"] = {
+            r["id"]: r["layer"] for r in dag_layers(dag).collect()
+        }
+        out["kcenter"] = {
+            r["id"]: (r["center"], r["dist"])
+            for r in k_center(e, k=3, max_depth=8).collect()
+        }
+        we = e.select("src", "dst", (F.col("src") % 5 + 1).alias("w"))
+        srcs = e.select(F.col("src").alias("id")).distinct().where(
+            F.col("id") % 7 == 0
+        )
+        out["widest"] = {
+            r["id"]: r["bottleneck"]
+            for r in widest_paths(we, srcs).collect()
+        }
+        out["msf"] = {
+            (r["src"], r["dst"], r["w"])
+            for r in minimum_spanning_forest(we).collect()
+        }
+        out["louvain"] = {
+            r["id"]: r["community"]
+            for r in louvain_moves(e, num_rounds=3).collect()
+        }
+        return out
+
+    a, b = (run(e) for e in _variants(graph)[:2])
+    for k in a:
+        assert a[k] == b[k], k
