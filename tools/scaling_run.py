@@ -325,6 +325,73 @@ def main() -> None:
             "peel_rounds": int(chk[2]),
             "reps_sec": [round(s, 1) for s in secs],
         }
+    elif job == "louvain":
+        # 4 parity-activated modularity-move rounds on the skewed
+        # 10M-edge graph.  Community count and label sum must be
+        # IDENTICAL at both parallelism levels (exact-integer gains,
+        # md5 activation coin — partitioning-independent).
+        from pyspark.sql import functions as F
+
+        from gminer_spark.graph.louvain import louvain_moves
+
+        edges = spark.read.parquet(path).persist()
+        n_items = edges.count()
+        louvain_moves(edges.limit(200_000), num_rounds=1)  # warm-up
+        secs, chk = [], None
+        for _ in range(2):
+            t0 = time.time()
+            res = louvain_moves(edges, num_rounds=4)
+            chk = res.agg(
+                F.countDistinct("community"), F.sum("community")
+            ).first()
+            secs.append(time.time() - t0)
+        sec = min(secs)
+        throughput = n_items / sec
+        extra = {
+            "n_communities": int(chk[0]),
+            "label_sum": int(chk[1]),
+            "reps_sec": [round(s, 1) for s in secs],
+        }
+    elif job == "msf":
+        # Boruvka minimum spanning forest on the skewed 10M-edge graph
+        # (weights = h32(src:dst) % 100 + 1 — deterministic, diverse).
+        # Forest edge count and total weight must be IDENTICAL at both
+        # parallelism levels (the (w,src,dst) total order makes the
+        # forest unique).
+        from pyspark.sql import functions as F
+
+        from gminer_spark.functions import h32
+        from gminer_spark.graph.msf import minimum_spanning_forest
+
+        edges = (
+            spark.read.parquet(path)
+            .select(
+                "src",
+                "dst",
+                (
+                    h32(F.concat_ws(":", "src", "dst")) % 100 + 1
+                ).alias("w"),
+            )
+            .persist()
+        )
+        n_items = edges.count()
+        minimum_spanning_forest(edges.limit(200_000))  # warm-up
+        secs, chk = [], None
+        for _ in range(2):
+            t0 = time.time()
+            res = minimum_spanning_forest(edges)
+            chk = res.agg(
+                F.count("*"), F.sum("w"), F.max("round")
+            ).first()
+            secs.append(time.time() - t0)
+        sec = min(secs)
+        throughput = n_items / sec
+        extra = {
+            "forest_edges": int(chk[0]),
+            "forest_weight": int(chk[1]),
+            "boruvka_rounds": int(chk[2]) + 1,
+            "reps_sec": [round(s, 1) for s in secs],
+        }
     elif job in ("coloring", "matching", "trussness"):
         # the 10M-edge BOUNDED-DEGREE band (r4 verdict #6): lattice +
         # hash long-range edges (gen_sparse_edges in scaling_bench.py)
