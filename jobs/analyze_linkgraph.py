@@ -18,7 +18,10 @@ table — each output a parquet table under --output:
 * ``landmarks/``       — top-K hub landmark distance sketch
 * ``knn_profile/``     — avg-neighbor-degree degree-correlation curve
 * ``robustness/``      — hub-removal component histogram
-* ``summary.json``     — scalar stats (driver-side, one small file)
+* ``communities/``     — two-level Louvain labels (exact-int gains)
+* ``community_map/``   — quotient graph over those labels
+* ``summary.json``     — scalar stats (driver-side, one small file;
+  includes the exact global modularity of the Louvain labeling)
 
 ``--sample-mod N`` applies the deterministic h32 edge sample (keep
 edge iff h32('sub:'||src||':'||dst) % N == 0) before everything —
@@ -50,7 +53,11 @@ def main() -> None:
     from gminer_spark.graph.landmarks import landmark_sketch
     from gminer_spark.graph.pagerank import pagerank
     from gminer_spark.graph.scc import strongly_connected_components
+    from gminer_spark.graph.community_metrics import global_modularity
+    from gminer_spark.graph.louvain import louvain_two_level
+    from gminer_spark.graph.quotient import quotient_graph
     from gminer_spark.graph.snapshot import hub_removal_robustness
+    from gminer_spark.graph.tables import symmetrize
     from gminer_spark.graph.structure import avg_neighbor_degree
     from gminer_spark.session import get_spark
 
@@ -84,6 +91,14 @@ def main() -> None:
     knn.write.mode("overwrite").parquet(f"{out}/knn_profile")
     rob = hub_removal_robustness(edges, k_hubs=args.hubs)
     rob.write.mode("overwrite").parquet(f"{out}/robustness")
+    comm = louvain_two_level(edges).persist()
+    comm.write.mode("overwrite").parquet(f"{out}/communities")
+    quotient_graph(
+        edges, comm.withColumnRenamed("community", "label")
+    ).write.mode("overwrite").parquet(f"{out}/community_map")
+    mod_row = global_modularity(
+        symmetrize(edges), comm.withColumnRenamed("community", "label")
+    ).first()
 
     summary = {
         "n_edges": n_edges,
@@ -92,6 +107,8 @@ def main() -> None:
         "n_scc": scc.select("scc_id").distinct().count(),
         # None when the edge sample is empty — schema inference needs an int
         "max_coreness": core.agg(F.max("coreness")).first()[0] or 0,
+        "n_communities": int(mod_row["n_communities"]) if mod_row else 0,
+        "modularity_micro": int(mod_row["modularity_micro"]) if mod_row else 0,
         "sample_mod": args.sample_mod,
     }
     spark.createDataFrame([summary]).coalesce(1).write.mode(
