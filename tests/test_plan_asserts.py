@@ -146,3 +146,50 @@ def test_bm25_plan_topk_no_global_sort(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     # term filter must sit below the tf aggregation (pre-agg pushdown)
     assert "Filter word" in plan
+
+
+def test_itemsets_plan_join_shaped_partial_agg(spark):
+    """A-Priori level joins stay equi-join shaped with partial
+    (map-side) aggregation on the support counts."""
+    from gminer_spark.itemsets import frequent_itemsets
+
+    b = spark.createDataFrame(
+        [(i % 17, i % 11) for i in range(200)], "basket long, item long"
+    )
+    plan = _final_plan(frequent_itemsets(b, min_support=2))
+    _assert_join_shaped(plan, "itemsets")
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_hybrid_rrf_plan_topk_no_global_sort(spark):
+    """The fused ranking must be TakeOrderedAndProject (top-k), not a
+    full Sort+Limit over the candidate table."""
+    from gminer_spark.textops.retrieval import hybrid_rrf
+
+    d = spark.createDataFrame(
+        [(i, f"apple word{i} text", "en", "s", 10) for i in range(30)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = _final_plan(hybrid_rrf(d, emb, ["apple"], query_vec_id=0))
+    # the 1-row broadcast query-vector cross is a deliberate BNLJ
+    # (the ann_cosine pattern); the posture claims here are top-k
+    # and no cartesian blowup
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_allpairs_prefix_plan_join_shaped(spark):
+    """The prefix-filter candidate join must stay an equi-join on the
+    shingle key (never a cartesian verify)."""
+    from gminer_spark.textops.dedup import allpairs_jaccard
+
+    d = spark.createDataFrame(
+        [(i, "w%d x%d y z a b c d" % (i % 5, i % 3)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = _final_plan(allpairs_jaccard(d, threshold_micro=300_000))
+    _assert_join_shaped(plan, "allpairs")
