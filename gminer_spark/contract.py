@@ -1929,6 +1929,16 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["modularity_compare"] = modularity_compare
 
+    def truss_community(s, d):
+        """Truss community SEARCH (Huang et al. SIGMOD'14): the
+        maximal connected k-truss component around the min surviving
+        vertex — k-truss peel + hash-min CC + membership filter."""
+        from gminer_spark.graph.ktruss import truss_community as tc
+
+        return tc(_edges(s, d), k=KTRUSS_K, max_iter=KTRUSS_ITERS)
+
+    q["truss_community"] = truss_community
+
     def triad_census(s, d):
         """Directed triangle census (cyclic 030C vs transitive 030T)
         on the same md5-coin directed view as bowtie_regions — the
@@ -3974,6 +3984,12 @@ edges AS (
     from gminer_spark.graph.louvain import louvain_moves_oracle_sql
 
     o["louvain_moves"] = louvain_moves_oracle_sql(EDGES_CTE, num_rounds=4)
+
+    from gminer_spark.graph.ktruss import truss_community_oracle_sql
+
+    o["truss_community"] = truss_community_oracle_sql(
+        EDGES_CTE, k=KTRUSS_K, iters=KTRUSS_ITERS
+    )
 
     from gminer_spark.graph.louvain import louvain_two_level_oracle_sql
 

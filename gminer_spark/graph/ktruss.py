@@ -93,3 +93,73 @@ def ktruss_oracle_sql(edges_cte: str, k: int, iters: int) -> str:
     HAVING COUNT(*) >= {k - 2})"""
         )
     return "WITH " + ",\n".join(ctes) + f"\nSELECT src, dst FROM t{iters}"
+
+
+def truss_community(
+    edges: DataFrame, k: int, max_iter: int = 30
+) -> DataFrame:
+    """Community SEARCH (vs detection): the maximal connected k-truss
+    component containing the minimum surviving vertex id — the
+    deterministic stand-in for "the community around this query
+    vertex" (Huang et al., SIGMOD'14 truss community model: k-truss
+    edges + connectivity = the cohesive neighborhood answer).
+
+    Composes two value-green engines — :func:`k_truss` peeling and
+    hash-min CC over the surviving edges — then keeps the edges whose
+    component contains the seed (min surviving id: a pure function of
+    the edge table, mirrored in the oracle).  Returns the community's
+    canonical (src, dst) edges.
+    """
+    from pyspark.sql import functions as F
+
+    from gminer_spark.graph.cc import connected_components
+
+    truss = k_truss(edges, k, max_iter=max_iter).localCheckpoint()
+    labels = connected_components(truss).state
+    seed_comp = (
+        labels.join(
+            truss.agg(F.min("src").alias("id")), on="id"
+        ).select(F.col("component").alias("_c"))
+    )
+    members = labels.join(
+        F.broadcast(seed_comp), labels.component == F.col("_c")
+    ).select("id")
+    return (
+        truss.join(members.withColumnRenamed("id", "src"), on="src")
+        .join(members.withColumnRenamed("id", "dst"), on="dst")
+        .select("src", "dst")
+    )
+
+
+def truss_community_oracle_sql(
+    edges_cte: str, k: int, iters: int
+) -> str:
+    """Splice of the unrolled k-truss chain + a recursive CC over the
+    surviving edges + min-seed membership filter."""
+    base = ktruss_oracle_sql(edges_cte, k, iters)
+    body, sep, tail = base.rpartition("\nSELECT src, dst FROM ")
+    assert sep, "unexpected ktruss oracle shape"
+    final = tail.strip()
+    ctes = body[len("WITH ") :]
+    return f"""
+WITH RECURSIVE {ctes},
+tc_sym AS (
+    SELECT src, dst FROM {final}
+    UNION SELECT dst AS src, src AS dst FROM {final}),
+tc_verts AS (SELECT DISTINCT src AS id FROM tc_sym),
+tc_reach(id, label) AS (
+    SELECT id, id FROM tc_verts
+    UNION
+    SELECT s.dst, r.label FROM tc_reach r JOIN tc_sym s ON s.src = r.id
+),
+tc_lab AS (
+    SELECT id, MIN(label) AS component FROM tc_reach GROUP BY id),
+tc_seed AS (
+    SELECT component AS c FROM tc_lab
+    WHERE id = (SELECT MIN(src) FROM {final})),
+tc_members AS (
+    SELECT id FROM tc_lab WHERE component = (SELECT c FROM tc_seed))
+SELECT t.src, t.dst
+FROM {final} t
+JOIN tc_members a ON a.id = t.src
+JOIN tc_members b ON b.id = t.dst"""

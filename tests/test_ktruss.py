@@ -161,3 +161,21 @@ def test_bitruss_peel_fixpoint_and_support_floor(spark):
     # monotone: larger k survives a subset
     sub = bitruss(incid, k=12, max_right_deg=64).collect()
     assert {(r.lid, r.rid) for r in sub} <= {(r.lid, r.rid) for r in out}
+
+
+def test_truss_community_selects_seed_component(spark):
+    """Two disjoint K5s: k=4 truss keeps both; the community around
+    the min surviving vertex is ONLY its own clique."""
+    from tests.conftest import edges_df
+
+    from gminer_spark.graph.ktruss import truss_community
+
+    k5a = [(i, j) for i in range(1, 6) for j in range(1, 6) if i < j]
+    k5b = [(i, j) for i in range(10, 15) for j in range(10, 15) if i < j]
+    got = {
+        (r["src"], r["dst"])
+        for r in truss_community(
+            edges_df(spark, k5a + k5b + [(5, 10)]), k=4
+        ).collect()
+    }
+    assert got == set(k5a)  # the bridge and clique B excluded
