@@ -1519,6 +1519,40 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["temporal_reachability"] = temporal_reachability
 
+    def temporal_departure(s, d):
+        """Latest-departure dual (deadline day 11000 — past the data
+        range): latest time each part could 'leave' and still reach a
+        seed target time-respectingly — exact time reversal reusing
+        the value-green earliest-arrival engine."""
+        from gminer_spark.graph.temporal import latest_departure
+
+        li = gt.load_table(s, d, "lineitem").select("l_orderkey", "l_partkey")
+        od = gt.load_table(s, d, "orders").select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("t"),
+        )
+        lit = li.join(od, on="l_orderkey")
+        a, b = lit.alias("a"), lit.alias("b")
+        tedges = (
+            a.join(b, on="l_orderkey")
+            .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+            .select(
+                F.col("a.l_partkey").cast("long").alias("src"),
+                F.col("b.l_partkey").cast("long").alias("dst"),
+                F.col("a.t").alias("t"),
+            )
+        )
+        targets = (
+            tedges.select(F.col("src").alias("id"))
+            .distinct()
+            .where(F.col("id") % PPR_SEED_MOD == 0)
+        )
+        return latest_departure(tedges, targets, deadline=11_000, num_iter=4)
+
+    q["temporal_departure"] = temporal_departure
+
     def pii_scan(s, d):
         """PII detection + redaction fingerprints: the synthetic
         corpus is clean, so a deterministic doc_id-derived subset is
@@ -3799,6 +3833,13 @@ edges AS (
 )"""
     o["temporal_reachability"] = earliest_arrival_oracle_sql(
         _tedges_cte, f"v.id % {PPR_SEED_MOD} = 0", num_iter=4
+    )
+
+    from gminer_spark.graph.temporal import latest_departure_oracle_sql
+
+    o["temporal_departure"] = latest_departure_oracle_sql(
+        _tedges_cte, f"v.id % {PPR_SEED_MOD} = 0", deadline=11_000,
+        num_iter=4,
     )
 
     from gminer_spark.textops.pii import pii_scan_oracle_sql

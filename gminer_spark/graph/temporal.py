@@ -117,3 +117,69 @@ def earliest_arrival_oracle_sql(
         + ",\n".join(ctes)
         + f"\nSELECT id, arr AS arrival FROM a{num_iter}"
     )
+
+
+def latest_departure(
+    tedges: DataFrame,
+    targets: DataFrame,
+    deadline: int,
+    num_iter: int = 4,
+) -> DataFrame:
+    """(id, departure) — the LATEST time one can leave each vertex and
+    still reach a ``targets(id)`` vertex along a time-non-decreasing
+    path by ``deadline`` (the evacuation / last-call dual of
+    :func:`earliest_arrival`; Wu et al. PVLDB'14 latest-departure
+    path).
+
+    Implemented by exact time reversal — reverse every edge and map
+    t → deadline − t, run earliest-arrival from the targets, map back
+    departure = deadline − arrival — so the whole value-green
+    earliest-arrival engine (and its oracle shape) is reused rather
+    than mirrored.  Unreachable-by-deadline vertices carry
+    departure = −1.  Pure BIGINT throughout.
+    """
+    rev = tedges.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        (F.lit(int(deadline)) - F.col("t").cast("long")).alias("t"),
+    )
+    arr = earliest_arrival(rev, targets, num_iter=num_iter)
+    return arr.select(
+        "id",
+        F.when(F.col("arrival") >= F.lit(INF), F.lit(-1))
+        .otherwise(F.lit(int(deadline)) - F.col("arrival"))
+        .cast("long")
+        .alias("departure"),
+    )
+
+
+def latest_departure_oracle_sql(
+    tedges_cte: str,
+    target_pred: str,
+    deadline: int,
+    num_iter: int = 4,
+) -> str:
+    """Composed oracle: rename the caller's temporal CTE, prepend the
+    reversed/time-flipped view under the name the earliest-arrival
+    generator expects, and map the final arrival back to departure."""
+    base = tedges_cte.strip().replace("tedges AS ", "base_tedges AS ", 1)
+    flipped = (
+        base
+        + f""",
+tedges AS MATERIALIZED (
+    SELECT dst AS src, src AS dst,
+           CAST({int(deadline)} - t AS BIGINT) AS t
+    FROM base_tedges)"""
+    )
+    inner = earliest_arrival_oracle_sql(flipped, target_pred, num_iter)
+    body, sep, tail = inner.rpartition("\nSELECT id, arr AS arrival FROM ")
+    assert sep, "unexpected earliest-arrival oracle shape"
+    final = tail.strip()
+    return (
+        body
+        + f"""
+SELECT id,
+       CAST(CASE WHEN arr >= {INF} THEN -1
+                 ELSE {int(deadline)} - arr END AS BIGINT) AS departure
+FROM {final}"""
+    )

@@ -2691,3 +2691,21 @@ def test_global_modularity_hand_values(spark):
     qnum = 2 * (6 * 14 - 49)
     assert row["n_communities"] == 2
     assert row["modularity_micro"] == round(qnum / (14 * 14) * 1e6)
+
+
+def test_latest_departure_hand_values(spark):
+    """Path 1 -t=5-> 2 -t=3-> 3(target): edge times DECREASE, so 1
+    cannot reach 3 time-respectingly (departure -1) though statically
+    connected; 2 can leave as late as t=3; target departs at the
+    deadline."""
+    from gminer_spark.graph.temporal import latest_departure
+
+    te = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 3)], "src long, dst long, t long"
+    )
+    tgt = spark.createDataFrame([(3,)], "id long")
+    got = {
+        r["id"]: r["departure"]
+        for r in latest_departure(te, tgt, deadline=10, num_iter=4).collect()
+    }
+    assert got == {1: -1, 2: 3, 3: 10}
