@@ -2709,3 +2709,26 @@ def test_latest_departure_hand_values(spark):
         for r in latest_departure(te, tgt, deadline=10, num_iter=4).collect()
     }
     assert got == {1: -1, 2: 3, 3: 10}
+
+
+def test_cpm_overlapping_membership(spark):
+    """Two triangles sharing only vertex 3 stay separate communities
+    and vertex 3 belongs to BOTH (overlap — no partition method can
+    express this); adding the edge that makes them share an edge
+    merges them."""
+    from gminer_spark.graph.cpm import cpm_communities
+
+    t1 = [(1, 2), (2, 3), (1, 3)]
+    t2 = [(3, 4), (4, 5), (3, 5)]
+    got = {}
+    for r in cpm_communities(edges_df(spark, t1 + t2)).collect():
+        got.setdefault(r["id"], set()).add(r["community"])
+    assert len(got[3]) == 2  # vertex 3 overlaps both communities
+    assert got[1] != got[5] and len(got[1]) == 1
+    # make them share edge (2,3)->(3,4)? add (2,4): triangle (2,3,4)
+    merged = {}
+    for r in cpm_communities(
+        edges_df(spark, t1 + t2 + [(2, 4)])
+    ).collect():
+        merged.setdefault(r["id"], set()).add(r["community"])
+    assert merged[1] == merged[5] and len(merged[3]) == 1
