@@ -1806,6 +1806,17 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["event_bursts"] = event_bursts
 
+    def event_attribution(s, d):
+        """Last-touch conversion attribution (24h window): most
+        recent same-user view/click before each purchase, via a
+        packed-BIGINT running max (portable: no IGNORE NULLS; integer
+        div because the packed key exceeds double's 2^53)."""
+        from gminer_spark.streaming.bursts import last_touch_attribution
+
+        return last_touch_attribution(_doc(s, d, "events"))
+
+    q["event_attribution"] = event_attribution
+
     def widest_paths(s, d):
         """Maximum-bottleneck (widest) path capacity from the PPR seed
         set over shared-order weights — the max-min semiring on the
@@ -3978,6 +3989,12 @@ edges AS (
     from gminer_spark.streaming.bursts import event_bursts_oracle_sql
 
     o["event_bursts"] = event_bursts_oracle_sql(factor=3, m=3, min_count=5)
+
+    from gminer_spark.streaming.bursts import (
+        last_touch_attribution_oracle_sql,
+    )
+
+    o["event_attribution"] = last_touch_attribution_oracle_sql()
 
     from gminer_spark.graph.sssp import widest_paths_oracle_sql
 

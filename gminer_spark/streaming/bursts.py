@@ -120,3 +120,127 @@ FROM scored
 WHERE h >= hmin + {m}
   AND cnt >= {min_count}
   AND cnt * {m} >= {factor} * prev_sum"""
+
+
+ATTR_PACK = 10_000_000  # event_id < 1e7 at contract scale; at web
+# scale pack into a struct-max instead (documented)
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    touch_types: tuple = ("view", "click"),
+    conversion_type: str = "purchase",
+    window_s: int = 86_400,
+) -> DataFrame:
+    """Last-touch conversion attribution: for every conversion event,
+    the most recent SAME-USER touch event (view/click) within
+    ``window_s`` seconds — the marketing-analytics primitive over the
+    same events table the sessionizers use.
+
+    Portable exactness: the "latest preceding touch" is a running MAX
+    over a packed BIGINT key ``t·1e7 + event_id`` (monotone in the
+    (t, event_id) total order) restricted to touch rows — no
+    LAST_VALUE IGNORE NULLS (engine-dependent) and no per-row
+    subqueries; one per-user window, frame UNBOUNDED PRECEDING..1
+    PRECEDING.  Conversions with no in-window touch carry -1
+    sentinels.  Timestamps emitted as formatted strings (house rule).
+    """
+    from pyspark.sql import Window as W
+
+    ev = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("t"),
+    ).where(
+        F.col("event_type").isin(list(touch_types) + [conversion_type])
+    )
+    packed = F.when(
+        F.col("event_type").isin(list(touch_types)),
+        F.col("t") * ATTR_PACK + F.col("event_id"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("t") * ATTR_PACK + F.col("event_id"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    scored = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "t",
+        F.max(packed).over(w).alias("touch_key"),
+    ).where(F.col("event_type") == conversion_type)
+    attributed = scored.select(
+        F.col("event_id").alias("conversion_id"),
+        "user_id",
+        F.from_unixtime("t", "yyyy-MM-dd HH:mm:ss").alias("conversion_ts"),
+        F.when(
+            F.col("touch_key").isNotNull()
+            # integer `div`, not floor(x/PACK): the packed key
+            # (~1.7e16) exceeds double's 2^53 exact-integer range
+            & (
+                F.col("t") - F.expr(f"touch_key div {ATTR_PACK}")
+                <= window_s
+            ),
+            (F.col("touch_key") % ATTR_PACK),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("touch_id"),
+    )
+    touch = events.select(
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        F.from_unixtime(
+            F.unix_timestamp("ts").cast("long"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("touch_ts"),
+    )
+    return attributed.join(touch, on="touch_id", how="left").select(
+        "conversion_id",
+        "user_id",
+        "conversion_ts",
+        "touch_id",
+        F.coalesce("touch_type", F.lit("none")).alias("touch_type"),
+        F.coalesce("touch_ts", F.lit("")).alias("touch_ts"),
+    )
+
+
+def last_touch_attribution_oracle_sql(
+    touch_types: tuple = ("view", "click"),
+    conversion_type: str = "purchase",
+    window_s: int = 86_400,
+) -> str:
+    """DuckDB mirror over the ``events`` view — identical packed-key
+    running max, window frame, and sentinels."""
+    tt = ", ".join(f"'{t}'" for t in touch_types)
+    return f"""
+WITH ev AS MATERIALIZED (
+    SELECT event_id, user_id, event_type,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
+    FROM events
+    WHERE event_type IN ({tt}, '{conversion_type}')),
+scored AS MATERIALIZED (
+    SELECT event_id, user_id, event_type, t,
+           MAX(CASE WHEN event_type IN ({tt})
+                    THEN t * {ATTR_PACK} + event_id END)
+               OVER (PARTITION BY user_id
+                     ORDER BY t * {ATTR_PACK} + event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_key
+    FROM ev),
+attributed AS MATERIALIZED (
+    SELECT event_id AS conversion_id, user_id,
+           strftime(to_timestamp(t), '%Y-%m-%d %H:%M:%S')
+               AS conversion_ts,
+           CAST(CASE WHEN touch_key IS NOT NULL
+                      AND t - (touch_key // {ATTR_PACK}) <= {window_s}
+                     THEN touch_key % {ATTR_PACK} ELSE -1 END AS BIGINT)
+               AS touch_id
+    FROM scored WHERE event_type = '{conversion_type}')
+SELECT a.conversion_id, a.user_id, a.conversion_ts, a.touch_id,
+       COALESCE(e.event_type, 'none') AS touch_type,
+       COALESCE(strftime(to_timestamp(CAST(FLOOR(epoch(e.ts)) AS BIGINT)),
+                         '%Y-%m-%d %H:%M:%S'), '') AS touch_ts
+FROM attributed a
+LEFT JOIN events e ON e.event_id = a.touch_id"""

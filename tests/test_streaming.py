@@ -452,3 +452,33 @@ def test_event_bursts_hand_values(spark):
         for r in event_bursts(ev, factor=3, m=3, min_count=5).collect()
     }
     assert got == {("A", "2024-01-01 04:00"): (9, 6)}
+
+
+def test_last_touch_attribution_hand_values(spark):
+    """User 1: click then purchase (attributed), then a purchase 2
+    days later (outside the 24h window: -1); user 2: purchase with no
+    touch (-1); latest of two touches wins."""
+    import datetime as dt
+
+    from gminer_spark.streaming.bursts import last_touch_attribution
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 1, "view", 0.0, ""),
+        (2, t0 + dt.timedelta(minutes=5), 1, "click", 0.0, ""),
+        (3, t0 + dt.timedelta(minutes=10), 1, "purchase", 9.0, ""),
+        (4, t0 + dt.timedelta(days=2), 1, "purchase", 9.0, ""),
+        (5, t0, 2, "purchase", 5.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        r["conversion_id"]: (r["touch_id"], r["touch_type"])
+        for r in last_touch_attribution(ev).collect()
+    }
+    assert got[3] == (2, "click")  # latest touch wins over the view
+    assert got[4] == (-1, "none")  # outside the 24h window
+    assert got[5] == (-1, "none")  # no touch at all
