@@ -3290,6 +3290,16 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["kmeans_embeddings"] = kmeans_embeddings
 
+    def kmeans_purity(s, d):
+        """Cluster purity of the Lloyd assignment vs the embeddings
+        ground-truth label column (external validation): per-cluster
+        majority label + counts, ties to the smaller label."""
+        from gminer_spark.sim.kmeans import kmeans_purity as kp
+
+        return kp(_doc(s, d, "embeddings"), k=8, num_iter=3)
+
+    q["kmeans_purity"] = kmeans_purity
+
     def kmeans_reps(s, d):
         """One representative per k-means cluster (member closest to
         the final centroid) — diversity sampling: k spread-out
@@ -5000,6 +5010,10 @@ FROM reach GROUP BY id
     )
 
     o["kmeans_embeddings"] = kmeans_oracle_sql(8, 3)
+
+    from gminer_spark.sim.kmeans import kmeans_purity_oracle_sql
+
+    o["kmeans_purity"] = kmeans_purity_oracle_sql(k=8, num_iter=3)
     o["kmeans_reps"] = kmeans_representatives_oracle_sql(8, 3)
 
     o["multimodal_meta"] = """

@@ -244,3 +244,66 @@ SELECT cluster, size, rep_id, rep_sqdist FROM (
   FROM afinal)
 WHERE rn = 1"""
     )
+
+
+def kmeans_purity(
+    embeddings: DataFrame, k: int = 8, num_iter: int = 3
+) -> DataFrame:
+    """(cluster, n_points, majority_label, n_majority) — cluster
+    purity of the deterministic Lloyd assignment against the
+    embeddings table's ground-truth ``label`` column: the standard
+    external-validation row (overall purity = Σ n_majority / Σ
+    n_points, assembled by the caller from exact integers).
+
+    Majority ties break to the smaller label (max over
+    (count, −label) structs — total order both engines).  One count
+    shuffle on (cluster, label) over the value-green assignment.
+    """
+    assign = kmeans(embeddings, k=k, num_iter=num_iter)
+    joined = assign.join(
+        embeddings.select("vec_id", F.col("label").cast("long").alias("label")),
+        on="vec_id",
+    )
+    per = joined.groupBy("cluster", "label").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    best = per.groupBy("cluster").agg(
+        F.sum("cnt").cast("long").alias("n_points"),
+        F.max(
+            F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))
+        ).alias("b"),
+    )
+    return best.select(
+        "cluster",
+        "n_points",
+        (-F.col("b.neg")).cast("long").alias("majority_label"),
+        F.col("b.cnt").cast("long").alias("n_majority"),
+    )
+
+
+def kmeans_purity_oracle_sql(
+    k: int = 8, num_iter: int = 3, table: str = "embeddings"
+) -> str:
+    """Reuses the unrolled Lloyd chain (``_oracle_ctes`` → afinal)
+    and mirrors the majority aggregation."""
+    ctes = _oracle_ctes(k, num_iter, table)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+pl AS MATERIALIZED (
+    SELECT a.cid AS cluster, CAST(e.label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM afinal a JOIN {table} e ON e.vec_id = a.vec_id
+    GROUP BY a.cid, e.label)
+SELECT cluster,
+       CAST(SUM(cnt) AS BIGINT) AS n_points,
+       CAST(MIN(label) FILTER (WHERE rn = 1) AS BIGINT) AS majority_label,
+       CAST(MAX(cnt) FILTER (WHERE rn = 1) AS BIGINT) AS n_majority
+FROM (
+    SELECT cluster, label, cnt,
+           ROW_NUMBER() OVER (PARTITION BY cluster
+                              ORDER BY cnt DESC, label ASC) AS rn
+    FROM pl)
+GROUP BY cluster"""
+    )

@@ -781,3 +781,25 @@ def test_rknn_counts_hub_and_outlier(spark):
     assert got[9] == 0
     assert sum(got.values()) == 4  # every vector emits exactly one vote
     assert got[1] >= 1  # 9's vote goes to 1 (cos -1 vs ~-0.99 for 2,3)
+
+
+def test_kmeans_purity_hand_values(spark):
+    """Two well-separated blobs with known labels; k=2 Lloyd finds
+    them, purity rows carry exact majority counts (one point
+    mislabeled on purpose)."""
+    from gminer_spark.sim.kmeans import kmeans_purity
+
+    rows = (
+        [(i, [10.0 + (i % 3) * 0.1, 0.0], 1) for i in range(5)]
+        + [(5, [10.2, 0.05], 2)]                 # mislabeled in blob A
+        + [(10 + i, [-10.0 - (i % 3) * 0.1, 0.0], 2) for i in range(5)]
+    )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        r["cluster"]: (r["n_points"], r["majority_label"], r["n_majority"])
+        for r in kmeans_purity(emb, k=2, num_iter=3).collect()
+    }
+    stats = sorted(got.values())
+    assert stats == [(5, 2, 5), (6, 1, 5)]
