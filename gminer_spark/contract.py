@@ -1974,6 +1974,54 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["modularity_compare"] = modularity_compare
 
+    def partition_ari(s, d):
+        """Adjusted Rand Index between the LPA(3) and Louvain(4)
+        partitions — exact pair-counting: every C(n,2) term and cross
+        product in BIGINT, ONE final micro division.  The agreement
+        scalar that tells a user whether two community methods see
+        the same structure."""
+        from gminer_spark.graph.louvain import louvain_moves
+        from gminer_spark.graph.lpa import label_propagation
+
+        e = _edges(s, d)
+        a = label_propagation(e, num_iter=LPA_ITERS).state.select(
+            "id", F.col("label").alias("la")
+        )
+        b = louvain_moves(e, num_rounds=4).select(
+            "id", F.col("community").alias("lb")
+        )
+        ct = (
+            a.join(b, on="id")
+            .groupBy("la", "lb")
+            .agg(F.count("*").cast("long").alias("nij"))
+        )
+        s_ij = ct.agg(
+            F.sum(F.col("nij") * (F.col("nij") - 1) / 2).cast("long")
+        ).first()[0]
+        s_a = (
+            ct.groupBy("la")
+            .agg(F.sum("nij").alias("ai"))
+            .agg(F.sum(F.col("ai") * (F.col("ai") - 1) / 2).cast("long"))
+            .first()[0]
+        )
+        s_b = (
+            ct.groupBy("lb")
+            .agg(F.sum("nij").alias("bj"))
+            .agg(F.sum(F.col("bj") * (F.col("bj") - 1) / 2).cast("long"))
+            .first()[0]
+        )
+        n = a.count()
+        cn2 = n * (n - 1) // 2
+        num = 2 * s_ij * cn2 - 2 * s_a * s_b
+        den = (s_a + s_b) * cn2 - 2 * s_a * s_b
+        ari_micro = round(num / den * 1e6) if den else 0
+        return s.createDataFrame(
+            [(int(n), int(s_ij), int(s_a), int(s_b), int(ari_micro))],
+            "n long, s_ij long, s_a long, s_b long, ari_micro long",
+        )
+
+    q["partition_ari"] = partition_ari
+
     def truss_community(s, d):
         """Truss community SEARCH (Huang et al. SIGMOD'14): the
         maximal connected k-truss component around the min surviving
@@ -4141,6 +4189,48 @@ edges AS (
                      * CAST((SELECT m2 FROM qm2) AS DOUBLE))
                   * 1e6) AS BIGINT) AS modularity_micro
 FROM {prefix}_q"""
+
+    # partition_ari: same chain-splice as modularity_compare, but only
+    # LPA + the one-level Louvain chain (no w_* level needed)
+    _lv1_q = louvain_moves_oracle_sql_local = __import__(
+        "gminer_spark.graph.louvain", fromlist=["louvain_moves_oracle_sql"]
+    ).louvain_moves_oracle_sql(EDGES_CTE, num_rounds=4)
+    _lv1_body, _s3, _ = _lv1_q.rpartition("\nSELECT id, CAST(community")
+    assert _s3, "unexpected louvain oracle shape"
+    _lv1_ctes_full = _lv1_body[len("WITH ") :]
+    assert _lv1_ctes_full.startswith(EDGES_CTE.strip())
+    _lv1_ctes = _lv1_ctes_full[len(EDGES_CTE.strip() + ",\n") :]
+
+    o["partition_ari"] = (
+        "WITH "
+        + _lpa_ctes
+        + ",\n"
+        + _lv1_ctes
+        + f""",
+ari_ct AS MATERIALIZED (
+    SELECT a.label AS la, b.community AS lb,
+           CAST(COUNT(*) AS BIGINT) AS nij
+    FROM {_lpa_final} a JOIN cm4 b ON b.id = a.id
+    GROUP BY 1, 2),
+ari_s AS MATERIALIZED (
+    SELECT CAST(SUM(nij * (nij - 1) / 2) AS BIGINT) AS s_ij
+    FROM ari_ct),
+ari_a AS MATERIALIZED (
+    SELECT CAST(SUM(ai * (ai - 1) / 2) AS BIGINT) AS s_a FROM (
+        SELECT SUM(nij) AS ai FROM ari_ct GROUP BY la)),
+ari_b AS MATERIALIZED (
+    SELECT CAST(SUM(bj * (bj - 1) / 2) AS BIGINT) AS s_b FROM (
+        SELECT SUM(nij) AS bj FROM ari_ct GROUP BY lb)),
+ari_n AS MATERIALIZED (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS cn2
+    FROM {_lpa_final})
+SELECT n.n, s.s_ij, a.s_a, b.s_b,
+       CAST(ROUND(CAST(2 * s.s_ij * n.cn2 - 2 * a.s_a * b.s_b AS DOUBLE)
+                  / CAST((a.s_a + b.s_b) * n.cn2 - 2 * a.s_a * b.s_b
+                         AS DOUBLE) * 1e6) AS BIGINT) AS ari_micro
+FROM ari_n n, ari_s s, ari_a a, ari_b b"""
+    )
 
     o["modularity_compare"] = (
         "WITH "

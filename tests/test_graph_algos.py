@@ -2732,3 +2732,35 @@ def test_cpm_overlapping_membership(spark):
     ).collect():
         merged.setdefault(r["id"], set()).add(r["community"])
     assert merged[1] == merged[5] and len(merged[3]) == 1
+
+
+def test_partition_ari_extremes(spark):
+    """ARI formula sanity via the same exact-integer assembly the
+    contract query uses: identical partitions -> 1e6; a maximally
+    split vs merged pair -> 0 (the ARI null)."""
+
+    def ari(pairs_a, pairs_b):
+        import collections
+
+        ct = collections.Counter(zip(pairs_a, pairs_b))
+        n = len(pairs_a)
+
+        def c2(x):
+            return x * (x - 1) // 2
+
+        s_ij = sum(c2(v) for v in ct.values())
+        s_a = sum(
+            c2(v) for v in collections.Counter(pairs_a).values()
+        )
+        s_b = sum(
+            c2(v) for v in collections.Counter(pairs_b).values()
+        )
+        cn2 = c2(n)
+        num = 2 * s_ij * cn2 - 2 * s_a * s_b
+        den = (s_a + s_b) * cn2 - 2 * s_a * s_b
+        return round(num / den * 1e6) if den else 0
+
+    same = [1, 1, 2, 2, 3, 3]
+    assert ari(same, [9, 9, 8, 8, 7, 7]) == 1_000_000
+    # all-singletons vs all-one-cluster: s_ij = s_a = 0 -> ARI 0
+    assert ari(list(range(6)), [1] * 6) == 0
