@@ -1817,6 +1817,17 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["event_attribution"] = event_attribution
 
+    def event_attribution_first(s, d):
+        """First-touch dual (campaign origin): earliest in-window
+        same-user touch via a RANGE-framed MIN over the packed key
+        (last-touch could use an unbounded frame; the earliest
+        in-window one needs the range bound)."""
+        from gminer_spark.streaming.bursts import first_touch_attribution
+
+        return first_touch_attribution(_doc(s, d, "events"))
+
+    q["event_attribution_first"] = event_attribution_first
+
     def widest_paths(s, d):
         """Maximum-bottleneck (widest) path capacity from the PPR seed
         set over shared-order weights — the max-min semiring on the
@@ -4053,6 +4064,12 @@ edges AS (
     )
 
     o["event_attribution"] = last_touch_attribution_oracle_sql()
+
+    from gminer_spark.streaming.bursts import (
+        first_touch_attribution_oracle_sql,
+    )
+
+    o["event_attribution_first"] = first_touch_attribution_oracle_sql()
 
     from gminer_spark.graph.sssp import widest_paths_oracle_sql
 

@@ -244,3 +244,102 @@ SELECT a.conversion_id, a.user_id, a.conversion_ts, a.touch_id,
                          '%Y-%m-%d %H:%M:%S'), '') AS touch_ts
 FROM attributed a
 LEFT JOIN events e ON e.event_id = a.touch_id"""
+
+
+def first_touch_attribution(
+    events: DataFrame,
+    touch_types: tuple = ("view", "click"),
+    conversion_type: str = "purchase",
+    window_s: int = 86_400,
+) -> DataFrame:
+    """First-touch dual of :func:`last_touch_attribution`: the
+    EARLIEST same-user touch within the window before each conversion
+    (campaign-origin attribution).  Same packed-key discipline, but a
+    RANGE frame — ``window_s·PACK PRECEDING .. 1 PRECEDING`` over the
+    packed order — with MIN, so only in-window touches are candidates
+    (the last-touch MAX could use an unbounded frame because later
+    always wins; the earliest in-window touch needs the range
+    bound)."""
+    from pyspark.sql import Window as W
+
+    ev = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("long").alias("t"),
+    ).where(
+        F.col("event_type").isin(list(touch_types) + [conversion_type])
+    )
+    packed = F.when(
+        F.col("event_type").isin(list(touch_types)),
+        F.col("t") * ATTR_PACK + F.col("event_id"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("t") * ATTR_PACK + F.col("event_id"))
+        .rangeBetween(-window_s * ATTR_PACK, -1)
+    )
+    scored = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "t",
+        F.min(packed).over(w).alias("touch_key"),
+    ).where(F.col("event_type") == conversion_type)
+    attributed = scored.select(
+        F.col("event_id").alias("conversion_id"),
+        "user_id",
+        F.from_unixtime("t", "yyyy-MM-dd HH:mm:ss").alias("conversion_ts"),
+        F.coalesce(
+            F.col("touch_key") % ATTR_PACK, F.lit(-1)
+        ).cast("long").alias("touch_id"),
+    )
+    touch = events.select(
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        F.from_unixtime(
+            F.unix_timestamp("ts").cast("long"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("touch_ts"),
+    )
+    return attributed.join(touch, on="touch_id", how="left").select(
+        "conversion_id",
+        "user_id",
+        "conversion_ts",
+        "touch_id",
+        F.coalesce("touch_type", F.lit("none")).alias("touch_type"),
+        F.coalesce("touch_ts", F.lit("")).alias("touch_ts"),
+    )
+
+
+def first_touch_attribution_oracle_sql(
+    touch_types: tuple = ("view", "click"),
+    conversion_type: str = "purchase",
+    window_s: int = 86_400,
+) -> str:
+    """DuckDB mirror — identical packed-key RANGE frame and MIN."""
+    tt = ", ".join(f"'{t}'" for t in touch_types)
+    return f"""
+WITH ev AS MATERIALIZED (
+    SELECT event_id, user_id, event_type,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS t
+    FROM events
+    WHERE event_type IN ({tt}, '{conversion_type}')),
+scored AS MATERIALIZED (
+    SELECT event_id, user_id, event_type, t,
+           MIN(CASE WHEN event_type IN ({tt})
+                    THEN t * {ATTR_PACK} + event_id END)
+               OVER (PARTITION BY user_id
+                     ORDER BY t * {ATTR_PACK} + event_id
+                     RANGE BETWEEN CAST({window_s} AS BIGINT) * {ATTR_PACK} PRECEDING
+                           AND 1 PRECEDING)
+               AS touch_key
+    FROM ev)
+SELECT s.event_id AS conversion_id, s.user_id,
+       strftime(to_timestamp(s.t), '%Y-%m-%d %H:%M:%S') AS conversion_ts,
+       CAST(COALESCE(s.touch_key % {ATTR_PACK}, -1) AS BIGINT) AS touch_id,
+       COALESCE(e.event_type, 'none') AS touch_type,
+       COALESCE(strftime(to_timestamp(CAST(FLOOR(epoch(e.ts)) AS BIGINT)),
+                         '%Y-%m-%d %H:%M:%S'), '') AS touch_ts
+FROM scored s
+LEFT JOIN events e ON e.event_id = s.touch_key % {ATTR_PACK}
+WHERE s.event_type = '{conversion_type}'"""

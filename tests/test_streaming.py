@@ -482,3 +482,31 @@ def test_last_touch_attribution_hand_values(spark):
     assert got[3] == (2, "click")  # latest touch wins over the view
     assert got[4] == (-1, "none")  # outside the 24h window
     assert got[5] == (-1, "none")  # no touch at all
+
+
+def test_first_touch_attribution_hand_values(spark):
+    """View then click then purchase: FIRST touch (the view) wins —
+    the dual of last-touch; outside-window touches excluded."""
+    import datetime as dt
+
+    from gminer_spark.streaming.bursts import first_touch_attribution
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 1, "view", 0.0, ""),
+        (2, t0 + dt.timedelta(minutes=5), 1, "click", 0.0, ""),
+        (3, t0 + dt.timedelta(minutes=10), 1, "purchase", 9.0, ""),
+        (6, t0 - dt.timedelta(days=3), 4, "click", 0.0, ""),
+        (7, t0, 4, "purchase", 9.0, ""),  # only touch is 3 days old
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        r["conversion_id"]: (r["touch_id"], r["touch_type"])
+        for r in first_touch_attribution(ev).collect()
+    }
+    assert got[3] == (1, "view")
+    assert got[7] == (-1, "none")
