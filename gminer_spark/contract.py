@@ -3359,6 +3359,17 @@ def build_queries() -> dict[str, QueryFn]:
 
     q["kmeans_purity"] = kmeans_purity
 
+    def kmeans_silhouette(s, d):
+        """Simplified (centroid-based, squared-distance) silhouette
+        per cluster — internal validation, linear in points*k (the
+        pairwise silhouette is quadratic and dead at scale); exact
+        BIGINT sqdists from the micro-quantized vectors."""
+        from gminer_spark.sim.kmeans import kmeans_silhouette as ks
+
+        return ks(_doc(s, d, "embeddings"), k=8, num_iter=3)
+
+    q["kmeans_silhouette"] = kmeans_silhouette
+
     def kmeans_reps(s, d):
         """One representative per k-means cluster (member closest to
         the final centroid) — diversity sampling: k spread-out
@@ -5121,6 +5132,10 @@ FROM reach GROUP BY id
     from gminer_spark.sim.kmeans import kmeans_purity_oracle_sql
 
     o["kmeans_purity"] = kmeans_purity_oracle_sql(k=8, num_iter=3)
+
+    from gminer_spark.sim.kmeans import kmeans_silhouette_oracle_sql
+
+    o["kmeans_silhouette"] = kmeans_silhouette_oracle_sql(k=8, num_iter=3)
     o["kmeans_reps"] = kmeans_representatives_oracle_sql(8, 3)
 
     o["multimodal_meta"] = """

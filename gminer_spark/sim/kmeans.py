@@ -66,6 +66,7 @@ def kmeans(
     num_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    return_centroids: bool = False,
 ) -> DataFrame:
     """(vec_id, cluster, sqdist) — Lloyd assignments after
     ``num_iter`` update rounds (assignment recomputed against the
@@ -126,10 +127,11 @@ def kmeans(
         # empty clusters keep their previous centroid
         cents = [(cid, new.get(cid, cv)) for cid, cv in cents]
 
-    final = assign(
-        spark.createDataFrame(cents, "cid int, cv array<bigint>")
-    )
+    cdf_final = spark.createDataFrame(cents, "cid int, cv array<bigint>")
+    final = assign(cdf_final)
     q.unpersist()
+    if return_centroids:
+        return final, cdf_final
     return final
 
 
@@ -305,5 +307,105 @@ FROM (
            ROW_NUMBER() OVER (PARTITION BY cluster
                               ORDER BY cnt DESC, label ASC) AS rn
     FROM pl)
+GROUP BY cluster"""
+    )
+
+
+def kmeans_silhouette(
+    embeddings: DataFrame, k: int = 8, num_iter: int = 3
+) -> DataFrame:
+    """(cluster, n_points, sil_sum_micro, sil_mean_micro) — the
+    SIMPLIFIED (centroid-based, squared-distance) silhouette per
+    cluster: per point s = (b − a)·1e6 / max(a, b) with a = sqdist to
+    the own centroid and b = sqdist to the nearest OTHER centroid —
+    linear in |points|·k (the classic pairwise silhouette is
+    quadratic and dead at scale; this is the standard sklearn-style
+    compromise, on SQUARED distances so every input is an exact
+    BIGINT from the micro-quantized vectors).
+
+    Per-point scores are micro-rounded once (one double division);
+    the per-cluster sum is exact BIGINT and the mean is one further
+    division.  Internal-validation complement to the external
+    :func:`kmeans_purity`.
+    """
+    final, cdf = kmeans(
+        embeddings, k=k, num_iter=num_iter, return_centroids=True
+    )
+    q = _quantize(embeddings, "vec_id", "embedding")
+    pairs = q.crossJoin(F.broadcast(cdf)).select(
+        "vec_id", "cid", _sqdist(F.col("q"), F.col("cv")).alias("d2")
+    )
+    second = (
+        pairs.join(
+            final.select("vec_id", F.col("cluster").alias("own")),
+            on="vec_id",
+        )
+        .where(F.col("cid") != F.col("own"))
+        .groupBy("vec_id")
+        .agg(F.min("d2").alias("b2"))
+    )
+    per_point = final.join(second, on="vec_id").select(
+        "cluster",
+        F.when(
+            F.greatest(F.col("sqdist"), F.col("b2")) == 0, F.lit(0)
+        )
+        .otherwise(
+            F.round(
+                (F.col("b2") - F.col("sqdist")).cast("double")
+                / F.greatest(F.col("sqdist"), F.col("b2")).cast("double")
+                * 1e6,
+                0,
+            ).cast("long")
+        )
+        .alias("s_micro"),
+    )
+    return per_point.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sum("s_micro").cast("long").alias("sil_sum_micro"),
+        F.round(
+            F.sum("s_micro").cast("double") / F.count("*"), 0
+        ).cast("long").alias("sil_mean_micro"),
+    )
+
+
+def kmeans_silhouette_oracle_sql(
+    k: int = 8, num_iter: int = 3, table: str = "embeddings"
+) -> str:
+    """Reuses the unrolled Lloyd chain; recomputes the all-centroid
+    distance pairs against the FINAL centroid CTE for the second-best
+    distance, then mirrors the micro assembly."""
+    ctes = _oracle_ctes(k, num_iter, table)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+sil_pairs AS MATERIALIZED (
+    SELECT q.vec_id, c.cid,
+           CAST(list_dot_product(CAST(q.qv AS DOUBLE[]),
+                                 CAST(q.qv AS DOUBLE[]))
+                - 2 * list_dot_product(CAST(q.qv AS DOUBLE[]),
+                                       CAST(c.cv AS DOUBLE[]))
+                + list_dot_product(CAST(c.cv AS DOUBLE[]),
+                                   CAST(c.cv AS DOUBLE[]))
+                AS BIGINT) AS d2
+    FROM q CROSS JOIN c{num_iter} c),
+sil_second AS MATERIALIZED (
+    SELECT p.vec_id, MIN(p.d2) AS b2
+    FROM sil_pairs p JOIN afinal a ON a.vec_id = p.vec_id
+    WHERE p.cid <> a.cid
+    GROUP BY p.vec_id),
+sil_pp AS MATERIALIZED (
+    SELECT a.cid AS cluster,
+           CASE WHEN GREATEST(a.sqdist, s.b2) = 0 THEN 0
+                ELSE CAST(ROUND(CAST(s.b2 - a.sqdist AS DOUBLE)
+                     / CAST(GREATEST(a.sqdist, s.b2) AS DOUBLE)
+                     * 1e6) AS BIGINT) END AS s_micro
+    FROM afinal a JOIN sil_second s ON s.vec_id = a.vec_id)
+SELECT cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(s_micro) AS BIGINT) AS sil_sum_micro,
+       CAST(ROUND(CAST(SUM(s_micro) AS DOUBLE) / COUNT(*)) AS BIGINT)
+           AS sil_mean_micro
+FROM sil_pp
 GROUP BY cluster"""
     )

@@ -803,3 +803,20 @@ def test_kmeans_purity_hand_values(spark):
     }
     stats = sorted(got.values())
     assert stats == [(5, 2, 5), (6, 1, 5)]
+
+
+def test_kmeans_silhouette_separated_blobs(spark):
+    """Two tight, well-separated blobs: simplified silhouette near
+    1e6 for every cluster (b >> a)."""
+    from gminer_spark.sim.kmeans import kmeans_silhouette
+
+    rows = [
+        (i, [10.0 + (i % 3) * 0.01, 0.0], 0) for i in range(6)
+    ] + [(10 + i, [-10.0 - (i % 3) * 0.01, 0.0], 1) for i in range(6)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = kmeans_silhouette(emb, k=2, num_iter=3).collect()
+    assert len(got) == 2
+    for r in got:
+        assert r["sil_mean_micro"] > 990_000, r
