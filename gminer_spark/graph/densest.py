@@ -132,85 +132,94 @@ def densest_subgraph(
 
 
 def densest_subgraph_oracle_sql(
-    edges_cte: str, thr_num: int = 2, rounds: int = 16
+    edges_cte: str, thr_num: int = 2, rounds: int = 16, prefix: str = ""
 ) -> str:
-    """Unrolled peel rounds over a CTE ``edges(src, dst)``.
+    """Unrolled peel rounds over a CTE ``{prefix}edges(src, dst)``.
     ``rounds`` must cover the engine's natural stop at the contract
     scale (each round removes at least the at-most-average half, so
     depth grows ~log n; the compare fails loudly if short).  Best
-    round by the same exact cross-product rule, ties earliest."""
+    round by the same exact cross-product rule, ties earliest.
+    ``prefix`` namespaces every generated CTE (and the edges
+    reference) so several chains can share one WITH scope — the
+    top-K iterated extraction."""
+    p = prefix
     ctes = [
         f"{edges_cte.strip()}",
-        """dsym AS MATERIALIZED (
-    SELECT src, dst FROM edges WHERE src <> dst
+        f"""{p}dsym AS MATERIALIZED (
+    SELECT src, dst FROM {p}edges WHERE src <> dst
     UNION
-    SELECT dst, src FROM edges WHERE src <> dst)""",
-        "s0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM dsym)",
+    SELECT dst, src FROM {p}edges WHERE src <> dst)""",
+        f"{p}s0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM {p}dsym)",
     ]
     stat_rows = []
     rem_rows = []
     for k in range(rounds):
         ctes.append(
-            f"""d{k} AS MATERIALIZED (
+            f"""{p}d{k} AS MATERIALIZED (
     SELECT s.id, CAST(COALESCE(c.d, 0) AS BIGINT) AS deg
-    FROM s{k} s LEFT JOIN (
+    FROM {p}s{k} s LEFT JOIN (
         SELECT e.src AS id, COUNT(*) AS d
-        FROM dsym e
-        JOIN s{k} a ON e.src = a.id
-        JOIN s{k} b ON e.dst = b.id
+        FROM {p}dsym e
+        JOIN {p}s{k} a ON e.src = a.id
+        JOIN {p}s{k} b ON e.dst = b.id
         GROUP BY e.src) c
     ON s.id = c.id)"""
         )
         ctes.append(
-            f"""st{k} AS MATERIALIZED (
+            f"""{p}st{k} AS MATERIALIZED (
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
            CAST(COALESCE(SUM(deg), 0) AS BIGINT) AS m2
-    FROM d{k})"""
+    FROM {p}d{k})"""
         )
         ctes.append(
-            f"""r{k} AS MATERIALIZED (
-    SELECT d.id FROM d{k} d, st{k} t
+            f"""{p}r{k} AS MATERIALIZED (
+    SELECT d.id FROM {p}d{k} d, {p}st{k} t
     WHERE t.m2 > 0 AND d.deg * t.n <= {thr_num} * t.m2)"""
         )
         ctes.append(
-            f"""s{k + 1} AS MATERIALIZED (
-    SELECT a.id FROM s{k} a
-    WHERE NOT EXISTS (SELECT 1 FROM r{k} r WHERE r.id = a.id))"""
+            f"""{p}s{k + 1} AS MATERIALIZED (
+    SELECT a.id FROM {p}s{k} a
+    WHERE NOT EXISTS (SELECT 1 FROM {p}r{k} r WHERE r.id = a.id))"""
         )
-        stat_rows.append(f"SELECT {k} AS rnd, n, m2 FROM st{k} WHERE m2 > 0")
+        stat_rows.append(
+            f"SELECT {k} AS rnd, n, m2 FROM {p}st{k} WHERE m2 > 0"
+        )
         rem_rows.append(
-            f"SELECT id, CAST({k} AS BIGINT) AS removal_round FROM r{k}"
+            f"SELECT id, CAST({k} AS BIGINT) AS removal_round FROM {p}r{k}"
         )
     ctes.append(
-        "hist AS MATERIALIZED (" + "\nUNION ALL\n".join(stat_rows) + ")"
+        f"{p}hist AS MATERIALIZED ("
+        + "\nUNION ALL\n".join(stat_rows)
+        + ")"
     )
     # natural stop round = last m2>0 round + 1 (0 when no edges at all)
     ctes.append(
-        "lastr AS (SELECT COALESCE(MAX(rnd) + 1, 0) AS stopr FROM hist)"
+        f"{p}lastr AS (SELECT COALESCE(MAX(rnd) + 1, 0) AS stopr "
+        f"FROM {p}hist)"
     )
     ctes.append(
-        """bestr AS (
+        f"""{p}bestr AS (
     SELECT COALESCE((
-        SELECT rnd FROM hist h
+        SELECT rnd FROM {p}hist h
         WHERE NOT EXISTS (
-            SELECT 1 FROM hist o
+            SELECT 1 FROM {p}hist o
             WHERE o.m2 * h.n > h.m2 * o.n
                OR (o.m2 * h.n = h.m2 * o.n AND o.rnd < h.rnd))
         LIMIT 1), 0) AS br)"""
     )
     ctes.append(
-        "remall AS MATERIALIZED ("
+        f"{p}remall AS MATERIALIZED ("
         + "\nUNION ALL\n".join(rem_rows)
         + f"""
 UNION ALL
-SELECT s.id, CAST((SELECT stopr FROM lastr) AS BIGINT) AS removal_round
-FROM s{rounds} s)"""
+SELECT s.id, CAST((SELECT stopr FROM {p}lastr) AS BIGINT) AS removal_round
+FROM {p}s{rounds} s)"""
     )
     return (
         "WITH "
         + ",\n".join(ctes)
-        + """
+        + f"""
 SELECT id, removal_round,
-       removal_round >= (SELECT br FROM bestr) AS in_densest
-FROM remall"""
+       removal_round >= (SELECT br FROM {p}bestr) AS in_densest
+FROM {p}remall"""
     )
