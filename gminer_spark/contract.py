@@ -2001,10 +2001,14 @@ def build_queries() -> dict[str, QueryFn]:
         b = louvain_moves(e, num_rounds=4).select(
             "id", F.col("community").alias("lb")
         )
+        # materialize the contingency table ONCE (r5 advice): the four
+        # scalar actions below would otherwise re-run the LPA⋈Louvain
+        # join + aggregate per action over unpersisted lineage
         ct = (
             a.join(b, on="id")
             .groupBy("la", "lb")
             .agg(F.count("*").cast("long").alias("nij"))
+            .localCheckpoint()
         )
         s_ij = ct.agg(
             F.sum(F.col("nij") * (F.col("nij") - 1) / 2).cast("long")
@@ -2763,8 +2767,15 @@ def build_queries() -> dict[str, QueryFn]:
     # -- 8. labeled pattern match (SURVEY §2.10 GM) ---------------------------
     def pattern_match(s, d):
         """Count matches of pattern a–b, a–c, b–c, b–d
-        (apps/graphmatch.cpp) on the sparsely-labeled co-purchase graph."""
-        sym = gt.symmetrize(_edges(s, d))
+        (apps/graphmatch.cpp) on the sparsely-labeled co-purchase graph.
+
+        ``sym`` and ``lab`` are materialized once: the 4-edge pattern
+        references the symmetric view four times and the label table
+        four times, and without the barrier the lineitem self-join
+        appears ~124 times in the physical plan (r6 plan audit —
+        ReuseExchange dedups some at runtime, but planning and the
+        un-reused subtrees still pay)."""
+        sym = gt.symmetrize(_edges(s, d)).localCheckpoint()
         lab = gt.vertices(sym).select(
             "id",
             F.when(F.pmod(F.col("id"), F.lit(29)) == 0, "a")
@@ -2772,7 +2783,7 @@ def build_queries() -> dict[str, QueryFn]:
             .when(F.pmod(F.col("id"), F.lit(29)) == 2, "c")
             .when(F.pmod(F.col("id"), F.lit(29)) == 3, "d")
             .alias("lbl"),
-        ).where(F.col("lbl").isNotNull())
+        ).where(F.col("lbl").isNotNull()).localCheckpoint()
         la = lab.where(F.col("lbl") == "a").select(F.col("id").alias("va"))
         lb = lab.where(F.col("lbl") == "b").select(F.col("id").alias("vb"))
         lc = lab.where(F.col("lbl") == "c").select(F.col("id").alias("vc"))

@@ -44,6 +44,13 @@ def _bfs_levels(sym: DataFrame, sources: DataFrame, max_depth: int) -> list[Data
         "s", F.col("s").alias("v"), F.lit(1).cast("long").alias("sigma")
     ).localCheckpoint()
     levels = [frontier]
+    # ONE action per level (was three: eager checkpoint + isEmpty +
+    # eager visited re-materialization): the level is checkpointed
+    # lazily and the count() that doubles as the emptiness test
+    # materializes it.  ``visited`` stays a LAZY union of the already-
+    # checkpointed level frames — re-materializing the growing union
+    # each level cost an extra O(Σ|levels|) scan per level for nothing
+    # (the anti-join reads the cached level blocks either way).
     visited = frontier.select("s", "v")
     for _ in range(max_depth):
         cand = (
@@ -53,11 +60,13 @@ def _bfs_levels(sym: DataFrame, sources: DataFrame, max_depth: int) -> list[Data
             .groupBy("s", "v")
             .agg(F.sum("sigma").alias("sigma"))
         )
-        nxt = cand.join(visited, on=["s", "v"], how="left_anti").localCheckpoint()
-        if nxt.isEmpty():
+        nxt = cand.join(visited, on=["s", "v"], how="left_anti").localCheckpoint(
+            eager=False
+        )
+        if nxt.count() == 0:
             break
         levels.append(nxt)
-        visited = visited.unionByName(nxt.select("s", "v")).localCheckpoint()
+        visited = visited.unionByName(nxt.select("s", "v"))
     return levels
 
 
@@ -75,7 +84,15 @@ def betweenness_sampled(
     sym.count()
     levels = _bfs_levels(sym, sources, max_depth)
 
-    # Backward accumulation: deepest level has delta = 0.
+    # Backward accumulation: deepest level has delta = 0.  Every
+    # per-level delta is a LAZY localCheckpoint (a LogicalRDD leaf, so
+    # the Catalyst plan stays constant-depth even though each delta is
+    # referenced twice — next level's succ + the acc union — and the
+    # shared RDD computes once when materialized); the single EAGER
+    # checkpoint on the final aggregate materializes the whole
+    # backward chain as ONE Spark job instead of one per level, and
+    # runs BEFORE sym.unpersist() so the per-level contrib joins read
+    # the cached symmetric table (the documented N-references pitfall).
     delta = levels[-1].select("s", "v", F.lit(0.0).alias("delta"))
     acc = delta  # per-(s, v) dependency; sources dropped at the end
     for d in range(len(levels) - 2, -1, -1):
@@ -108,13 +125,14 @@ def betweenness_sampled(
             .select("s", "v")
             .join(contrib, on=["s", "v"], how="left")
             .select("s", "v", F.coalesce("contrib", F.lit(0.0)).alias("delta"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         acc = acc.unionByName(delta)
     result = (
         acc.where(F.col("s") != F.col("v"))
         .groupBy(F.col("v").alias("id"))
         .agg(F.sum("delta").alias("bc"))
+        .localCheckpoint()
     )
     sym.unpersist()
     return result
@@ -368,11 +386,14 @@ def edge_betweenness_sampled(
                     * (F.lit(1.0) + F.col("delta"))
                 ).alias("part"),
             )
-            # checkpoint once per level: the returned union references every
-            # level's dag, and sym is unpersisted before that plan runs — a
-            # live sym reference would recompute symmetrize+repartition once
-            # per BFS level (the documented N-references pitfall)
-            .localCheckpoint()
+            # lazy leaf per level (same idiom as betweenness_sampled's
+            # backward pass): referenced twice (edge_parts union +
+            # contrib) but a LogicalRDD computed once when the single
+            # eager checkpoint below materializes the whole chain —
+            # BEFORE sym.unpersist(), so the per-level joins read the
+            # cached symmetric table (the documented N-references
+            # pitfall)
+            .localCheckpoint(eager=False)
         )
         edge_parts.append(dag.select("v", "w", "part"))
         contrib = dag.groupBy("s", "v").agg(F.sum("part").alias("contrib"))
@@ -381,22 +402,25 @@ def edge_betweenness_sampled(
             .select("s", "v")
             .join(contrib, on=["s", "v"], how="left")
             .select("s", "v", F.coalesce("contrib", F.lit(0.0)).alias("delta"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-    sym.unpersist()
     if not edge_parts:
+        sym.unpersist()
         return spark.createDataFrame([], "src long, dst long, eb_micro long")
     allp = edge_parts[0]
     for df in edge_parts[1:]:
         allp = allp.unionByName(df)
-    return (
+    result = (
         allp.groupBy(
             F.least("v", "w").alias("src"), F.greatest("v", "w").alias("dst")
         )
         .agg(
             F.round(F.sum("part") * 1e6, 0).cast("long").alias("eb_micro")
         )
+        .localCheckpoint()
     )
+    sym.unpersist()
+    return result
 
 
 def edge_betweenness_oracle_sql(

@@ -73,17 +73,19 @@ def connected_components(
                 ),
             )
         )
-        new_state = new_state.localCheckpoint()
-        changed = (
-            new_state.agg(
-                F.coalesce(F.sum(F.col("active").cast("long")), F.lit(0))
-            ).first()[0]
-        )
+        # ONE action per superstep (was three: checkpoint job +
+        # changed-agg job + the framework's re-checkpoint): a lazy
+        # plan_barrier (the round plan references state twice —
+        # frontier + join) materialized by the changed-count, which
+        # doubles as the vote-to-halt signal.
+        new_state = tables.plan_barrier(new_state, eager=False)
+        changed = new_state.where(F.col("active")).count()
         metrics = {
             "edges_scanned": edge_count,
             "messages_shuffled": edge_count,
             "delta": float(changed),
             "changed": int(changed),
+            "_checkpointed": True,
         }
         return new_state, metrics
 

@@ -313,6 +313,36 @@ def weighted_adjacency(wedges: DataFrame) -> DataFrame:
     )
 
 
+def _collect_adj_dict(adj: DataFrame) -> dict:
+    """Collect an (id, adj) adjacency table to a ``{id: [(nb, w)]}``
+    dict via the ARROW driver path (r6): ``collect()`` materializes
+    one Row + one struct object per adjacency ENTRY (~1M objects at
+    sf0.1 — several driver-bound seconds), where a flat explode +
+    ``toPandas`` crosses as three numeric Arrow columns and the dict
+    is rebuilt with numpy slicing.  Entry order within a vertex is
+    preserved (stable sort), not that the kernel depends on it —
+    collect_list order was already partition-dependent."""
+    import numpy as np
+
+    flat = adj.select(F.col("id"), F.explode("adj").alias("e")).select(
+        "id", F.col("e.nb").alias("nb"), F.col("e.w").alias("w")
+    )
+    pdf = flat.toPandas()
+    if len(pdf) == 0:
+        return {}
+    ids = pdf["id"].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    nbs = pdf["nb"].to_numpy()[order].tolist()
+    ws = pdf["w"].to_numpy()[order].tolist()
+    uniq, starts = np.unique(ids, return_index=True)
+    bounds = list(starts) + [len(ids)]
+    return {
+        int(uniq[i]): list(zip(nbs[bounds[i] : bounds[i + 1]], ws[bounds[i] : bounds[i + 1]]))
+        for i in range(len(uniq))
+    }
+
+
 def _kernel(p: FocusCOParams, badj=None, carry_held: bool = False):
     """Per-task compute kernel.  ``badj`` (optional Spark broadcast of
     the COMPLETE adjacency dict) switches pulls off entirely: the
@@ -504,14 +534,7 @@ def focused_clusters(
     if full_graph_entries and n_tasks > 0:
         n_entries = adj.select(F.sum(F.size("adj"))).first()[0] or 0
         if n_entries <= full_graph_entries:
-            badj = spark.sparkContext.broadcast(
-                {
-                    int(r["id"]): [
-                        (int(e["nb"]), float(e["w"])) for e in r["adj"]
-                    ]
-                    for r in adj.collect()
-                }
-            )
+            badj = spark.sparkContext.broadcast(_collect_adj_dict(adj))
             res = (
                 state.drop("done", "cluster", "phi")
                 .repartition(int(min(n_tasks, 4096)), "task_id")
@@ -625,13 +648,9 @@ def focused_clusters(
                     if n_entries > tail_entries:
                         ball_retry_below = n_live // 2
                 if n_entries <= tail_entries:
-                    bdict = {
-                        int(r["id"]): [
-                            (int(e["nb"]), float(e["w"])) for e in r["adj"]
-                        ]
-                        for r in ball.collect()
-                    }
-                    badj_b = spark.sparkContext.broadcast(bdict)
+                    badj_b = spark.sparkContext.broadcast(
+                        _collect_adj_dict(ball)
+                    )
                     new_state = plan_barrier(
                         live.drop("done", "cluster", "phi")
                         .repartition(int(min(n_live, 4096)), "task_id")

@@ -203,6 +203,12 @@ def score_oracle_sql(wedges_cte: str, k: int, iters: int) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id FROM sc{iters}"
 
 
+# h-index steps composed per action in coreness_hindex's free-running
+# mode (the convergence guard is exact for ANY value — see the
+# MULTI-STEP note in the docstring); A/B'd 2/4/8 at sf0.1 in r6.
+_HSTEPS_PER_ROUND = 4
+
+
 def coreness_hindex(
     edges: DataFrame,
     num_iter: int | None = None,
@@ -245,17 +251,22 @@ def coreness_hindex(
     The barrier is lazy — the changed-count is each round's single
     materializing action.
 
-    DOUBLE-STEP rounds (free-running mode only): with ``num_iter``
-    None and the frontier off, each barrier+action covers TWO h-index
-    steps composed lazily — per-round cost here is ~85% fixed job
-    overhead, so halving the action count nearly halves wall time.
-    The fixpoint is unchanged (H is monotone per vertex: val == old
-    across a double round iff neither inner step moved), and the
-    convergence guard stays exact.  ``num_iter`` mode keeps single
-    steps so a run of N rounds equals the N-times-unrolled oracle
-    state-for-state; frontier mode keeps single steps because the
-    restricted scan is only valid for the step the frontier was
-    computed from.
+    MULTI-STEP rounds (free-running mode only): with ``num_iter``
+    None and the frontier off, each barrier+action covers
+    ``_HSTEPS_PER_ROUND`` h-index steps composed lazily — per-round
+    cost here is ~85% fixed job overhead, so cutting the action count
+    k× cuts wall time nearly k×.  The fixpoint is unchanged (H is
+    monotone non-increasing per vertex: val == old across a composed
+    round iff NO inner step moved any vertex — once a step lowers a
+    value it can never recover), so the convergence guard stays exact
+    for any step count; r3-r5 shipped the k=2 special case, r6
+    measured k=4 as the local sweet spot (sf0.1: 38 single steps →
+    11 actions instead of 20, each action one pipelined job of 4
+    join+window+agg blocks; k=8 adds plan/analysis cost for no
+    further win).  ``num_iter`` mode keeps single steps so a run of N
+    rounds equals the N-times-unrolled oracle state-for-state;
+    frontier mode keeps single steps because the restricted scan is
+    only valid for the step the frontier was computed from.
     """
     from pyspark.sql import Window
 
@@ -335,10 +346,12 @@ def coreness_hindex(
             )
         else:
             base = sym
-        # double-step only when free-running AND unrestricted: num_iter
+        # multi-step only when free-running AND unrestricted: num_iter
         # mode must match the single-step unrolled oracle round count,
         # and a frontier base is only valid for its own step.
-        steps = 2 if (num_iter is None and not use_frontier) else 1
+        steps = (
+            _HSTEPS_PER_ROUND if (num_iter is None and not use_frontier) else 1
+        )
         cur = state
         for _ in range(steps):
             cur = h_step(cur, base, use_frontier)

@@ -64,7 +64,8 @@ def label_propagation(
 
     init = tables.vertices(sym).select("id", F.col("id").alias("label"))
 
-    def step(state: DataFrame, k: int):
+    def advance(state: DataFrame):
+        """One lazy LPA update: (id, label) -> (id, label, _changed)."""
         # groupBy(dst, label).count is the map-side-combined message
         # histogram; the window picks the deterministic mode.
         vote = F.sum("w") if weight_col is not None else F.count("*")
@@ -81,26 +82,43 @@ def label_propagation(
             .where(F.col("rn") == 1)
             .select("dst", F.col("label").alias("new_label"))
         )
-        new_state = (
-            state.join(mode, state.id == mode.dst, "left")
-            .select(
-                "id",
-                F.coalesce("new_label", "label").alias("label"),
-                (F.col("new_label") != F.col("label")).alias("_changed"),
-            )
-            # materialize ONCE: the changed-agg below and the
-            # framework's commit both read the result; without this the
-            # join+window superstep runs twice (cc.py:71 pattern)
-            .localCheckpoint()
+        return state.join(mode, state.id == mode.dst, "left").select(
+            "id",
+            F.coalesce("new_label", "label").alias("label"),
+            (F.col("new_label") != F.col("label")).alias("_changed"),
         )
-        changed = new_state.agg(
-            F.coalesce(F.sum(F.col("_changed").cast("long")), F.lit(0))
-        ).first()[0]
+
+    if not until_stable and store is None:
+        # FUSED fixed-iteration path (r6): same rationale as
+        # pagerank's — fixed-round LPA needs no changed-signal, so all
+        # rounds compose lazily behind plan_barriers (the round plan
+        # references state twice: message join + carry) and ONE action
+        # materializes the run.
+        state = init
+        for k in range(1, num_iter + 1):
+            new_state = advance(state).drop("_changed")
+            state = (
+                tables.plan_barrier(new_state, eager=False)
+                if k < num_iter
+                else new_state.localCheckpoint()
+            )
+        if num_iter == 0:
+            state = init.localCheckpoint()
+        result = SuperstepResult(state, num_iter, num_iter, True, [])
+        sym.unpersist()
+        return result
+
+    def step(state: DataFrame, k: int):
+        # ONE action per superstep: lazy barrier materialized by the
+        # changed-count, which is the convergence signal (cc.py idiom)
+        new_state = tables.plan_barrier(advance(state), eager=False)
+        changed = new_state.where(F.col("_changed")).count()
         metrics = {
             "edges_scanned": edge_count,
             "messages_shuffled": edge_count,
             "delta": float(changed),
             "changed": int(changed),
+            "_checkpointed": True,
         }
         return new_state.drop("_changed"), metrics
 

@@ -37,6 +37,30 @@ def _aslist(x) -> list:
         return []
     return list(x)
 
+def _adj_matrix(ids: list, eg_src, eg_dst) -> np.ndarray:
+    """Dense bool adjacency over sorted ``ids`` from the ego edge
+    arrays — vectorized (r6): ``np.searchsorted`` replaces the
+    per-edge python dict loop (the kernels' setup cost dominated the
+    cheap greedy pass).  Endpoints outside ``ids`` are masked out,
+    matching the old ``idx.get() is not None`` guard."""
+    n = len(ids)
+    adj = np.zeros((n, n), dtype=bool)
+    if eg_src is None or n == 0:
+        return adj
+    a = np.asarray(eg_src, dtype=np.int64)
+    if a.size == 0:
+        return adj
+    b = np.asarray(eg_dst, dtype=np.int64)
+    ids_arr = np.asarray(ids, dtype=np.int64)
+    ia = np.searchsorted(ids_arr, a).clip(0, n - 1)
+    ib = np.searchsorted(ids_arr, b).clip(0, n - 1)
+    ok = (ids_arr[ia] == a) & (ids_arr[ib] == b)
+    ia, ib = ia[ok], ib[ok]
+    adj[ia, ib] = True
+    adj[ib, ia] = True
+    return adj
+
+
 # ---------------------------------------------------------------------------
 # per-seed ego-nets over the oriented graph
 # ---------------------------------------------------------------------------
@@ -101,13 +125,7 @@ def _kernel_max_clique(cands, eg_src, eg_dst, lower_bound: int) -> list[int]:
     n = len(ids)
     if n == 0 or n < lower_bound - 1:
         return []
-    idx = {v: i for i, v in enumerate(ids)}
-    adj = np.zeros((n, n), dtype=bool)
-    if eg_src is not None:
-        for a, b in zip(eg_src, eg_dst):
-            ia, ib = idx.get(a), idx.get(b)
-            if ia is not None and ib is not None:
-                adj[ia, ib] = adj[ib, ia] = True
+    adj = _adj_matrix(ids, eg_src, eg_dst)
 
     # degree-descending candidate order (maxclique.cpp:52-83)
     order = np.argsort(-adj.sum(1), kind="stable")
@@ -171,28 +189,27 @@ _CLIQUE_SCHEMA = "u long, size int, members array<long>"
 def _clique_pass(egonets: DataFrame, lower_bound: int, exact: bool) -> DataFrame:
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for _, r in pdf.iterrows():
-            cands = _aslist(r["cands"])
+        # itertuples, not iterrows (r6): iterrows builds a pandas
+        # Series per seed — pure overhead at tens of thousands of
+        # seeds per pass
+        for r in pdf.itertuples(index=False):
+            cands = _aslist(r.cands)
             if exact:
                 inner = _kernel_max_clique(
-                    cands, r["eg_src"], r["eg_dst"], lower_bound
+                    cands, r.eg_src, r.eg_dst, lower_bound
                 )
             else:  # greedy: cheap lower bound (first pass)
                 ids = sorted(cands)
-                idx = {v: i for i, v in enumerate(ids)}
                 n = len(ids)
-                adj = np.zeros((n, n), dtype=bool)
-                if r["eg_src"] is not None:
-                    for a, b in zip(r["eg_src"], r["eg_dst"]):
-                        adj[idx[a], idx[b]] = adj[idx[b], idx[a]] = True
+                adj = _adj_matrix(ids, r.eg_src, r.eg_dst)
                 inner = []
                 mask = np.ones(n, dtype=bool)
                 for v in np.argsort(-adj.sum(1), kind="stable"):
                     if mask[v]:
                         inner.append(ids[v])
                         mask &= adj[v]
-            members = sorted([int(r["u"])] + [int(x) for x in inner])
-            rows.append((int(r["u"]), len(members), members))
+            members = sorted([int(r.u)] + [int(x) for x in inner])
+            rows.append((int(r.u), len(members), members))
         return pd.DataFrame(rows, columns=["u", "size", "members"])
 
     return egonets.mapInPandas(
@@ -257,14 +274,8 @@ def _kernel_attr_clique(
     n = len(ids)
     if n == 0 or n + 1 < k:
         return [], set()
-    idx = {v: i for i, v in enumerate(ids)}
     attrs = [frozenset(_aslist(cand_attrs.get(v))) & seed_attrs for v in ids]
-    adj = np.zeros((n, n), dtype=bool)
-    if eg_src is not None:
-        for a, b in zip(eg_src, eg_dst):
-            ia, ib = idx.get(a), idx.get(b)
-            if ia is not None and ib is not None:
-                adj[ia, ib] = adj[ib, ia] = True
+    adj = _adj_matrix(ids, eg_src, eg_dst)
 
     order = np.argsort(-adj.sum(1), kind="stable")
     compat0 = np.array([bool(a) for a in attrs])
@@ -347,20 +358,20 @@ def attributed_communities(
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
-        for _, r in pdf.iterrows():
-            seed_attrs = set(_aslist(r["attr_set"]))
+        for r in pdf.itertuples(index=False):
+            seed_attrs = set(_aslist(r.attr_set))
             if not seed_attrs:  # create_task gate (community.cpp:386-387)
                 continue
-            cmap = r["cand_attrs"] if r["cand_attrs"] is not None else {}
+            cmap = r.cand_attrs if r.cand_attrs is not None else {}
             cands = [
                 c
-                for c in _aslist(r["cands"])
+                for c in _aslist(r.cands)
                 if seed_attrs & set(_aslist(cmap.get(c)))
             ]
             inner, common = _kernel_attr_clique(
-                seed_attrs, cands, r["eg_src"], r["eg_dst"], cmap, k
+                seed_attrs, cands, r.eg_src, r.eg_dst, cmap, k
             )
-            members = sorted([int(r["u"])] + [int(x) for x in inner])
+            members = sorted([int(r.u)] + [int(x) for x in inner])
             if len(members) >= k:
                 out.append((members, min(common) if common else None))
         return pd.DataFrame(out, columns=["community", "shared_attr"])

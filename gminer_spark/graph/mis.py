@@ -59,19 +59,21 @@ def maximal_independent_set(
         .persist()
     )
     undecided = tables.vertices(sym).localCheckpoint()
-    n_total = undecided.count()
+    n_und = n_total = undecided.count()
     cur_edges = sym  # shrinks to the undecided-restricted view at the tail
     last_restrict_n = None  # |undecided| at the last restriction
     mis_parts: list[DataFrame] = []
     # Round shape: map-side scan of the (possibly restricted) edge
     # table against the shrinking undecided priorities, min-combined
     # pre-shuffle.  The shuffle volume is O(undecided edges) either
-    # way (same per-round scan posture as PageRank); each round runs
-    # two driver actions (winners + undecided checkpoints) plus a
-    # count on the tiny checkpointed undecided table, and one extra
-    # checkpoint per edge-restriction event (O(log n) of them).
+    # way (same per-round scan posture as PageRank).  ONE action per
+    # round (was three): winners, the restricted edge view and the
+    # next undecided set are all LAZY localCheckpoints (LogicalRDD
+    # leaves, each computed once), and the undecided count() at the
+    # round's end materializes the lot while doubling as the
+    # termination signal — the same fused-barrier idiom as the
+    # coreness/focusco loops.
     for _ in range(max_iter):
-        n_und = undecided.count()
         if n_und == 0:
             break
         want_restrict = frontier_frac > 0 and (
@@ -84,7 +86,7 @@ def maximal_independent_set(
             cur_edges = (
                 cur_edges.join(u_src, on="src", how="left_semi")
                 .join(u_dst, on="dst", how="left_semi")
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
             last_restrict_n = n_und
         pri = undecided.select("id", _priority("id", seed).alias("pri"))
@@ -97,7 +99,7 @@ def maximal_independent_set(
             pri.join(nbr_min, on="id", how="left")
             .where(F.col("nbr_pri").isNull() | (F.col("pri") < F.col("nbr_pri")))
             .select("id")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         mis_parts.append(winners)
         # drop winners and their neighbors from the undecided set
@@ -107,7 +109,10 @@ def maximal_independent_set(
                 F.col("dst").alias("id")
             )
         ).distinct()
-        undecided = undecided.join(removed, on="id", how="left_anti").localCheckpoint()
+        undecided = undecided.join(removed, on="id", how="left_anti").localCheckpoint(
+            eager=False
+        )
+        n_und = undecided.count()
     sym.unpersist()
     if not mis_parts:
         return spark.createDataFrame([], "id long")

@@ -184,9 +184,12 @@ def pagerank(
             "messages_shuffled": edge_count,
         }
         if num_iter is None:
-            # materialize once so the delta agg and the framework's
-            # commit both read the result instead of re-running the join
-            new_state = new_state.localCheckpoint()
+            # ONE action per superstep: lazy barrier (the round plan
+            # references state twice — dangling + contribs) is
+            # materialized by the delta aggregate, which is the
+            # convergence signal; _checkpointed stops the framework
+            # from re-encoding the leaf.
+            new_state = tables.plan_barrier(new_state, eager=False)
             delta = (
                 new_state.select("id", "rank")
                 .join(state.select("id", F.col("rank").alias("old")), on="id")
@@ -194,17 +197,39 @@ def pagerank(
                 .first()[0]
             )
             metrics["delta"] = float(delta)
+            metrics["_checkpointed"] = True
         return new_state, metrics
 
-    if num_iter is not None:
-        converged = lambda m: m["superstep"] >= num_iter  # noqa: E731
-        max_iter = num_iter
+    if num_iter is not None and store is None:
+        # FUSED fixed-iteration path (r6): the state after N supersteps
+        # is the same DataFrame algebra whether or not each superstep
+        # is materialized, so compose all N updates lazily with a
+        # plan_barrier (origin-free LogicalRDD leaf — the round plan
+        # references the state twice: dangling + contribs) between
+        # steps and run ONE materializing action instead of one per
+        # superstep.  Per-superstep cost here is mostly fixed job
+        # overhead (same measurement as the coreness loop), so this is
+        # nearly a num_iter× action-count cut; the barrier keeps the
+        # Catalyst tree constant-depth (2^N subtree copies otherwise).
+        # Store mode keeps the per-superstep commit loop — the commit
+        # IS that query's contract (resumable state).
+        state = init
+        for k in range(1, num_iter + 1):
+            state, _ = step(state, k)
+            if k < num_iter:
+                state = tables.plan_barrier(state, eager=False)
+        state = state.localCheckpoint()
+        result = SuperstepResult(state, num_iter, num_iter, True, [])
     else:
-        converged = lambda m: m["delta"] < tol  # noqa: E731
+        if num_iter is not None:
+            converged = lambda m: m["superstep"] >= num_iter  # noqa: E731
+            max_iter = num_iter
+        else:
+            converged = lambda m: m["delta"] < tol  # noqa: E731
 
-    result = run_supersteps(
-        init, step, converged, max_iter=max_iter, store=store, resume=resume
-    )
+        result = run_supersteps(
+            init, step, converged, max_iter=max_iter, store=store, resume=resume
+        )
     result.state = result.state.select("id", "rank")
     edges.unpersist()
     out_deg.unpersist()
@@ -248,7 +273,10 @@ def ppr_batch(
         .localCheckpoint()
     )
     state = base.select("s", "id", F.lit(1.0).alias("rank"))
-    for _ in range(num_iter):
+    # fused loop (r6): lazy plan_barrier between iterations, one
+    # materializing action at the end — same rationale as pagerank's
+    # fixed-iteration path (state referenced twice per round).
+    for it in range(num_iter):
         ranked = state.join(deg, on="id", how="left").select(
             "s", "id", "rank", F.coalesce("out_deg", F.lit(0)).alias("out_deg")
         )
@@ -279,7 +307,11 @@ def ppr_batch(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint()
+        )
+        state = (
+            state.localCheckpoint()
+            if it == num_iter - 1
+            else tables.plan_barrier(state, eager=False)
         )
     e.unpersist()
     deg.unpersist()

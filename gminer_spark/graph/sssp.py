@@ -93,16 +93,18 @@ def shortest_paths(
                     | (F.coalesce(F.col("cand") < F.col("dist"), F.lit(False)))
                 ).alias("active"),
             )
-            .localCheckpoint()
         )
-        changed = new_state.agg(
-            F.coalesce(F.sum(F.col("active").cast("long")), F.lit(0))
-        ).first()[0]
+        # ONE action per superstep (cc.py idiom): lazy barrier (the
+        # round plan references state twice — frontier + full join)
+        # materialized by the changed-count / vote-to-halt signal.
+        new_state = tables.plan_barrier(new_state, eager=False)
+        changed = new_state.where(F.col("active")).count()
         metrics = {
             "edges_scanned": edge_count,
             "messages_shuffled": edge_count,
             "delta": float(changed),
             "changed": int(changed),
+            "_checkpointed": True,
         }
         return new_state, metrics
 

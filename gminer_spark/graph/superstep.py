@@ -87,8 +87,16 @@ def run_supersteps(
         t0 = time.time()
         new_state, metrics = step_fn(state, k)
         metrics["superstep"] = k
+        # a step_fn that already materialized its state (fused
+        # barrier+signal rounds: cc/lpa/pagerank) sets _checkpointed —
+        # re-checkpointing a leaf would re-encode the whole table for
+        # nothing.  The flag is popped so store commits / history never
+        # see it (checkpoint metrics schemas are append-merged).
+        already = bool(metrics.pop("_checkpointed", False))
         if store is not None:
             state = store.commit(k, new_state, metrics)
+        elif already:
+            state = new_state
         else:
             state = new_state.localCheckpoint()
         metrics["wall_sec"] = time.time() - t0

@@ -125,10 +125,14 @@ def random_walks(
         stepped = (
             pos.join(adj, cond)
             .select("start", "walk", F.col("dst").alias("vertex"))
-            .localCheckpoint()
+            # lazy leaf: referenced twice (union part + next step) but
+            # computed once; the single count() below materializes the
+            # whole chain as ONE job instead of one per step
+            .localCheckpoint(eager=False)
         )
         out.append(stepped.select("start", "walk", F.lit(t).alias("step"), "vertex"))
         pos = stepped
+    pos.count()  # materialize every step's blocks before adj.unpersist()
     result = out[0]
     for df in out[1:]:
         result = result.unionByName(df)
@@ -208,7 +212,9 @@ def random_walks_node2vec(
             F.col("vertex"),
         )
 
-    # step 1: uniform (no prev)
+    # step 1: uniform (no prev).  Every step is a LAZY leaf computed
+    # once by the single materializing count() after the loop — one
+    # Spark job for the whole walk instead of one per step.
     stepped = (
         pos.join(adj, (pos.vertex == adj.src) & (adj.rn == h32(step_key(1)) % adj.deg))
         .select(
@@ -217,7 +223,7 @@ def random_walks_node2vec(
             F.col("vertex").alias("prev"),
             F.col("dst").alias("vertex"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     out.append(stepped.select("start", "walk", F.lit(1).alias("step"), "vertex"))
     pos = stepped
@@ -271,11 +277,12 @@ def random_walks_node2vec(
                 F.col("vertex").alias("prev"),
                 F.col("cand").alias("vertex"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         out.append(stepped.select("start", "walk", F.lit(t).alias("step"), "vertex"))
         pos = stepped
 
+    pos.count()  # materialize every step's blocks before adj.unpersist()
     result = out[0]
     for df in out[1:]:
         result = result.unionByName(df)

@@ -143,20 +143,25 @@ def band_buckets(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(documents, num_hashes, shingle_n)
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_rows.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.concat_ws("_", *[c.cast("string") for c in cols]).alias("bsig"),
-            )
+    # ONE posexplode instead of a bands-way union of selects over the
+    # same signature subtree (r6): the union form referenced the
+    # shingle+minhash aggregation once PER BAND (16 parquet scans in
+    # the r6 plan audit of minhash_lsh_pairs); the array form scans and
+    # aggregates once.  band = array position — same 0..bands-1 ints,
+    # same bsig strings, values identical.
+    band_sigs = [
+        F.concat_ws(
+            "_",
+            *[
+                F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ],
         )
-    buckets = band_rows[0]
-    for br in band_rows[1:]:
-        buckets = buckets.unionByName(br)
-    return buckets
+        for b in range(bands)
+    ]
+    return sig.select(
+        "doc_id", F.posexplode(F.array(*band_sigs)).alias("band", "bsig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -171,7 +176,10 @@ def minhash_lsh_pairs(
     signature slice matches exactly.  The band bucket join is the
     LSH: shuffle key = (band_id, band_signature).
     """
-    buckets = band_buckets(documents, num_hashes, bands, shingle_n)
+    # materialize once: the candidate self-join references the bucket
+    # table twice, re-running the shingle + minhash aggregation per
+    # side otherwise (r6 plan audit)
+    buckets = band_buckets(documents, num_hashes, bands, shingle_n).localCheckpoint()
     a = buckets.alias("a")
     b2 = buckets.alias("b")
     return (
