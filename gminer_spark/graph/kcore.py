@@ -353,8 +353,17 @@ def coreness_hindex(
             _HSTEPS_PER_ROUND if (num_iter is None and not use_frontier) else 1
         )
         cur = state
-        for _ in range(steps):
+        for s in range(steps):
             cur = h_step(cur, base, use_frontier)
+            # lazy barrier BETWEEN composed steps: h_step references its
+            # input twice (histogram + carried prev), so an unbarriered
+            # k-step composition duplicates the round subtree 2^k times
+            # (measured: 4 bare steps ran ~5x SLOWER than 2 at sf0.1 —
+            # exchange reuse does not cover it); behind leaves the
+            # composition stays linear and the round's single action
+            # materializes every inner step once.
+            if s < steps - 1:
+                cur = tables.plan_barrier(cur, eager=False)
         # lazy barrier: the changed-count below is the round's ONE
         # materializing action (checkpoints the blocks as it scans)
         merged = tables.plan_barrier(
