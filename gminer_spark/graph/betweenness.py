@@ -84,15 +84,13 @@ def betweenness_sampled(
     sym.count()
     levels = _bfs_levels(sym, sources, max_depth)
 
-    # Backward accumulation: deepest level has delta = 0.  Every
-    # per-level delta is a LAZY localCheckpoint (a LogicalRDD leaf, so
-    # the Catalyst plan stays constant-depth even though each delta is
-    # referenced twice — next level's succ + the acc union — and the
-    # shared RDD computes once when materialized); the single EAGER
-    # checkpoint on the final aggregate materializes the whole
-    # backward chain as ONE Spark job instead of one per level, and
-    # runs BEFORE sym.unpersist() so the per-level contrib joins read
-    # the cached symmetric table (the documented N-references pitfall).
+    # Backward accumulation: deepest level has delta = 0.  Each level's
+    # delta is materialized EAGERLY (one job per level): delta is
+    # referenced twice (next level's succ + the acc union), and in an
+    # all-lazy chain the final job's concurrently-launched stages race
+    # to compute the shared un-materialized RDDs, duplicating whole
+    # level subtrees (A/B'd in r6: all-lazy measured ~15% SLOWER than
+    # per-level jobs at sf0.1 — kept the per-level materialization).
     delta = levels[-1].select("s", "v", F.lit(0.0).alias("delta"))
     acc = delta  # per-(s, v) dependency; sources dropped at the end
     for d in range(len(levels) - 2, -1, -1):
@@ -125,14 +123,13 @@ def betweenness_sampled(
             .select("s", "v")
             .join(contrib, on=["s", "v"], how="left")
             .select("s", "v", F.coalesce("contrib", F.lit(0.0)).alias("delta"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
         acc = acc.unionByName(delta)
     result = (
         acc.where(F.col("s") != F.col("v"))
         .groupBy(F.col("v").alias("id"))
         .agg(F.sum("delta").alias("bc"))
-        .localCheckpoint()
     )
     sym.unpersist()
     return result
@@ -386,13 +383,13 @@ def edge_betweenness_sampled(
                     * (F.lit(1.0) + F.col("delta"))
                 ).alias("part"),
             )
-            # lazy leaf per level (same idiom as betweenness_sampled's
-            # backward pass): referenced twice (edge_parts union +
-            # contrib) but a LogicalRDD computed once when the single
-            # eager checkpoint below materializes the whole chain —
-            # BEFORE sym.unpersist(), so the per-level joins read the
-            # cached symmetric table (the documented N-references
-            # pitfall)
+            # LAZY leaf, materialized by this level's eager delta
+            # checkpoint below (its only same-job consumer): one job
+            # per level covers dag + delta, the edge_parts union later
+            # reads the cached dag blocks — and everything runs BEFORE
+            # sym.unpersist() (the documented N-references pitfall).
+            # An all-lazy chain was A/B'd and rejected, see
+            # betweenness_sampled's backward-pass note.
             .localCheckpoint(eager=False)
         )
         edge_parts.append(dag.select("v", "w", "part"))
@@ -402,7 +399,7 @@ def edge_betweenness_sampled(
             .select("s", "v")
             .join(contrib, on=["s", "v"], how="left")
             .select("s", "v", F.coalesce("contrib", F.lit(0.0)).alias("delta"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
     if not edge_parts:
         sym.unpersist()
@@ -417,7 +414,6 @@ def edge_betweenness_sampled(
         .agg(
             F.round(F.sum("part") * 1e6, 0).cast("long").alias("eb_micro")
         )
-        .localCheckpoint()
     )
     sym.unpersist()
     return result

@@ -336,7 +336,10 @@ def attributed_communities(
     at its minimum-rank member and deduplicated.  ``shared_attr`` is
     the smallest of the final common attributes (deterministic).
     """
-    egonets = _seed_egonets(edges)
+    # materialize once: the ego-net table is referenced twice below
+    # (attr join + candidate-attr explode) and the wedge enumeration
+    # would otherwise run per reference (r6)
+    egonets = _seed_egonets(edges).localCheckpoint()
     attr_map = attrs.groupBy("id").agg(F.collect_set("attr").alias("attr_set"))
     with_attrs = egonets.join(
         attr_map.withColumnRenamed("id", "u"), on="u", how="left"
