@@ -89,16 +89,21 @@ def _seed_egonets(
         F.collect_list("dst").alias("cands")
     )
     # wedge ordering MUST use the rank keys, not ids: the closing edge
-    # (v, w) exists in the oriented table only as rank(v) < rank(w)
-    vkeys = e.select(
-        F.col("dst").alias("v"), F.col("dst_key").alias("v_key")
-    ).dropDuplicates(["v"])
-    wkeys = vkeys.select(F.col("v").alias("w"), F.col("v_key").alias("w_key"))
-    e1 = base.select(F.col("src").alias("u"), F.col("dst").alias("v")).join(
-        gated_broadcast(vkeys, n_e, broadcast_limit), on="v"
+    # (v, w) exists in the oriented table only as rank(v) < rank(w).
+    # The oriented table already CARRIES each endpoint's rank key
+    # (dst_key), so the wedge sides project it directly — the former
+    # dedup'd key-table joins re-derived a value that was already on
+    # the row (two broadcast probes over |E| rows for nothing; same
+    # shape triangles._wedge_closed has always used).
+    e1 = e.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.col("dst_key").alias("v_key"),
     )
-    e2 = base.select(F.col("src").alias("u"), F.col("dst").alias("w")).join(
-        gated_broadcast(wkeys, n_e, broadcast_limit), on="w"
+    e2 = e.select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("w"),
+        F.col("dst_key").alias("w_key"),
     )
     closer = base.select(F.col("src").alias("v"), F.col("dst").alias("w"))
     wedges = (

@@ -67,8 +67,13 @@ def oriented_edges(edges: DataFrame, orient: str = "degree") -> DataFrame:
                 F.col("dst").alias("dst_key"),
             )
         )
-    deg = tables.degrees(sym).select(
-        "id", (F.col("out_deg").cast("long")).alias("deg")
+    # undirected degree = out-degree over the symmetric view (every
+    # vertex appears as src), so ONE aggregation suffices — the
+    # generic degrees() helper would add an in-degree groupBy plus a
+    # full outer join for values that are identical here (r6: two
+    # shuffles removed from every oriented_edges caller)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("deg")
     )
     keyed = (
         sym.join(deg.withColumnRenamed("id", "src"), on="src")
