@@ -83,8 +83,10 @@ def build_targets(spark):
 
         steps = getattr(kcore, "_HSTEPS_PER_ROUND", 2)
         cur = state
-        for _ in range(steps):
+        for s in range(steps):
             cur = h_step(cur)
+            if s < steps - 1 and hasattr(kcore, "_HSTEPS_PER_ROUND"):
+                cur = gt.plan_barrier(cur, eager=False)
         merged = (
             state.withColumnRenamed("val", "old")
             .join(cur, on="id")
@@ -136,6 +138,17 @@ def build_targets(spark):
 
         return pagerank(edges_small(), num_iter=3).state
 
+    def minhash_q():
+        from gminer_spark.textops.dedup import minhash_lsh_pairs
+
+        docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        return minhash_lsh_pairs(docs, num_hashes=16, bands=4)
+
+    def mining_egonets_q():
+        from gminer_spark.graph.mining import _seed_egonets
+
+        return _seed_egonets(edges_small())
+
     targets["coreness_round"] = (
         "coreness_hindex: one composed free-running ROUND plan "
         "(state -> merged (id, val, old)); the loop repeats this",
@@ -155,6 +168,13 @@ def build_targets(spark):
     targets["pagerank"] = (
         "pagerank num_iter=3 final state (leaf; round shape in kcore-style loops)",
         pagerank_q,
+    )
+    targets["minhash_lsh"] = (
+        "minhash_lsh_pairs candidate-pair plan", minhash_q
+    )
+    targets["mining_egonets"] = (
+        "_seed_egonets plan (shared by max_clique/communities)",
+        mining_egonets_q,
     )
     return targets
 
