@@ -325,6 +325,21 @@ def _kernel_attr_clique(
     return [ids[i] for i in best], best_attrs
 
 
+class _CmapView:
+    """dict-like ``.get`` adapter so :func:`_kernel_attr_clique` reads
+    candidate attrs identically from the broadcast dict and from the
+    per-row map column."""
+
+    __slots__ = ("_r", "_get")
+
+    def __init__(self, r, get):
+        self._r, self._get = r, get
+
+    def get(self, key, default=None):
+        v = self._get(self._r, key)
+        return v if v is not None else default
+
+
 def attributed_communities(
     edges: DataFrame, attrs: DataFrame, k: int = 3
 ) -> DataFrame:
@@ -341,11 +356,68 @@ def attributed_communities(
     at its minimum-rank member and deduplicated.  ``shared_attr`` is
     the smallest of the final common attributes (deterministic).
     """
-    # materialize once: the ego-net table is referenced twice below
-    # (attr join + candidate-attr explode) and the wedge enumeration
-    # would otherwise run per reference (r6)
+    # materialize once: the ego-net table is referenced below and the
+    # wedge enumeration would otherwise run per reference (r6)
     egonets = _seed_egonets(edges).localCheckpoint()
-    attr_map = attrs.groupBy("id").agg(F.collect_set("attr").alias("attr_set"))
+    attr_map = (
+        attrs.groupBy("id")
+        .agg(F.collect_set("attr").alias("attr_set"))
+        .localCheckpoint()
+    )
+    n_attr = attr_map.count()
+
+    schema = "community array<long>, shared_attr string"
+    spark = edges.sparkSession
+
+    def run_rows(pdf: pd.DataFrame, seed_of, cmap_get) -> pd.DataFrame:
+        out = []
+        for r in pdf.itertuples(index=False):
+            seed_attrs = seed_of(r)
+            if not seed_attrs:  # create_task gate (community.cpp:386-387)
+                continue
+            cands = [
+                c
+                for c in _aslist(r.cands)
+                if seed_attrs & set(_aslist(cmap_get(r, c)))
+            ]
+            inner, common = _kernel_attr_clique(
+                seed_attrs,
+                cands,
+                r.eg_src,
+                r.eg_dst,
+                _CmapView(r, cmap_get),
+                k,
+            )
+            members = sorted([int(r.u)] + [int(x) for x in inner])
+            if len(members) >= k:
+                out.append((members, min(common) if common else None))
+        return pd.DataFrame(out, columns=["community", "shared_attr"])
+
+    if n_attr <= BROADCAST_ROW_LIMIT:
+        # SHUFFLE KEYS, NOT PAYLOADS (r6): the map-column path below
+        # ships each candidate's attr set once per (seed, cand) PAIR —
+        # a Σ|cands| explode+join+collect per run.  The attr table is
+        # O(|V|) rows, so under the standard gate one broadcast ships
+        # each id's attrs once and the kernel reads egonets directly.
+        adf = attr_map.toPandas()
+        battr = spark.sparkContext.broadcast(
+            {int(i): list(a) for i, a in zip(adf["id"], adf["attr_set"])}
+        )
+
+        def run_bc(pdf: pd.DataFrame) -> pd.DataFrame:
+            d = battr.value
+            return run_rows(
+                pdf,
+                seed_of=lambda r: set(d.get(int(r.u), ())),
+                cmap_get=lambda r, c: d.get(int(c)),
+            )
+
+        res = egonets.mapInPandas(
+            lambda it: (run_bc(pdf) for pdf in it), schema
+        )
+        return res.dropDuplicates(["community"])
+
+    # above the gate: ship attr sets through the shuffle as before
     with_attrs = egonets.join(
         attr_map.withColumnRenamed("id", "u"), on="u", how="left"
     )
@@ -362,27 +434,14 @@ def attributed_communities(
     )
     full = with_attrs.join(cand_attrs, on="u", how="left")
 
-    schema = "community array<long>, shared_attr string"
-
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for r in pdf.itertuples(index=False):
-            seed_attrs = set(_aslist(r.attr_set))
-            if not seed_attrs:  # create_task gate (community.cpp:386-387)
-                continue
-            cmap = r.cand_attrs if r.cand_attrs is not None else {}
-            cands = [
-                c
-                for c in _aslist(r.cands)
-                if seed_attrs & set(_aslist(cmap.get(c)))
-            ]
-            inner, common = _kernel_attr_clique(
-                seed_attrs, cands, r.eg_src, r.eg_dst, cmap, k
-            )
-            members = sorted([int(r.u)] + [int(x) for x in inner])
-            if len(members) >= k:
-                out.append((members, min(common) if common else None))
-        return pd.DataFrame(out, columns=["community", "shared_attr"])
+        return run_rows(
+            pdf,
+            seed_of=lambda r: set(_aslist(r.attr_set)),
+            cmap_get=lambda r, c: (
+                (r.cand_attrs or {}).get(c) if r.cand_attrs is not None else None
+            ),
+        )
 
     res = full.mapInPandas(lambda it: (run(pdf) for pdf in it), schema)
     return res.dropDuplicates(["community"])
