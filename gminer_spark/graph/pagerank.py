@@ -200,36 +200,26 @@ def pagerank(
             metrics["_checkpointed"] = True
         return new_state, metrics
 
-    if num_iter is not None and store is None:
-        # FUSED fixed-iteration path (r6): the state after N supersteps
-        # is the same DataFrame algebra whether or not each superstep
-        # is materialized, so compose all N updates lazily with a
-        # plan_barrier (origin-free LogicalRDD leaf — the round plan
-        # references the state twice: dangling + contribs) between
-        # steps and run ONE materializing action instead of one per
-        # superstep.  Per-superstep cost here is mostly fixed job
-        # overhead (same measurement as the coreness loop), so this is
-        # nearly a num_iter× action-count cut; the barrier keeps the
-        # Catalyst tree constant-depth (2^N subtree copies otherwise).
-        # Store mode keeps the per-superstep commit loop — the commit
-        # IS that query's contract (resumable state).
-        state = init
-        for k in range(1, num_iter + 1):
-            state, _ = step(state, k)
-            if k < num_iter:
-                state = tables.plan_barrier(state, eager=False)
-        state = state.localCheckpoint()
-        result = SuperstepResult(state, num_iter, num_iter, True, [])
+    # Fixed-iteration mode stays the per-superstep loop: one eager
+    # localCheckpoint per superstep is already the round's single job,
+    # with NO extra encode (localCheckpoint persists the computed
+    # InternalRows directly).  A fully-fused variant — all supersteps
+    # composed lazily behind plan_barriers, one action total — was
+    # built and A/B'd in r6 and measured ~13% SLOWER: plan_barrier's
+    # Row<->InternalRow re-encode per superstep is O(|V|) added work
+    # that outweighs the saved driver round trips, locally and worse
+    # at scale.  (Tol mode DOES use one lazy barrier per superstep:
+    # there it replaces 3 jobs — checkpoint, delta agg, framework
+    # re-checkpoint — with 1, a real cut.)
+    if num_iter is not None:
+        converged = lambda m: m["superstep"] >= num_iter  # noqa: E731
+        max_iter = num_iter
     else:
-        if num_iter is not None:
-            converged = lambda m: m["superstep"] >= num_iter  # noqa: E731
-            max_iter = num_iter
-        else:
-            converged = lambda m: m["delta"] < tol  # noqa: E731
+        converged = lambda m: m["delta"] < tol  # noqa: E731
 
-        result = run_supersteps(
-            init, step, converged, max_iter=max_iter, store=store, resume=resume
-        )
+    result = run_supersteps(
+        init, step, converged, max_iter=max_iter, store=store, resume=resume
+    )
     result.state = result.state.select("id", "rank")
     edges.unpersist()
     out_deg.unpersist()
@@ -273,10 +263,10 @@ def ppr_batch(
         .localCheckpoint()
     )
     state = base.select("s", "id", F.lit(1.0).alias("rank"))
-    # fused loop (r6): lazy plan_barrier between iterations, one
-    # materializing action at the end — same rationale as pagerank's
-    # fixed-iteration path (state referenced twice per round).
-    for it in range(num_iter):
+    # per-iteration eager localCheckpoint: already one job per round
+    # with no re-encode (see pagerank's fixed-iteration note — the
+    # fused plan_barrier variant measured slower in r6).
+    for _ in range(num_iter):
         ranked = state.join(deg, on="id", how="left").select(
             "s", "id", "rank", F.coalesce("out_deg", F.lit(0)).alias("out_deg")
         )
@@ -307,11 +297,7 @@ def ppr_batch(
                     )
                 ).alias("rank"),
             )
-        )
-        state = (
-            state.localCheckpoint()
-            if it == num_iter - 1
-            else tables.plan_barrier(state, eager=False)
+            .localCheckpoint()
         )
     e.unpersist()
     deg.unpersist()
