@@ -205,8 +205,13 @@ def score_oracle_sql(wedges_cte: str, k: int, iters: int) -> str:
 
 # h-index steps composed per action in coreness_hindex's free-running
 # mode (the convergence guard is exact for ANY value — see the
-# MULTI-STEP note in the docstring); A/B'd 2/4/8 at sf0.1 in r6.
-_HSTEPS_PER_ROUND = 4
+# MULTI-STEP note in the docstring).  Same-session sweep at sf0.1
+# (r6, quiet box, min-of-2): k=2 20.0s, k=4 21.3s, k=6/8 22.8s — the
+# nested-barrier depth per action costs more than the saved actions
+# past k=2, while the INTER-STEP BARRIER itself is the win vs the
+# r5 bare two-step composition (24.4s: 2 refs/step duplicate the
+# round subtree 4x without it).
+_HSTEPS_PER_ROUND = 2
 
 
 def coreness_hindex(
@@ -253,20 +258,21 @@ def coreness_hindex(
 
     MULTI-STEP rounds (free-running mode only): with ``num_iter``
     None and the frontier off, each barrier+action covers
-    ``_HSTEPS_PER_ROUND`` h-index steps composed lazily — per-round
-    cost here is ~85% fixed job overhead, so cutting the action count
-    k× cuts wall time nearly k×.  The fixpoint is unchanged (H is
+    ``_HSTEPS_PER_ROUND`` h-index steps composed lazily, with a LAZY
+    plan_barrier BETWEEN the composed steps — each step references its
+    input twice (histogram + carried prev), so bare composition
+    duplicates the round subtree 2^k-fold (r6 measured 5x slower at
+    k=4 without the barrier).  The fixpoint is unchanged (H is
     monotone non-increasing per vertex: val == old across a composed
     round iff NO inner step moved any vertex — once a step lowers a
     value it can never recover), so the convergence guard stays exact
-    for any step count; r3-r5 shipped the k=2 special case, r6
-    measured k=4 as the local sweet spot (sf0.1: 38 single steps →
-    11 actions instead of 20, each action one pipelined job of 4
-    join+window+agg blocks; k=8 adds plan/analysis cost for no
-    further win).  ``num_iter`` mode keeps single steps so a run of N
-    rounds equals the N-times-unrolled oracle state-for-state;
-    frontier mode keeps single steps because the restricted scan is
-    only valid for the step the frontier was computed from.
+    for any step count.  r6 swept k at sf0.1: k=2 wins (see the
+    ``_HSTEPS_PER_ROUND`` note) — the barrier between the two steps,
+    not a bigger k, is what beat the r5 form.  ``num_iter`` mode keeps
+    single steps so a run of N rounds equals the N-times-unrolled
+    oracle state-for-state; frontier mode keeps single steps because
+    the restricted scan is only valid for the step the frontier was
+    computed from.
     """
     from pyspark.sql import Window
 
