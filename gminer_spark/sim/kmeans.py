@@ -67,10 +67,11 @@ def kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     return_centroids: bool = False,
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """(vec_id, cluster, sqdist) — Lloyd assignments after
     ``num_iter`` update rounds (assignment recomputed against the
-    final centroids, so the output is consistent with them)."""
+    final centroids, so the output is consistent with them).  With
+    ``return_centroids=True`` returns ``(assignments, centroids)``."""
     spark = embeddings.sparkSession
     q = _quantize(embeddings, id_col, vec_col).persist()
 
