@@ -57,10 +57,11 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
     n = core.count()
     for _ in range(max_iter):
         deg = _survivor_degrees(sym, core, n)
-        new_core = (
-            deg.where(F.col("deg") >= k)
-            .select(F.col("src").alias("id"))
-            .localCheckpoint()
+        # Survivors feed TWO membership joins next round -> origin-free
+        # barrier; lazy so the convergence count is the round's ONE job.
+        new_core = tables.plan_barrier(
+            deg.where(F.col("deg") >= k).select(F.col("src").alias("id")),
+            eager=False,
         )
         n_new = new_core.count()
         core = new_core
@@ -100,10 +101,10 @@ def coreness(edges: DataFrame, max_k: int | None = None) -> DataFrame:
         # peel the (k)-core out of the previous survivor set
         while True:
             deg = _survivor_degrees(sym, core, n_core)
-            new_core = (
-                deg.where(F.col("deg") >= k)
-                .select(F.col("src").alias("id"))
-                .localCheckpoint()
+            # same fused-count barrier round as k_core
+            new_core = tables.plan_barrier(
+                deg.where(F.col("deg") >= k).select(F.col("src").alias("id")),
+                eager=False,
             )
             n_new = new_core.count()
             if n_new == n_core:
@@ -165,10 +166,9 @@ def s_core(
             .groupBy("src")
             .agg(F.sum("w").alias("s"))
         )
-        new_core = (
-            strength.where(F.col("s") >= k)
-            .select(F.col("src").alias("id"))
-            .localCheckpoint()
+        new_core = tables.plan_barrier(
+            strength.where(F.col("s") >= k).select(F.col("src").alias("id")),
+            eager=False,
         )
         n_new = new_core.count()
         core = new_core
