@@ -84,16 +84,17 @@ def betweenness_sampled(
     sym.count()
     levels = _bfs_levels(sym, sources, max_depth)
 
-    # Backward accumulation: deepest level has delta = 0.  Each level's
-    # delta is materialized EAGERLY (one job per level): delta is
-    # referenced twice (next level's succ + the acc union), and in an
-    # all-lazy chain the final job's concurrently-launched stages race
-    # to compute the shared un-materialized RDDs, duplicating whole
-    # level subtrees (A/B'd in r6: all-lazy measured ~15% SLOWER than
-    # per-level jobs at sf0.1 — kept the per-level materialization).
+    # Backward accumulation: deepest level has delta = 0.  Levels are
+    # materialized PAIRWISE (the coreness k=2 idiom): every other
+    # level's checkpoint is lazy, so the next (eager) level's job
+    # computes and checkpoints both — half the backward jobs.  Within
+    # that job the lazy delta has ONE consumer (the succ join), so the
+    # all-lazy race (concurrent final-job stages duplicating shared
+    # un-materialized level subtrees — A/B'd in r6 at ~15% SLOWER) does
+    # not arise; the acc union reads the already-checkpointed blocks.
     delta = levels[-1].select("s", "v", F.lit(0.0).alias("delta"))
     acc = delta  # per-(s, v) dependency; sources dropped at the end
-    for d in range(len(levels) - 2, -1, -1):
+    for i, d in enumerate(range(len(levels) - 2, -1, -1)):
         succ = delta  # (s, w, delta) at level d+1, with sigma via join
         w_sig = levels[d + 1].select(
             "s", F.col("v").alias("w"), F.col("sigma").alias("sigma_w")
@@ -123,7 +124,7 @@ def betweenness_sampled(
             .select("s", "v")
             .join(contrib, on=["s", "v"], how="left")
             .select("s", "v", F.coalesce("contrib", F.lit(0.0)).alias("delta"))
-            .localCheckpoint()
+            .localCheckpoint(eager=(i % 2 == 1) or d == 0)
         )
         acc = acc.unionByName(delta)
     result = (
